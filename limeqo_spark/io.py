@@ -1,0 +1,57 @@
+"""Table loading helpers for the fixture star schema (TESTDATA.md).
+
+All reads go through ``spark.read.parquet`` so Catalyst gets pushdown,
+column pruning and partition pruning for free. ``register_views`` exposes
+the tables as temp views so queries can be written in either the DataFrame
+or SQL API against the same names the DuckDB oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin runtime confs the engine's semantics depend on, regardless of who
+    built the session (the driver harness constructs its own): UTC so
+    timestamp->date casts are deterministic, ANSI off for permissive casts.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark refuses it unless it
+        # is surfaced as a long, which we convert to a microsecond timestamp
+        # with exact integer division (`/` would go through double and lose
+        # sub-ms precision). Queries must not emit raw ts values — the
+        # DuckDB oracle keeps nanosecond precision; emit dates/epochs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [table(spark, sf_dir, n) for n in names]
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -1,0 +1,351 @@
+"""Aggregation, set-ops, window, sampling — SURVEY §2B B16-B27, B34-B36.
+
+All aggregates are partial+final (map-side combine) automatically; the
+explicit DECIMAL casts make sums order-independent so partial aggregation
+over any partitioning is safe (see queries_scan_join.dec_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.relational.queries_scan_join import dec_sum
+from limeqo_spark.relational.registry import query
+
+
+@query(
+    "q16_tpch_q1_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 hash aggregate, TPC-H Q1 shape (partial+final HashAggregate)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", 2, "sum_qty"),
+            dec_sum("l_extendedprice", 2, "sum_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("*"),
+                4,
+            ).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q17_count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS u, COUNT(DISTINCT o_orderpriority) AS p
+    FROM orders
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 exact distinct counts (expands to two-phase distinct aggregation)."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("u"),
+        F.countDistinct("o_orderpriority").alias("p"),
+    )
+
+
+@query("q18_approx_count_distinct", oracle=None, check="prop")
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 HLL approx distinct — PROP: within 5% of exact (asserted in tests).
+
+    Returns (approx, exact, ok) so the rows-only gate still exercises it.
+    """
+    o = table(spark, sf_dir, "orders")
+    df = o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    return df.select(
+        "approx",
+        "exact",
+        (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias("ok"),
+    )
+
+
+@query(
+    "q19_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, n
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 rollup (grouping sets): per-(region,nation), per-region, grand total."""
+    n, r = table(spark, sf_dir, "nation"), table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first(), "n")
+    )
+
+
+@query("q20_partial_agg_plan", oracle=None, check="prop")
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 plan-shape assertion: Q16's physical plan does partial+final
+    HashAggregate with an Exchange between (map-side combine at scale)."""
+    df = q16(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    has_agg = "HashAggregate" in plan
+    has_exchange = "Exchange" in plan
+    # partial + final => the aggregate operator appears (at least) twice
+    two_phase = plan.count("HashAggregate") >= 2
+    return spark.createDataFrame(
+        [(has_agg, has_exchange, two_phase)], "has_agg boolean, has_exchange boolean, two_phase boolean"
+    )
+
+
+@query(
+    "q21_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    ORDER BY l_shipdate, l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21/B22 total-order sort + limit (TakeOrderedAndProject: per-partition
+    top-K then merge — never a full global sort)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_shipdate"),
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        )
+        .select("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "q22_topk_by_spend",
+    oracle="""
+    SELECT c_custkey, cnt, spend FROM (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS cnt,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spend
+      FROM orders GROUP BY o_custkey
+    ) t ORDER BY spend DESC, c_custkey LIMIT 10
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 top-K after aggregation, deterministically tie-broken by key."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("cnt"), dec_sum("o_totalprice", 2, "spend"))
+        .orderBy(F.col("spend").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q23_ranking_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+           CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS BIGINT) AS rk
+    FROM orders
+    QUALIFY rn <= 3
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 ranking windows: row_number (unique order) + rank (decimal ties)."""
+    o = table(spark, sf_dir, "orders")
+    w_rn = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_rk = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").cast("decimal(18,2)").desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_rn).cast("bigint").alias("rn"),
+            F.rank().over(w_rk).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q24_lag_window",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 analytic window: lag over a per-user time order."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select("user_id", "event_id", F.lag("event_id").over(w).alias("prev")).orderBy(
+        "user_id", "event_id"
+    )
+
+
+@query(
+    "q25_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(ROUND(value, 4)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25 aggregate window with an explicit ROWS frame (running sum)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum(F.round("value", 4)).over(w), 4).alias("run"),
+    ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q26_union",
+    oracle="""
+    SELECT 'union_all' AS kind, COUNT(*) AS n FROM (
+      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linestatus = 'F'
+    ) t
+    UNION ALL
+    SELECT 'union_distinct' AS kind, COUNT(*) AS n FROM (
+      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+      UNION
+      SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linestatus = 'F'
+    ) t
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26 union all vs union distinct over overlapping slices."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_linenumber")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey", "l_linenumber")
+    ua = a.unionByName(b).agg(F.count("*").alias("n")).select(
+        F.lit("union_all").alias("kind"), "n"
+    )
+    ud = a.unionByName(b).distinct().agg(F.count("*").alias("n")).select(
+        F.lit("union_distinct").alias("kind"), "n"
+    )
+    return ua.unionByName(ud)
+
+
+@query(
+    "q27_intersect_except",
+    oracle="""
+    SELECT 'intersect' AS kind, c_nationkey AS k FROM
+      (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t
+    UNION ALL
+    SELECT 'except' AS kind, c_nationkey AS k FROM
+      (SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) t
+    ORDER BY kind, k
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27 intersect / except (distinct set semantics)."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("c_nationkey"))
+    i = c.intersect(s).select(F.lit("intersect").alias("kind"), F.col("c_nationkey").alias("k"))
+    e = c.subtract(s).select(F.lit("except").alias("kind"), F.col("c_nationkey").alias("k"))
+    return i.unionByName(e).orderBy("kind", "k")
+
+
+@query(
+    "q34_conditional_null",
+    oracle="""
+    SELECT o_orderstatus,
+           COALESCE(NULLIF(o_orderpriority, ''), 'NONE') AS prio,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS big_orders,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 conditional/null battery: CASE WHEN, COALESCE, NULLIF."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderstatus",
+            F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("")), F.lit("NONE")).alias(
+                "prio"
+            ),
+        )
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("big_orders"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderstatus", "prio")
+    )
+
+
+@query(
+    "q35_percentiles",
+    oracle="""
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           ROUND(stddev_samp(l_extendedprice), 2) AS sd,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS c
+    FROM lineitem
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 exact percentiles + stddev + corr (Spark percentile ==
+    interpolated quantile_cont)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("c"),
+    )
+
+
+@query("q36_seeded_sample", oracle=None, check="prop")
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36 seeded sampling self-consistency: same (fraction, seed) twice ->
+    identical sample. Returns (n1, n2, consistent)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    s1 = li.sample(fraction=0.1, seed=42)
+    s2 = li.sample(fraction=0.1, seed=42)
+    n1, n2 = s1.count(), s2.count()
+    diff = s1.exceptAll(s2).count() + s2.exceptAll(s1).count()
+    return spark.createDataFrame(
+        [(n1, n2, diff == 0)], "n1 bigint, n2 bigint, consistent boolean"
+    )

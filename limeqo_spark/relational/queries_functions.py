@@ -1,0 +1,220 @@
+"""Scalar-function batteries + dedup/tokenize — SURVEY §2B B28-B33, B37, B40.
+
+Everything here is built-in ``pyspark.sql.functions`` (JVM-side, inside
+whole-stage codegen) — no Python UDFs on these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.relational.registry import query
+
+
+@query(
+    "q28_string_battery",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(SUBSTR(p_name, 1, 5)) AS head,
+           CAST(LENGTH(p_name) AS BIGINT) AS len,
+           CONCAT(p_brand, '#', p_type) AS tag,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS w,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+           TRIM(CONCAT(' ', p_brand, ' ')) AS trimmed
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28 string functions: substr/upper/length/concat/regexp/like/trim."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 5)).alias("head"),
+        F.length("p_name").cast("bigint").alias("len"),
+        F.concat_ws("#", "p_brand", "p_type").alias("tag"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("w"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q29_date_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+           CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS mo,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+           CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS dd
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 date/time functions: extract, trunc, date_add, datediff."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        # dates leave the engine as ISO strings: a DATE fetches as a
+        # midnight datetime in some client layers, which breaks value-hash
+        # comparison; yyyy-MM-dd strings are representation-proof.
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("mo"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("bigint").alias("dd"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q30_math_battery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SQRT(l_quantity), 4) AS sq,
+           ROUND(LN(1 + l_extendedprice), 4) AS lnp,
+           CAST(CEIL(l_discount * 100) AS BIGINT) AS cd,
+           CAST(FLOOR(l_tax * 100) AS BIGINT) AS ft,
+           ROUND(POW(2, l_linenumber), 4) AS p2,
+           ABS(ROUND(l_extendedprice - l_quantity * 1000, 2)) AS ab
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30 math battery incl. the log1p/expm1 pair the modeling layer uses
+    (A8): Spark LOG1P(x) == oracle LN(1+x) to 4dp."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 4).alias("sq"),
+        F.round(F.log1p("l_extendedprice"), 4).alias("lnp"),
+        F.ceil(F.col("l_discount") * 100).cast("bigint").alias("cd"),
+        F.floor(F.col("l_tax") * 100).cast("bigint").alias("ft"),
+        F.round(F.pow(F.lit(2), F.col("l_linenumber")), 4).alias("p2"),
+        F.abs(F.round(F.col("l_extendedprice") - F.col("l_quantity") * 1000, 2)).alias("ab"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q31_array_explode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS n_vals,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sv
+    FROM (
+      SELECT l_orderkey, l_linenumber, UNNEST([l_quantity, l_discount, l_tax]) AS v
+      FROM lineitem
+    ) t
+    GROUP BY l_orderkey, l_linenumber ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31 array build + explode + re-aggregate (higher-order array path)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.explode(F.array("l_quantity", "l_discount", "l_tax")).alias("v"),
+        )
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.round(F.sum(F.col("v").cast("decimal(18,6)")).cast("double"), 4).alias("sv"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q32_struct_battery",
+    oracle="""
+    SELECT n_nationkey,
+           {'n_name': n_name, 'n_regionkey': n_regionkey}.n_name AS sname,
+           CAST({'n_name': n_name, 'n_regionkey': n_regionkey}.n_regionkey AS BIGINT) AS sreg
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32 struct build + field extraction."""
+    n = table(spark, sf_dir, "nation")
+    s = F.struct(F.col("n_name"), F.col("n_regionkey"))
+    return n.select(
+        "n_nationkey",
+        s.getField("n_name").alias("sname"),
+        s.getField("n_regionkey").cast("bigint").alias("sreg"),
+    ).orderBy("n_nationkey")
+
+
+@query(
+    "q33_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS ks,
+           COUNT(json_extract_string(props, '$.nope')) AS missing_nonnull,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33 JSON path extraction (get_json_object) incl. missing-key NULLs."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).cast("bigint").alias("ks"),
+            F.count(F.get_json_object("props", "$.nope")).alias("missing_nonnull"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q37_dedup_exact",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT MD5(text)) AS n_unique
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 exact dedup accounting: per-lang doc counts vs distinct text hashes.
+
+    At scale: hash first (md5 -> 32 bytes) so the distinct shuffles digests,
+    never full documents.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q40_tokenize_counts",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+    FROM (
+      SELECT lang, UNNEST(string_split_regex(LOWER(text), '[^a-z0-9]+')) AS tok
+      FROM documents
+    ) t
+    WHERE tok <> ''
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40 text tokenize: lowercase regex split, explode, count per lang."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_tokens"), F.countDistinct("tok").alias("n_distinct"))
+        .orderBy("lang")
+    )

@@ -1,0 +1,458 @@
+"""Sources, sinks, projection, filter, joins — SURVEY §2B B1-B15 (Q01-Q15).
+
+Design notes for 100 TB scale:
+  - every query is a declarative DataFrame plan: filters/projections reach
+    the parquet scan (PushedFilters / ReadSchema), joins pick broadcast for
+    dimension tables explicitly, fact-fact joins stay sort-merge/shuffle-hash
+    on the join key so AQE can coalesce + skew-split.
+  - money sums go through DECIMAL so results are partition-order independent
+    (double summation order varies across executors at scale).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.relational.registry import query
+
+# --- helpers -----------------------------------------------------------------
+
+
+def dec_sum(col: str | F.Column, scale: int = 2, alias: str | None = None) -> F.Column:
+    """Exact, order-independent money sum: cast to DECIMAL, sum, emit DOUBLE.
+
+    Summing doubles is not associative; at 1000-executor scale the partial
+    aggregation order is nondeterministic, so a ROUND(SUM(double), 2) can
+    flip. DECIMAL sums are exact and deterministic everywhere.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.round(F.sum(c.cast(f"decimal(18,{scale})")).cast("double"), scale)
+    return out.alias(alias) if alias else out
+
+
+# --- B1/B5/B6: scans, projection, filters ------------------------------------
+
+
+@query(
+    "q01_parquet_scan_checksum",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS s,
+           MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+    FROM lineitem
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 parquet scan: full-table checksum of lineitem."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        dec_sum("l_extendedprice", 2, "s"),
+        F.min("l_orderkey").alias("mn"),
+        F.max("l_orderkey").alias("mx"),
+    )
+
+
+@query(
+    "q02_csv_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(r_regionkey) AS BIGINT) AS s,
+           MIN(r_name) AS mn, MAX(r_name) AS mx
+    FROM region
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 CSV source: re-export region to CSV with explicit schema, re-read, agg."""
+    out = tempfile.mkdtemp(prefix="limeqo_q02_")
+    table(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(out)
+    df = spark.read.schema("r_regionkey int, r_name string").option("header", True).csv(out)
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("r_regionkey").cast("bigint").alias("s"),
+        F.min("r_name").alias("mn"),
+        F.max("r_name").alias("mx"),
+    )
+
+
+@query(
+    "q03_json_props",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS ks
+    FROM events WHERE props IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 JSON: parse events.props with from_json and aggregate the payload."""
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.filter(F.col("props").isNotNull()).withColumn(
+        "k", F.from_json("props", "k bigint").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").cast("bigint").alias("ks"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q04_parquet_sink_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 sink: write Q16's result to parquet, re-read — must hash-equal Q16."""
+    from limeqo_spark.relational.queries_agg_window import q16
+
+    out = tempfile.mkdtemp(prefix="limeqo_q04_")
+    q16(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+#: charge in exact DECIMAL arithmetic. Engines disagree on ROUND(double, n)
+#: at repr boundaries (Spark rounds the shortest decimal repr, DuckDB the
+#: true binary value), so the money expression is computed in decimal where
+#: multiplication is exact and HALF_UP rounding is well-defined in both.
+CHARGE_SQL = (
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - l_discount AS DECIMAL(6,2))"
+    " * CAST(1 + l_tax AS DECIMAL(6,2)), 4) AS DOUBLE)"
+)
+
+
+@query(
+    "q05_projection_charge",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, {CHARGE_SQL} AS charge
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 projection: arithmetic select; Catalyst prunes the scan to 5 columns."""
+    li = table(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(6,2)")
+        * (1 + F.col("l_tax")).cast("decimal(6,2)")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(charge, 4).cast("double").alias("charge"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q06_compound_filter",
+    oracle="""
+    SELECT COUNT(*) AS n FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1994-01-01' AND DATE '1994-12-31'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+      AND l_returnflag IN ('R','A')
+      AND l_linestatus IS NOT NULL
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 filter: compound predicate (range, BETWEEN, IN, IS NOT NULL) + count."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").cast("date").between("1994-01-01", "1994-12-31")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+        & F.col("l_returnflag").isin("R", "A")
+        & F.col("l_linestatus").isNotNull()
+    ).agg(F.count("*").alias("n"))
+
+
+# --- B7-B15: joins ------------------------------------------------------------
+
+
+@query(
+    "q07_broadcast_join",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS s
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 broadcast hash join: fact x small dim — dim is explicitly broadcast
+    so the 100 TB fact side never shuffles."""
+    li, part = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), dec_sum("l_extendedprice", 2, "s"))
+        .orderBy("p_brand")
+    )
+
+
+_Q08_ORACLE = """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS q
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query("q08_sortmerge_join", oracle=_Q08_ORACLE)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 sort-merge join: fact x fact on the natural key — MERGE hint."""
+    li, orders = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    return (
+        li.hint("MERGE")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dec_sum("l_quantity", 2, "q"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("q09_shufflehash_join", oracle=_Q08_ORACLE)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 shuffle-hash join: same logical query as Q08 under SHUFFLE_HASH —
+    hint-invariance: must hash-equal Q08."""
+    li, orders = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+    return (
+        li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dec_sum("l_quantity", 2, "q"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q10_cross_join",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    WHERE n_regionkey = r_regionkey ORDER BY r_name, n_name
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 nested-loop/cartesian: tiny cross join + post-filter."""
+    r, n = table(spark, sf_dir, "region"), table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter(F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q11_nonequi_join",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11 theta join: equi key + non-equi conjunct (ships after order date).
+
+    The equi conjunct keeps this a hash/sort-merge join (shuffled on the
+    key), NOT a nested-loop — the range predicate is evaluated post-match.
+    """
+    o, li = table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderkey")
+    )
+
+
+_Q12_COLS = """c_mktsegment, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows"""
+
+
+@query(
+    "q12_left_join",
+    oracle=f"""
+    SELECT {_Q12_COLS} FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 left outer join with NULL-aware counts."""
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"), F.count("*").alias("n_rows"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q12b_right_join",
+    oracle=f"""
+    SELECT {_Q12_COLS} FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q12b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 right outer join (mirror of q12 — same result, other side preserved)."""
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"), F.count("*").alias("n_rows"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q12c_full_join",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, '<none>') AS seg,
+           COUNT(o_orderkey) AS n_orders, COUNT(c_custkey) AS n_cust, COUNT(*) AS n_rows
+    FROM orders FULL JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q12c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12 full outer join: both-side NULL groups surfaced."""
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "full")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("<none>")).alias("seg"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count("c_custkey").alias("n_cust"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("seg")
+    )
+
+
+@query(
+    "q13_semi_anti_join",
+    oracle="""
+    SELECT 'semi' AS kind, COUNT(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    UNION ALL
+    SELECT 'anti' AS kind, COUNT(*) AS n FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13 semi/anti join (EXISTS / NOT EXISTS decorrelation)."""
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000)
+    semi = c.join(big, big.o_custkey == c.c_custkey, "left_semi").agg(F.count("*").alias("n"))
+    anti = c.join(big, big.o_custkey == c.c_custkey, "left_anti").agg(F.count("*").alias("n"))
+    return semi.select(F.lit("semi").alias("kind"), "n").unionByName(
+        anti.select(F.lit("anti").alias("kind"), "n")
+    )
+
+
+@query(
+    "q14_asof_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           (SELECT e.event_id FROM events e
+             WHERE e.user_id % 100 = o.o_custkey % 100 AND e.ts <= o.o_orderdate
+             ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS event_id
+    FROM orders o ORDER BY o.o_orderkey
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 as-of join (latest event at-or-before each order, per cohort).
+
+    Scale-first implementation: instead of the naive M x N time-range join
+    (which explodes before the window filter), union the two streams tagged
+    by side and take a running ``last(event_id)`` ordered by time within the
+    cohort — one shuffle, no blow-up, same semantics as merge_asof.
+    Orders sort after events at equal ts (is_order=1) so ties honor <=.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        (F.col("user_id") % 100).alias("cohort"),
+        F.col("ts"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    od = o.select(
+        (F.col("o_custkey") % 100).alias("cohort"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey"),
+    )
+    merged = ev.unionByName(od)
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("ts", "is_order", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        merged.withColumn("asof_event", F.last("event_id", ignorenulls=True).over(w))
+        .filter(F.col("is_order") == 1)
+        .select("o_orderkey", F.col("asof_event").alias("event_id"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q15_star_join",
+    oracle="""
+    SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 multi-way star join (JOB-style): one fact-fact sort-merge join on
+    the order key; all dimensions broadcast so they add no shuffles. The
+    region filter is pushed through the broadcast chain by Catalyst."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("n_name")
+    )
