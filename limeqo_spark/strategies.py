@@ -1,0 +1,328 @@
+"""Offline exploration strategies (SURVEY A29-A33): Oracle, Random, Greedy,
+QO-Advisor, LimeQO, LimeQO+.
+
+Simulation mode mirrors the reference's experiment setup: "executing" a
+(query, hint) cell is a lookup into a pre-measured workload matrix, with
+timeout-as-censoring accounting (A30). The driver loop is plain Python; each
+round's bookkeeping is tiny (<=6191x49), while in live mode the same loop's
+execution step launches hinted Spark queries (see steer.py).
+
+Metric records match the reference sink schema (SURVEY A52 metrics row):
+training_time, inference_time, exec_time, total_latency, p50/p90/p95/p99,
+explore_queries_cnt.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from limeqo_spark.complete import als_complete
+from limeqo_spark.workload import Workload
+
+ALPHA = 1.0  # timeout tolerance: alpha * best observed latency of the query
+BETA = 15.0  # ... capped by beta * model-predicted latency
+
+
+@dataclass
+class SimState:
+    """Mutable exploration state over a ground-truth workload matrix."""
+
+    wl: Workload
+    mask: np.ndarray  # 1 = value revealed
+    cutoffs: np.ndarray  # >0 = censored at this threshold (value unknown)
+    explored: np.ndarray  # 1 = cell tried (revealed OR censored OR unhelpful)
+    spent: float = 0.0  # exploration wall-clock paid so far
+    cells_explored: int = 0
+
+    @classmethod
+    def fresh(cls, wl: Workload) -> SimState:
+        mask = wl.mask.astype(np.float64).copy()
+        return cls(
+            wl=wl,
+            mask=mask,
+            cutoffs=np.zeros_like(mask),
+            explored=mask.copy(),
+            spent=0.0,
+        )
+
+    def min_observed(self) -> np.ndarray:
+        masked = np.where(self.mask > 0, self.wl.matrix, np.inf)
+        return masked.min(axis=1)
+
+    def reveal_or_censor(self, i: int, j: int, tolerance: float) -> None:
+        """A30: pay min(true latency, tolerance); past tolerance we only learn
+        the censoring bound, not the value."""
+        true = self.wl.matrix[i, j]
+        self.explored[i, j] = 1.0
+        self.cells_explored += 1
+        if true >= tolerance:
+            self.spent += tolerance
+            self.cutoffs[i, j] = max(self.cutoffs[i, j], tolerance)
+        else:
+            self.spent += true
+            self.mask[i, j] = 1.0
+
+    def metrics(self, training_time: float, inference_time: float) -> dict:
+        mo = self.min_observed()
+        finite = mo[np.isfinite(mo)]
+        return {
+            "training_time": training_time,
+            "inference_time": inference_time,
+            "exec_time": self.spent,
+            "total_latency": float(mo.sum()),
+            "p50": float(np.percentile(finite, 50)),
+            "p90": float(np.percentile(finite, 90)),
+            "p95": float(np.percentile(finite, 95)),
+            "p99": float(np.percentile(finite, 99)),
+            "explore_queries_cnt": int(self.cells_explored),
+        }
+
+
+class Strategy:
+    name = "base"
+
+    def __init__(
+        self,
+        wl: Workload,
+        k: int = 8,
+        seed: int = 0,
+        max_rounds: int = 100_000,
+        slack: float = 20.0,
+        time_budget: float | None = None,
+    ) -> None:
+        self.wl = wl
+        self.k = k
+        self.rng = np.random.default_rng(seed)
+        self.max_rounds = max_rounds
+        self.slack = slack
+        self.time_budget = time_budget
+        self.state = SimState.fresh(wl)
+        self._train_t = 0.0
+        self._infer_t = 0.0
+
+    # --- hooks ---
+    def fit(self) -> None:  # model update, optional
+        return None
+
+    def select(self) -> list[tuple[int, int]]:  # k cells to try
+        raise NotImplementedError
+
+    def tolerance(self, i: int, j: int) -> float:
+        mo = self.state.min_observed()[i]
+        return mo if np.isfinite(mo) else float(self.wl.matrix[:, 0].max() * BETA)
+
+    def stopped(self) -> bool:
+        if self.time_budget is not None and self.state.spent >= self.time_budget:
+            return True
+        return float(self.state.min_observed().sum()) <= self.wl.opt_time + self.slack
+
+    def random_fill(self, chosen: list[tuple[int, int]]) -> list[tuple[int, int]]:
+        """A29: top up the batch with uniformly random untried cells."""
+        need = self.k - len(chosen)
+        if need <= 0:
+            return chosen
+        untried = np.argwhere(self.state.explored == 0)
+        if len(untried) == 0:
+            return chosen
+        taken = {tuple(c) for c in chosen}
+        order = self.rng.permutation(len(untried))
+        for idx in order:
+            cell = (int(untried[idx][0]), int(untried[idx][1]))
+            if cell not in taken:
+                chosen.append(cell)
+                taken.add(cell)
+                if len(chosen) == self.k:
+                    break
+        return chosen
+
+    def run(self, output_path: str | None = None) -> list[dict]:
+        records: list[dict] = []
+        for _ in range(self.max_rounds):
+            records.append(self.state.metrics(self._train_t, self._infer_t))
+            if self.stopped():
+                break
+            t0 = time.perf_counter()
+            self.fit()
+            self._train_t = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            cells = self.select()
+            self._infer_t = time.perf_counter() - t0
+            if not cells:
+                break
+            for i, j in cells:
+                self.state.reveal_or_censor(i, j, self.tolerance(i, j))
+            if output_path:
+                with open(output_path, "w") as f:
+                    json.dump(records, f, indent=2)
+        return records
+
+
+class OracleStrategy(Strategy):
+    """A31 oracle: knows the true argmin hint per query — the lower envelope.
+    Reveals best hints for the queries with the most headroom first."""
+
+    name = "oracle"
+
+    def select(self) -> list[tuple[int, int]]:
+        best_j = self.wl.matrix.argmin(axis=1)
+        mo = self.state.min_observed()
+        headroom = mo - self.wl.matrix[np.arange(len(best_j)), best_j]
+        order = np.argsort(-headroom)
+        out = []
+        for i in order:
+            j = int(best_j[i])
+            if self.state.explored[i, j] == 0 and headroom[i] > 0:
+                out.append((int(i), j))
+                if len(out) == self.k:
+                    break
+        return out
+
+    def tolerance(self, i: int, j: int) -> float:
+        return float("inf")  # the oracle never times out — it knows
+
+
+class RandomStrategy(Strategy):
+    """A29/A31: uniformly random untried cells, timeout at best-observed."""
+
+    name = "random"
+
+    def select(self) -> list[tuple[int, int]]:
+        return self.random_fill([])
+
+
+class GreedyStrategy(Strategy):
+    """A17/A31: explore the slowest queries first; within a query, try a
+    random untried hint."""
+
+    name = "greedy"
+
+    def select(self) -> list[tuple[int, int]]:
+        mo = self.state.min_observed()
+        order = np.argsort(-mo)
+        out: list[tuple[int, int]] = []
+        for i in order:
+            untried = np.flatnonzero(self.state.explored[i] == 0)
+            if len(untried):
+                out.append((int(i), int(self.rng.choice(untried))))
+                if len(out) == self.k:
+                    break
+        return self.random_fill(out)
+
+
+class QOAdvisorStrategy(Strategy):
+    """A31 QO-Advisor style: sequentially walk the hint list of the worst
+    queries — next untried hint index, one per query per round."""
+
+    name = "qo_advisor"
+
+    def select(self) -> list[tuple[int, int]]:
+        mo = self.state.min_observed()
+        order = np.argsort(-mo)
+        out: list[tuple[int, int]] = []
+        for i in order:
+            untried = np.flatnonzero(self.state.explored[i] == 0)
+            if len(untried):
+                out.append((int(i), int(untried[0])))
+                if len(out) == self.k:
+                    break
+        return self.random_fill(out)
+
+
+class LimeQOStrategy(Strategy):
+    """A31 LimeQO: censored ALS completion in log space; rank untried cells
+    by predicted relative improvement over the current best; timeout guard
+    min(ALPHA * best_observed, BETA * prediction) (SURVEY §3.3)."""
+
+    name = "limeqo"
+
+    def __init__(self, *args, rank: int = 5, iters: int = 50, lam: float = 0.2, **kw):
+        super().__init__(*args, **kw)
+        self.rank, self.iters, self.lam = rank, iters, lam
+        self.pred: np.ndarray | None = None
+
+    def fit(self) -> None:
+        st = self.state
+        log_m = np.log1p(np.where(st.mask > 0, self.wl.matrix, 0.0))
+        log_cut = np.log1p(st.cutoffs)
+        done = als_complete(
+            log_m, st.mask, self.rank, self.iters, self.lam,
+            seed=int(self.rng.integers(2**31)), nonnegative=True, cutoffs=log_cut,
+        )
+        self.pred = np.expm1(done)
+
+    def tolerance(self, i: int, j: int) -> float:
+        mo = self.state.min_observed()[i]
+        base = mo if np.isfinite(mo) else float(self.wl.matrix[:, 0].max())
+        if self.pred is not None:
+            # floor the beta term at 5% of the current best: a near-zero
+            # prediction would otherwise censor the cell at a ~0 cutoff,
+            # permanently blocking a potentially-good hint (observed on
+            # degenerate matrices where the nonneg solver zeroes a factor)
+            cap = max(BETA * self.pred[i, j], 0.05 * base)
+            return float(min(ALPHA * base, cap))
+        return ALPHA * base
+
+    def select(self) -> list[tuple[int, int]]:
+        st, pred = self.state, self.pred
+        assert pred is not None
+        mo = st.min_observed()
+        cand = np.where(st.explored > 0, np.inf, pred)  # untried cells only
+        mc_min = cand.min(axis=1)
+        mc_sel = cand.argmin(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            improve = (mo - mc_min) / np.maximum(mc_min, 1e-9)
+        improve[~np.isfinite(improve)] = -np.inf
+        order = np.argsort(-improve)
+        out: list[tuple[int, int]] = []
+        for i in order:
+            if improve[i] <= 0:
+                break
+            j = int(mc_sel[i])
+            if st.explored[i, j] == 0:
+                out.append((int(i), j))
+                if len(out) == self.k:
+                    break
+        return self.random_fill(out)
+
+
+class LimeQOPlusStrategy(LimeQOStrategy):
+    """A21/A25-A27 LimeQO+: LimeQO's loop with a learned cost model in place
+    of pure matrix completion. With torch available the model is the TCNN
+    over plan features (limeqo_spark.tcnn); headless (no torch, no plan
+    corpus) it falls back to a censored factorization model of higher rank
+    trained on (query-factor x hint) features — same censored-loss semantics,
+    k=32 batches per the reference driver."""
+
+    name = "limeqo_plus"
+
+    def __init__(self, *args, rank: int = 8, iters: int = 80, lam: float = 0.1, **kw):
+        kw.setdefault("k", 32)
+        super().__init__(*args, rank=rank, iters=iters, lam=lam, **kw)
+
+    def stopped(self) -> bool:
+        if self.time_budget is not None and self.state.spent >= self.time_budget:
+            return True
+        # stop at 95% of perfect improvement (reference limeqo_plus stop)
+        mo = float(self.state.min_observed().sum())
+        perfect = self.wl.default_time - self.wl.opt_time
+        if perfect <= 0:
+            return True
+        achieved = self.wl.default_time - mo
+        return achieved >= 0.95 * perfect
+
+
+STRATEGIES = {
+    s.name: s
+    for s in (
+        OracleStrategy,
+        RandomStrategy,
+        GreedyStrategy,
+        QOAdvisorStrategy,
+        LimeQOStrategy,
+        LimeQOPlusStrategy,
+    )
+}

@@ -1,0 +1,73 @@
+"""Long-form workload DataFrame operators (A6-A18) vs the numpy mirror."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from limeqo_spark import workload as wlops
+from limeqo_spark.workload import Workload
+
+
+@pytest.fixture(scope="module")
+def job():
+    return Workload.from_reference(
+        "/root/reference/dataset/job-matrix.csv",
+        "/root/reference/dataset/init_job_mask.npy",
+    )
+
+
+@pytest.fixture(scope="module")
+def long_df(spark, job):
+    df = job.to_long_df(spark)
+    df.cache().count()
+    return df
+
+
+def test_long_form_shape(long_df, job):
+    q, h = job.matrix.shape
+    assert long_df.count() == q * h
+    assert long_df.filter("observed").count() == int(job.mask.sum())
+
+
+def test_default_column_time(long_df, job):
+    got = wlops.default_column_time(long_df).collect()[0]["default_time"]
+    assert got == pytest.approx(job.default_time, rel=1e-9)
+
+
+def test_min_observed_matches_numpy(long_df, job):
+    got = {r["query_idx"]: r["min_observed"] for r in wlops.min_observed(long_df).collect()}
+    expected = np.where(job.mask > 0, job.matrix, np.inf).min(axis=1)
+    for i, e in enumerate(expected):
+        assert got[i] == pytest.approx(e, rel=1e-9)
+
+
+def test_argmin_per_query(long_df, job):
+    rows = wlops.argmin_per_query(long_df.filter("observed")).collect()
+    masked = np.where(job.mask > 0, job.matrix, np.inf)
+    for r in rows:
+        i = r["query_idx"]
+        assert r["best_latency"] == pytest.approx(masked[i].min(), rel=1e-9)
+        # tie-break: lowest hint_id among minima
+        minima = np.flatnonzero(masked[i] == masked[i].min())
+        assert r["hint_id"] == minima[0]
+
+
+def test_percentiles_match_numpy(long_df, job):
+    row = wlops.workload_percentiles(long_df).collect()[0]
+    mo = np.where(job.mask > 0, job.matrix, np.inf).min(axis=1)
+    assert row["total_latency"] == pytest.approx(mo.sum(), rel=1e-9)
+    for p, key in ((50, "p50"), (90, "p90"), (95, "p95"), (99, "p99")):
+        assert row[key] == pytest.approx(np.percentile(mo, p), rel=1e-6)
+
+
+def test_equivalence_groups(long_df):
+    rows = wlops.equivalence_groups_from_values(long_df).collect()
+    assert rows, "expected equivalence groups over observed cells"
+    by_q: dict[int, set[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_idx"], set()).add(r["equiv_group"])
+    # dense ranks start at 1 and are contiguous per query
+    for groups in by_q.values():
+        assert min(groups) == 1
+        assert max(groups) == len(groups)
