@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the simulation-mode
+LimeQO run on the reference JOB matrix (BASELINE.md track 1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+#: headline subset: one per operator family, heaviest variants
+HEADLINE = [
+    "q01_parquet_scan_checksum",  # scan + agg
+    "q05_projection_charge",  # projection (decimal arithmetic)
+    "q07_broadcast_join",  # broadcast hash join
+    "q08_sortmerge_join",  # fact-fact sort-merge join
+    "q11_nonequi_join",  # theta join
+    "q14_asof_join",  # as-of via union+window
+    "q15_star_join",  # 5-table star
+    "q16_tpch_q1_agg",  # TPC-H Q1 aggregate
+    "q17_count_distinct",
+    "q21_sort_limit",  # top-K
+    "q23_ranking_windows",
+    "q25_running_sum",
+    "q37_dedup_exact",
+    "q40_tokenize_counts",
+]
+
+
+def materialize(df) -> int:
+    """Fully execute the plan without driver collection (noop sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    from limeqo_spark.relational import REGISTRY
+    from limeqo_spark.session import get_spark
+
+    spark = get_spark("limeqo_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    # warm the JVM/codegen path so per-query times measure the queries
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        materialize(spec.builder(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # simulation-mode track: LimeQO on the reference JOB matrix to a 90 s
+    # exploration budget — wall time of the full strategy loop
+    try:
+        from limeqo_spark.strategies import LimeQOStrategy
+        from limeqo_spark.workload import Workload
+
+        wl = Workload.from_reference(
+            "/root/reference/dataset/job-matrix.csv",
+            "/root/reference/dataset/init_job_mask.npy",
+        )
+        t0 = time.perf_counter()
+        rec = LimeQOStrategy(wl, k=8, seed=1, max_rounds=200, time_budget=90.0).run()
+        timings["sim_job_limeqo"] = round(time.perf_counter() - t0, 3)
+        sim_final = rec[-1]["total_latency"]
+    except Exception:  # sim track must never sink the bench line
+        sim_final = None
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }
+    if sim_final is not None:
+        out["sim_job_limeqo_final_latency"] = round(float(sim_final), 2)
+    print(json.dumps(out))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
