@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _registry():
-    from limeqo_spark.relational import REGISTRY  # populates on import
+    from limeqo_spark.manifest import REGISTRY  # populates on import
 
     return REGISTRY
 

@@ -1,0 +1,59 @@
+"""Shared planted-duplicate corpus for the dedup operators.
+
+The fixture documents are all-distinct (500 unique texts), so near-dup
+operators need planted pairs. The plant is *deterministic and expressible in
+both engines*: every doc with doc_id < 30 gets a clone with doc_id+10000 and
+one appended token — near-identical text (token-shingle Jaccard well above
+0.6) so (doc_id, doc_id+10000) are the ground-truth duplicate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+
+PLANT_N = 30
+PLANT_OFFSET = 10_000
+PLANT_SUFFIX = " zzzdup"
+
+#: DuckDB view of the same corpus (oracle side of the contract)
+CORPUS_SQL = f"""
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || '{PLANT_SUFFIX}' AS text, lang
+  FROM documents WHERE doc_id < {PLANT_N}
+"""
+
+
+def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dup = (
+        d.filter(F.col("doc_id") < PLANT_N)
+        .select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(PLANT_SUFFIX)).alias("text"),
+            "lang",
+        )
+    )
+    return d.unionByName(dup)
+
+
+def token_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct n-token shingles of whitespace tokens.
+
+    Built-in higher-order functions only (transform over sequence + slice):
+    stays in whole-stage codegen, no Python in the hot path.
+    """
+    toks = df.withColumn("toks", F.split(F.col("text"), " "))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(toks) - {n}, -1)),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()

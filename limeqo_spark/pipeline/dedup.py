@@ -1,0 +1,234 @@
+"""Deduplication operators (SURVEY §2B B37-B38 + north-star suite): exact,
+n-gram Jaccard, MinHash-LSH, SimHash, embedding-cosine near-dup.
+
+Scale design: exact dedup shuffles 16-byte digests, never documents; the
+Jaccard join is blocked (shingle-inverted-index join) so only docs sharing a
+shingle are paired; MinHash/SimHash band buckets bound candidate pairs at
+100 TB; all-pairs forms appear only behind threshold filters on the tiny
+embeddings fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.pipeline.corpus import CORPUS_SQL, planted_corpus, token_shingles
+from limeqo_spark.relational.registry import query
+
+
+@query(
+    "dedup_exact_keep_first",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    keyed AS (SELECT doc_id, MD5(text) AS h FROM corpus)
+    SELECT h, MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies
+    FROM keyed GROUP BY h HAVING COUNT(*) > 1 ORDER BY h
+    """,
+)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, keep-lowest-id policy. (The planted corpus has no exact
+    text dups, so we key on md5 of text — groups >1 would be real dups;
+    with this corpus the interesting output is empty, proving no
+    false-positive collapse.) See q37 for the per-lang accounting."""
+    c = planted_corpus(spark, sf_dir)
+    return (
+        c.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("h")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+      FROM (
+        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM toks
+      ) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
+    ORDER BY a, b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-token shingle) Jaccard near-dup pairs at tau=0.6 via a
+    shingle inverted-index join — only docs sharing a shingle are compared
+    (the 100 TB-safe blocking; no all-pairs cross join)."""
+    c = planted_corpus(spark, sf_dir)
+    sh = token_shingles(c, 3).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb"))
+    jac = (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard_raw", F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")))
+        .filter(F.col("jaccard_raw") >= 0.6)
+    )
+    return jac.select("a", "b", F.round("jaccard_raw", 4).alias("jaccard")).orderBy("a", "b")
+
+
+@query("dedup_minhash_lsh", oracle=None, check="prop")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> HashingTF sparse set
+    vector -> MinHashLSH approx similarity self-join at Jaccard-distance
+    <= 0.4. PROP: recall of planted pairs asserted in tests (hash functions
+    are engine-specific, so no cross-engine value oracle)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    c = planted_corpus(spark, sf_dir)
+    sh = token_shingles(c, 3)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True)
+    vecs = tf.transform(sets).filter(F.expr("size(shingles) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("est_jaccard"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .orderBy("a", "b")
+    )
+
+
+@query("dedup_simhash", oracle=None, check="prop")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign-aggregated xxhash64 token
+    bits; candidates = pairs agreeing on any of 4 16-bit bands (Hamming<=
+    ~3-per-band heuristic); verified with exact Hamming distance <= 8.
+
+    All bit math is built-in integer expressions — no UDFs. PROP: planted
+    pairs recalled (xxhash64 is Spark-specific; no cross-engine oracle).
+    """
+    c = planted_corpus(spark, sf_dir)
+    toks = c.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    # per-bit vote: +1 if bit set else -1; simhash bit b = (sum > 0)
+    bits = h.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    votes = bits.groupBy("doc_id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)])
+    sig_expr = None
+    for b in range(64):
+        # shiftleft (not 1<<b literal): bit 63 wraps to the sign bit in
+        # two's-complement long, which a python int literal would overflow
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
+    sigs = votes.select("doc_id", sig_expr.alias("sig")).cache()
+    # band join: 4 bands of 16 bits
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.sig").alias("sa"),
+            F.col("y.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+    return (
+        ham.filter(F.col("hamming") <= 8)
+        .select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    ORDER BY a, b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine >= 0.95 over a corpus with planted
+    exact copies (fixture max cross-cosine is ~0.51, so the planted pairs
+    are exactly the expected output at cos 1.0 — bit-safe in both engines).
+    Built-in higher-order functions only (zip_with/aggregate — JVM-side).
+    The all-pairs form is fine at fixture scale; the 100 TB path is the
+    LSH-bucketed ANN in similarity.py."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.unionByName(
+        e.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    nrm = (
+        "SQRT(aggregate({c}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos_raw",
+            F.expr(f"{dot} / ({nrm.format(c='ea')} * {nrm.format(c='eb')})"),
+        )
+        .filter(F.col("cos_raw") >= 0.95)
+    )
+    return pairs.select("a", "b", F.round("cos_raw", 4).alias("cos_sim")).orderBy("a", "b")

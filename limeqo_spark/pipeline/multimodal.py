@@ -1,0 +1,132 @@
+"""Multimodal column plumbing (north star): media as opaque binary columns
+with typed metadata; decode / feature-extract / frame-sample as Arrow-batched
+Pandas operators over ``mapInPandas``.
+
+The container has no image/audio libraries, so the actual media decode is a
+STUB (clearly marked, import-gated); everything Spark-side — schema, binary
+handling, batch iteration, partitioning — is real and oracle-tested via a
+deterministic fake decoder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.relational.registry import query
+
+
+def real_decode(payload: bytes, kind: str):  # pragma: no cover - stub
+    """Decode a media payload into (width, height, channels).
+
+    STUB: the runtime image/audio libs (PIL / soundfile / av) are not in
+    this container. The Spark-side plumbing around this function is real;
+    swap in the real decoder where the libs exist.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "media decode requires PIL/soundfile/av — not available in this "
+            "container; use fake_meta (deterministic) for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire the real decoder here")
+
+
+def fake_meta(n_bytes: int, doc_id: int) -> tuple[int, int, str]:
+    """Deterministic fake decode: metadata derived arithmetically from the
+    payload size + id, so the oracle can verify the plumbing end-to-end."""
+    width = 16 + (n_bytes % 64)
+    height = 16 + (doc_id % 32)
+    kind = "image" if doc_id % 3 == 0 else ("audio" if doc_id % 3 == 1 else "video")
+    return width, height, kind
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 + (octet_length(encode(text)) % 64) AS BIGINT) AS width,
+           CAST(16 + (doc_id % 32) AS BIGINT) AS height,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata extraction through mapInPandas:
+    text payloads stand in for media bytes; the "decoder" runs per Arrow
+    batch exactly as a real image decoder would (bytes in, struct out)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            meta = [
+                fake_meta(nb, did) for nb, did in zip(n_bytes, pdf["doc_id"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "kind": [m[2] for m in meta],
+                }
+            )
+
+    return d.mapInPandas(
+        decode_batches,
+        "doc_id bigint, n_bytes bigint, width bigint, height bigint, kind string",
+    ).orderBy("doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(FLOOR(n_chars / 10) AS BIGINT) AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    sampled AS (
+      SELECT doc_id, i AS frame_idx,
+             CAST((doc_id * 31 + i) % 997 AS BIGINT) AS feat
+      FROM (SELECT doc_id, UNNEST(range(0, n_frames, 5)) AS i FROM frames) z
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(feat) AS BIGINT) AS feat_sum
+    FROM sampled GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for "video" docs (doc_id % 3 == 2): every 5th frame of
+    n_chars/10 frames, with a deterministic per-frame feature — the shape of
+    a real frame-sampler (one input row -> many frame rows -> re-aggregate),
+    expressed with built-in sequence/explode (no Python needed here)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    # explicit FLOOR on both sides: DuckDB's double->int cast rounds while
+    # Spark's truncates — a silent off-by-one without it
+    frames = d.select(
+        "doc_id", F.floor(F.col("n_chars") / 10).cast("bigint").alias("n_frames")
+    ).filter(F.col("n_frames") > 0)
+    sampled = frames.select(
+        "doc_id",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 5)")).alias("frame_idx"),
+    ).withColumn("feat", (F.col("doc_id") * 31 + F.col("frame_idx")) % 997)
+    return (
+        sampled.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.sum("feat").cast("bigint").alias("feat_sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over the embedding column (SURVEY §2B B39 + north
+star): brute-force cosine top-k as the exactness baseline, and a
+random-hyperplane LSH-bucketed variant as the 100 TB scale path (candidates
+come from matching signature buckets instead of the full cross join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.relational.registry import query
+
+N_PROBES = 10  # probe vectors: vec_id < N_PROBES
+
+_DOT = (
+    "aggregate(zip_with(pe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "SQRT(aggregate({col}, CAST(0.0 AS DOUBLE),"
+    " (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+)
+
+
+def _cosine_expr() -> str:
+    return f"{_DOT} / ({_NORM.format(col='pe')} * {_NORM.format(col='embedding')})"
+
+
+@query(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+      FROM embeddings WHERE vec_id < {N_PROBES}
+    ),
+    scored AS (
+      SELECT p.probe_id, e.vec_id,
+             CAST(list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])) AS DOUBLE) AS cos
+      FROM probes p JOIN embeddings e ON e.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rn, ROUND(cos, 4) AS cos_sim
+    FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39 brute-force cosine top-5 per probe: broadcast the probes against
+    the corpus (at 100 TB the corpus stays put; only the k probes move),
+    score with built-in higher-order functions, rank with a window."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", F.expr(_cosine_expr()))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+        .orderBy("probe_id", "rn")
+    )
+
+
+def _hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+@query("ann_lsh_bucketed", oracle=None, check="prop")
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: 16-bit random-hyperplane (SRP) signatures; candidates
+    are corpus vectors whose signature matches the probe's in any of 4
+    4-bit bands; exact cosine re-scoring + top-5 within candidates.
+
+    At 100 TB the band join touches ~1/16 of the corpus per band instead of
+    everything. PROP: recall vs brute force asserted in tests (signature
+    planes are engine-local)."""
+    e = table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    plane_lits = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
+    )
+    # NB: Spark [] array access is 0-based (DuckDB's is 1-based)
+    sig = (
+        "aggregate(sequence(0, 15), CAST(0 AS INT), (acc, p) -> acc + "
+        "CASE WHEN aggregate(zip_with(planes[p], embedding, (a, x) -> a * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0 THEN CAST(pow(2, p) AS INT) ELSE 0 END)"
+    )
+    signed = e.withColumn("planes", plane_lits).withColumn("sig", F.expr(sig)).drop("planes")
+    bands = signed.select(
+        "vec_id",
+        "embedding",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * 4).bitwiseAND(F.lit(0xF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    probes = bands.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), "band", "key"
+    )
+    cand = (
+        bands.join(probes, ["band", "key"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "pe", "vec_id", "embedding")
+        .distinct()
+        .withColumn("cos", F.expr(_cosine_expr()))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+        .orderBy("probe_id", "rn")
+    )

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from limeqo_spark.relational import REGISTRY
+from limeqo_spark.manifest import REGISTRY
 from limeqo_spark.testing import compare_frames
 
 HASH_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)

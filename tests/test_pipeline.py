@@ -1,0 +1,74 @@
+"""Property tests for the engine-local (non-oracle) pipeline operators:
+MinHash-LSH and SimHash must recall the planted near-dup pairs; LSH-bucketed
+ANN must agree with brute force on most top-5 neighbors."""
+
+from __future__ import annotations
+
+import pytest
+
+from limeqo_spark.manifest import REGISTRY
+from limeqo_spark.pipeline.corpus import PLANT_N, PLANT_OFFSET
+
+PLANTED = {(i, i + PLANT_OFFSET) for i in range(PLANT_N)}
+
+
+@pytest.fixture(scope="module")
+def minhash_pairs(spark, sf_dir):
+    rows = REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+    return {(r["a"], r["b"]) for r in rows}
+
+
+def test_minhash_recalls_planted_pairs(minhash_pairs):
+    recall = len(minhash_pairs & PLANTED) / len(PLANTED)
+    assert recall >= 0.95, f"MinHash recall {recall:.2f} on planted near-dups"
+
+
+def test_minhash_no_pair_explosion(minhash_pairs):
+    # candidates should stay near the planted count, not blow up all-pairs
+    assert len(minhash_pairs) <= 10 * PLANT_N
+
+
+def test_simhash_recalls_planted_pairs(spark, sf_dir):
+    rows = REGISTRY["dedup_simhash"].builder(spark, sf_dir).collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
+    recall = len(pairs & PLANTED) / len(PLANTED)
+    assert recall >= 0.9, f"SimHash recall {recall:.2f}"
+
+
+def test_ann_lsh_agrees_with_brute_force(spark, sf_dir):
+    brute = REGISTRY["ann_cosine_topk"].builder(spark, sf_dir).collect()
+    lsh = REGISTRY["ann_lsh_bucketed"].builder(spark, sf_dir).collect()
+    top1_brute = {r["probe_id"]: r["vec_id"] for r in brute if r["rn"] == 1}
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    # bucketed candidates are a subset of the corpus; require decent overlap
+    hits = sum(
+        len(brute_sets[p] & lsh_sets.get(p, set())) for p in brute_sets
+    )
+    total = sum(len(s) for s in brute_sets.values())
+    assert hits / total >= 0.3, f"LSH top-5 overlap only {hits}/{total}"
+    assert len(lsh_sets) == len(top1_brute), "every probe must get candidates"
+
+
+def test_exact_dedup_no_false_groups(spark, sf_dir):
+    rows = REGISTRY["dedup_exact_keep_first"].builder(spark, sf_dir).collect()
+    assert rows == [], "planted corpus has no exact dups; groups>1 are bugs"
+
+
+def test_jaccard_finds_exactly_planted(spark, sf_dir):
+    rows = REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
+    assert PLANTED <= pairs, "exact Jaccard must find every planted pair"
+    for r in rows:
+        assert r["jaccard"] >= 0.6
+
+
+def test_multimodal_decode_stub_is_gated():
+    from limeqo_spark.pipeline.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"xx", "image")
