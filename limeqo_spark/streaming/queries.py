@@ -1,0 +1,211 @@
+"""Streaming manifest queries (q44a-d): each builder actually RUNS a
+Structured Streaming query over the events fixture (file source -> memory
+sink, driven to completion synchronously) and returns the result DataFrame,
+so the correctness gate exercises real streaming execution, with the DuckDB
+oracle computing the batch-equivalent bucketing.
+
+Watermark finalization gotcha: append-mode output only emits when the
+watermark passes a window's end, and the watermark only advances on a
+*subsequent* batch. Queries needing finalization stage the real events as
+one file and a far-future sentinel row as a second file with
+maxFilesPerTrigger=1, so batch 2 pushes the watermark past every real
+window; sentinel rows are filtered from results.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.relational.registry import query
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+SENTINEL_USER = -999
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = False) -> str:
+    """Materialize events (ts normalized to a proper timestamp) into a fresh
+    directory usable as a file-stream source; optionally add a far-future
+    sentinel file that drives the watermark past all real data."""
+    stage = tempfile.mkdtemp(prefix="limeqo_stream_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch0"))
+    if with_sentinel:
+        far = ev.agg(F.max("ts").alias("m")).select(
+            F.lit(-1).cast("bigint").alias("event_id"),
+            F.timestamp_seconds(F.col("m").cast("long") + 10 * 24 * 3600).alias("ts"),
+            F.lit(SENTINEL_USER).cast("bigint").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        far.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch1"))
+    return stage
+
+
+def _run_stream(agg: DataFrame, mode: str) -> DataFrame:
+    """Drive a streaming aggregation to completion via a memory sink."""
+    name = f"limeqo_stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return agg.sparkSession.table(name)
+
+
+def _read_stream(spark: SparkSession, stage: str, one_file_per_batch: bool = False):
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if one_file_per_batch:
+        r = r.option("maxFilesPerTrigger", 1)
+    return r.option("recursiveFileLookup", "true").parquet(stage)
+
+
+@query(
+    "q44a_stream_tumbling",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q44a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44 tumbling-window streaming aggregation == batch hour bucketing.
+    Complete-mode memory sink (no finalization dependency); watermark
+    present as it would be in production."""
+    stage = _stage_events(spark, sf_dir)
+    stream = _read_stream(spark, stage)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
+    )
+    return _run_stream(agg, "complete").orderBy("ws", "event_type")
+
+
+@query(
+    "q44b_stream_sliding",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT) AS slot, event_type
+      FROM events
+    ),
+    expanded AS (
+      SELECT slot AS ws, event_type FROM g
+      UNION ALL
+      SELECT slot - 1800 AS ws, event_type FROM g
+    )
+    SELECT ws, event_type, COUNT(*) AS n
+    FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q44b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44 sliding window (1 h / 30 min): every event lands in exactly two
+    epoch-aligned windows; oracle expands each event to both starts."""
+    stage = _stage_events(spark, sf_dir)
+    stream = _read_stream(spark, stage)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
+    )
+    return _run_stream(agg, "complete").orderBy("ws", "event_type")
+
+
+@query(
+    "q44c_stream_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       >= 900 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM ordered
+    )
+    SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, grp ORDER BY user_id, session_start
+    """,
+)
+def q44c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45 session windows (15 min gap) per user == batch gaps-and-islands.
+    Append mode + watermark; a sentinel second batch advances the watermark
+    so every real session finalizes (see module docstring)."""
+    stage = _stage_events(spark, sf_dir, with_sentinel=True)
+    stream = _read_stream(spark, stage, one_file_per_batch=True)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+    out = _run_stream(agg, "append")
+    return out.filter(F.col("user_id") != SENTINEL_USER).orderBy(
+        "user_id", "session_start"
+    )
+
+
+@query("q44d_stream_dedup_watermark", oracle=None, check="prop")
+def q44d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46 watermarked stateful dedup: replay events with planted duplicate
+    event_ids (every id < 500 sent twice); dropDuplicatesWithinWatermark
+    keeps exactly one row per id. Returns (n_input, n_survivors, n_expected,
+    ok) — PROP: survivors == distinct ids."""
+    stage = tempfile.mkdtemp(prefix="limeqo_stream_dd_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    dups = ev.filter(F.col("event_id") < 500)
+    with_dups = ev.unionByName(dups)
+    with_dups.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch0"))
+    n_input = with_dups.count()
+    n_expected = ev.select("event_id").distinct().count()
+
+    stream = _read_stream(spark, stage)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"limeqo_dd_{uuid.uuid4().hex[:10]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_surv = spark.table(name).count()
+    return spark.createDataFrame(
+        [(n_input, n_surv, n_expected, n_surv == n_expected)],
+        "n_input bigint, n_survivors bigint, n_expected bigint, ok boolean",
+    )
