@@ -1,0 +1,84 @@
+"""Experiment driver (SURVEY A33): run the strategy suite over a reference
+workload matrix and write per-round metric JSONs + a CSV summary — the same
+artifact shapes the reference ships in experiment/ and result/.
+
+Usage:
+    python -m limeqo_spark.run_experiment --dataset job --out /tmp/exp \
+        [--reps 5] [--k 8] [--budget 720] [--strategies oracle,random,...]
+
+Metrics sinks (A4/A5): one JSON list per (strategy, rep) with the reference
+record schema; a final CSV of total_latency checkpoints per strategy.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+
+import numpy as np
+
+from limeqo_spark.strategies import STRATEGIES
+from limeqo_spark.workload import Workload
+
+REFERENCE_DATASET_DIR = "/root/reference/dataset"
+
+
+def load_dataset(name: str) -> Workload:
+    return Workload.from_reference(
+        f"{REFERENCE_DATASET_DIR}/{name}-matrix.csv",
+        f"{REFERENCE_DATASET_DIR}/init_{name}_mask.npy",
+    )
+
+
+def run_suite(
+    wl: Workload,
+    out_dir: str,
+    strategies: list[str],
+    reps: int = 5,
+    k: int = 8,
+    budget: float | None = None,
+) -> dict[str, list[float]]:
+    os.makedirs(out_dir, exist_ok=True)
+    finals: dict[str, list[float]] = {}
+    for name in strategies:
+        cls = STRATEGIES[name]
+        n_reps = 1 if name in ("oracle", "greedy", "qo_advisor") else reps
+        finals[name] = []
+        for rep in range(n_reps):
+            strat = cls(wl, k=k, seed=rep, time_budget=budget, max_rounds=2000)
+            path = os.path.join(out_dir, f"{name}_{rep}.json")
+            records = strat.run(output_path=path)
+            with open(path, "w") as f:
+                json.dump(records, f, indent=2)
+            finals[name].append(records[-1]["total_latency"])
+    with open(os.path.join(out_dir, "summary.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["strategy", "mean_final_latency", "std", "reps"])
+        for name, vals in finals.items():
+            w.writerow([name, float(np.mean(vals)), float(np.std(vals)), len(vals)])
+    return finals
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="job", choices=["job", "ceb", "dsb"])
+    ap.add_argument("--out", default="/tmp/limeqo_experiment")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--budget", type=float, default=None)
+    ap.add_argument(
+        "--strategies",
+        default="oracle,random,greedy,qo_advisor,limeqo,limeqo_plus",
+    )
+    args = ap.parse_args()
+    wl = load_dataset(args.dataset)
+    finals = run_suite(
+        wl, args.out, args.strategies.split(","), args.reps, args.k, args.budget
+    )
+    print(json.dumps({k: float(np.mean(v)) for k, v in finals.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

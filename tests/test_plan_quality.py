@@ -1,0 +1,79 @@
+"""Plan-quality gates (the 100 TB discipline): filters reach the parquet
+scan, dimension joins broadcast, aggregates are two-phase, hot paths stay in
+whole-stage codegen. These are assertions on .explain output — the plans we
+*want*, not just plans that pass."""
+
+from __future__ import annotations
+
+import pytest
+
+from limeqo_spark.manifest import REGISTRY
+from limeqo_spark.plans import explain_formatted
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    return explain_formatted(REGISTRY[name].builder(spark, SF))
+
+
+def executed_plan_of(spark, name: str) -> str:
+    """Final (post-AQE) executed plan — the only place codegen spans and
+    runtime-chosen join strategies are visible."""
+    df = REGISTRY[name].builder(spark, SF)
+    df.collect()  # same QueryExecution: .write would spawn a fresh plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "q06_compound_filter")
+    assert "PushedFilters:" in plan
+    # discount/quantity range predicates are pushdown-eligible
+    assert "GreaterThanOrEqual(l_discount" in plan or "LessThan(l_quantity" in plan
+
+
+def test_column_pruning(spark):
+    plan = plan_of(spark, "q05_projection_charge")
+    scan_section = plan[plan.index("ReadSchema") :].splitlines()[0]
+    # only the 5 needed columns are read, not all 11
+    assert "l_comment" not in scan_section
+    for col in ("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"):
+        assert col in scan_section
+    assert "l_shipdate" not in scan_section
+
+
+def test_dim_joins_broadcast(spark):
+    for q in ("q07_broadcast_join", "q15_star_join"):
+        plan = plan_of(spark, q)
+        assert "BroadcastHashJoin" in plan, f"{q} should broadcast its dims"
+
+
+def test_no_cartesian_in_asof(spark):
+    plan = plan_of(spark, "q14_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_aggregates_two_phase(spark):
+    plan = plan_of(spark, "q16_tpch_q1_agg")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q21_sort_limit")
+    assert "TakeOrderedAndProject" in plan, "top-K must not global-sort"
+
+
+def test_jaccard_join_is_blocked_not_crossed(spark):
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_parquet_scan_checksum", "q08_sortmerge_join", "q23_ranking_windows"],
+)
+def test_hot_paths_in_codegen(spark, name):
+    assert "WholeStageCodegen" in executed_plan_of(spark, name)

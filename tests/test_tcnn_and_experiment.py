@@ -1,0 +1,103 @@
+"""Cost-model fallback, tree flattening, experiment driver, and the
+BASELINE.md simulation-parity checkpoints (BENCH track 1)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from limeqo_spark.plans import NODE_VOCABULARY, PlanNode
+from limeqo_spark.run_experiment import load_dataset, run_suite
+from limeqo_spark.strategies import LimeQOStrategy
+from limeqo_spark.tcnn import HAS_TORCH, RidgeCostModel, flatten_tree, hint_onehot
+
+
+def _toy_tree() -> PlanNode:
+    return PlanNode(
+        "HashAggregate",
+        [
+            PlanNode(
+                "SortMergeJoin",
+                [PlanNode("Scan", []), PlanNode("Scan", []), PlanNode("Scan", [])],
+            )
+        ],
+    )
+
+
+def test_flatten_tree_shapes():
+    feats, children = flatten_tree(_toy_tree())
+    assert feats.shape[1] == len(NODE_VOCABULARY)
+    assert children.shape == (feats.shape[0], 2)
+    assert (children < len(feats)).all()
+    assert feats[0].sum() == 0  # pad slot
+    # n-ary join was binarized: no node keeps 3 children
+    assert children.max() > 0
+
+
+def test_ridge_cost_model_learns_and_respects_censoring():
+    rng = np.random.default_rng(0)
+    n, f = 400, 12
+    x = rng.random((n, f))
+    w_true = rng.random(f) * 3
+    y = np.expm1(x @ w_true * 0.5)
+    cut = np.zeros(n)
+    cens = rng.random(n) < 0.2
+    cut[cens] = y[cens] * 1.5  # censored: only know latency > 1.5x value
+    model = RidgeCostModel(lam=0.1).fit(x, np.where(cens, 0.0, y), cut)
+    pred = model.predict(x)
+    rel = np.abs(pred[~cens] - y[~cens]) / np.maximum(y[~cens], 1e-6)
+    assert np.median(rel) < 0.5
+    # censored rows: predictions should mostly clear the cutoff's vicinity
+    frac_below = (np.log1p(pred[cens]) < np.log1p(cut[cens]) * 0.5).mean()
+    assert frac_below < 0.5
+
+
+def test_hint_onehot():
+    v = hint_onehot(3, 16)
+    assert v[3] == 1.0 and v.sum() == 1.0
+
+
+@pytest.mark.skipif(not HAS_TORCH, reason="torch not in container")
+def test_torch_tcnn_forward():  # pragma: no cover
+    import torch
+
+    from limeqo_spark.tcnn import TorchTCNN
+
+    feats, children = flatten_tree(_toy_tree())
+    m = TorchTCNN(feats.shape[1], 4, 16)
+    out = m(
+        torch.tensor(feats[None]),
+        torch.tensor(children[None]),
+        torch.tensor([0]),
+        torch.tensor([1]),
+    )
+    assert out.shape == (1,)
+
+
+def test_run_experiment_suite(tmp_path):
+    wl = load_dataset("job")
+    finals = run_suite(
+        wl, str(tmp_path), ["oracle", "limeqo"], reps=2, k=8, budget=90.0
+    )
+    assert set(finals) == {"oracle", "limeqo"}
+    rec = json.loads((tmp_path / "limeqo_0.json").read_text())
+    assert {"training_time", "total_latency", "p99"} <= set(rec[0])
+    assert (tmp_path / "summary.csv").exists()
+
+
+def test_simulation_parity_vs_baseline_checkpoints():
+    """BENCH track 1 (BASELINE.md): LimeQO on the JOB matrix must land
+    within 2x of the published checkpoint curve (reference: 112.4 s total
+    workload latency after 90 s exploration; 71.8 s after 720 s)."""
+    wl = load_dataset("job")
+    checkpoints = {90.0: 112.4, 720.0: 71.8}
+    for budget, ref_val in checkpoints.items():
+        finals = []
+        for seed in (0, 1, 2):
+            s = LimeQOStrategy(wl, k=8, seed=seed, time_budget=budget, max_rounds=500)
+            finals.append(s.run()[-1]["total_latency"])
+        mine = float(np.mean(finals))
+        assert mine <= 2 * ref_val, f"budget {budget}: {mine:.1f} vs 2x{ref_val}"
+        assert mine < wl.default_time
