@@ -76,4 +76,7 @@ def test_jaccard_join_is_blocked_not_crossed(spark):
     ["q01_parquet_scan_checksum", "q08_sortmerge_join", "q23_ranking_windows"],
 )
 def test_hot_paths_in_codegen(spark, name):
-    assert "WholeStageCodegen" in executed_plan_of(spark, name)
+    plan = executed_plan_of(spark, name)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen spans in simple-mode plans
+    assert "*(1)" in plan, f"no codegen span in executed plan of {name}"
