@@ -11,5 +11,6 @@ from limeqo_spark.relational import (  # noqa: F401  (import for registration si
     queries_functions,
     queries_scan_join,
     queries_udf,
+    queries_workload,
 )
 from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401

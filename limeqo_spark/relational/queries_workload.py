@@ -1,0 +1,173 @@
+"""Workload-matrix operators (SURVEY §2A A6-A18) under the oracle gate.
+
+The strategy loop exercises these same functions (limeqo_spark.workload) on
+reference matrices; here they run over a deterministic long-form projection
+of the orders fixture — (query_idx = o_custkey, hint_id = o_orderkey % 7,
+latency = o_totalprice, observed = o_orderkey % 3 > 0) — so every operator
+also gets a cross-engine value check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark import workload as wlops
+from limeqo_spark.io import table
+from limeqo_spark.relational.registry import query
+
+#: the long-form projection, DuckDB side
+LONG_SQL = """
+  SELECT o_custkey AS query_idx,
+         CAST(o_orderkey % 7 AS INT) AS hint_id,
+         o_totalprice AS latency,
+         (o_orderkey % 3) > 0 AS observed
+  FROM orders
+"""
+
+
+def long_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("query_idx"),
+        (F.col("o_orderkey") % 7).cast("int").alias("hint_id"),
+        F.col("o_totalprice").alias("latency"),
+        ((F.col("o_orderkey") % 3) > 0).alias("observed"),
+    )
+
+
+@query(
+    "wl_min_observed",
+    oracle=f"""
+    WITH long AS ({LONG_SQL})
+    SELECT query_idx, MIN(latency) AS min_observed
+    FROM long WHERE observed GROUP BY query_idx ORDER BY query_idx
+    """,
+)
+def wl_min_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-query best observed latency (NULL-safe, no 0/inf sentinel)."""
+    return wlops.min_observed(long_df(spark, sf_dir)).orderBy("query_idx")
+
+
+@query(
+    "wl_argmin_per_query",
+    oracle=f"""
+    WITH long AS ({LONG_SQL}),
+    ranked AS (
+      SELECT query_idx, hint_id, latency,
+             ROW_NUMBER() OVER (PARTITION BY query_idx ORDER BY latency, hint_id) AS rn
+      FROM long WHERE observed
+    )
+    SELECT query_idx, hint_id, latency AS best_latency
+    FROM ranked WHERE rn = 1 ORDER BY query_idx
+    """,
+)
+def wl_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: per-query argmin hint, deterministically tie-broken."""
+    return wlops.argmin_per_query(
+        long_df(spark, sf_dir).filter("observed")
+    ).orderBy("query_idx")
+
+
+@query(
+    "wl_default_vs_opt",
+    oracle=f"""
+    WITH long AS ({LONG_SQL})
+    SELECT
+      ROUND(CAST((SELECT SUM(CAST(latency AS DECIMAL(18,2))) FROM long WHERE hint_id = 0) AS DOUBLE), 2) AS default_time,
+      ROUND(CAST((SELECT SUM(CAST(m AS DECIMAL(18,2))) FROM (
+         SELECT MIN(latency) AS m FROM long GROUP BY query_idx) t) AS DOUBLE), 2) AS opt_time
+    """,
+)
+def wl_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A13: default-column total vs oracle (per-query min) total."""
+    df = long_df(spark, sf_dir)
+    default = df.filter("hint_id = 0").agg(
+        F.round(F.sum(F.col("latency").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "default_time"
+        )
+    )
+    opt = (
+        df.groupBy("query_idx")
+        .agg(F.min("latency").alias("m"))
+        .agg(
+            F.round(F.sum(F.col("m").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "opt_time"
+            )
+        )
+    )
+    return default.crossJoin(opt)
+
+
+@query(
+    "wl_percentiles",
+    oracle=f"""
+    WITH long AS ({LONG_SQL}),
+    mo AS (SELECT query_idx, MIN(latency) AS min_observed FROM long WHERE observed GROUP BY query_idx)
+    SELECT ROUND(quantile_cont(min_observed, 0.5), 4) AS p50,
+           ROUND(quantile_cont(min_observed, 0.9), 4) AS p90,
+           ROUND(quantile_cont(min_observed, 0.95), 4) AS p95,
+           ROUND(quantile_cont(min_observed, 0.99), 4) AS p99
+    FROM mo
+    """,
+)
+def wl_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: p50-p99 of per-query best-observed latencies."""
+    row = wlops.workload_percentiles(long_df(spark, sf_dir))
+    return row.select(*[F.round(c, 4).alias(c) for c in ("p50", "p90", "p95", "p99")])
+
+
+@query(
+    "wl_topk_improvement",
+    oracle=f"""
+    WITH long AS ({LONG_SQL}),
+    mo AS (SELECT query_idx, MIN(latency) AS min_observed FROM long WHERE observed GROUP BY query_idx),
+    cand AS (
+      SELECT l.query_idx, l.hint_id,
+             (mo.min_observed - l.latency) / l.latency AS improve
+      FROM long l JOIN mo ON mo.query_idx = l.query_idx
+      WHERE NOT l.observed
+    )
+    SELECT query_idx, hint_id, ROUND(improve, 4) AS improve
+    FROM cand ORDER BY improve DESC, query_idx, hint_id LIMIT 20
+    """,
+)
+def wl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: rank unobserved cells by relative improvement, top-k with a
+    deterministic tie-break (simulation's "select" step as one plan)."""
+    df = long_df(spark, sf_dir)
+    mo = wlops.min_observed(df)
+    cand = (
+        df.filter(~F.col("observed"))
+        .join(mo, "query_idx")
+        .withColumn("improve", (F.col("min_observed") - F.col("latency")) / F.col("latency"))
+    )
+    top = wlops.topk_by_improvement(cand, 20)
+    return top.select("query_idx", "hint_id", F.round("improve", 4).alias("improve"))
+
+
+@query(
+    "wl_equivalence_groups",
+    oracle=f"""
+    WITH long AS ({LONG_SQL}),
+    g AS (
+      SELECT query_idx, hint_id,
+             DENSE_RANK() OVER (PARTITION BY query_idx ORDER BY latency) AS equiv_group
+      FROM long WHERE observed
+    )
+    SELECT query_idx, CAST(MAX(equiv_group) AS BIGINT) AS n_groups, COUNT(*) AS n_cells
+    FROM g GROUP BY query_idx ORDER BY query_idx
+    """,
+)
+def wl_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: plan-equivalence grouping (value-equality variant) — group count
+    per query (equal latencies share a group)."""
+    g = wlops.equivalence_groups_from_values(long_df(spark, sf_dir))
+    return (
+        g.groupBy("query_idx")
+        .agg(
+            F.max("equiv_group").cast("bigint").alias("n_groups"),
+            F.count("*").alias("n_cells"),
+        )
+        .orderBy("query_idx")
+    )

@@ -162,6 +162,16 @@ def worst_first(long_df: DataFrame) -> DataFrame:
     return min_observed(long_df).orderBy(F.col("min_observed").desc(), "query_idx")
 
 
+def svd_spectrum(matrix: np.ndarray, normalize: bool = True) -> np.ndarray:
+    """A35: singular-value spectrum of the workload matrix — the low-rank
+    justification diagnostic (compare against a same-shape random matrix:
+    a steep drop-off means completion will work). 49 columns -> driver
+    numpy is exact and instant; at distributed scale use
+    pyspark.mllib.linalg.distributed.RowMatrix.computeSVD."""
+    s = np.linalg.svd(matrix, compute_uv=False)
+    return s / s[0] if normalize and s[0] > 0 else s
+
+
 def equivalence_groups_from_values(long_df: DataFrame) -> DataFrame:
     """A18 (value-equality variant, as in the reference demo): hints with the
     identical observed latency for a query share a plan-equivalence group.
