@@ -1,0 +1,160 @@
+"""Live steering session: LimeQO over REAL hinted Spark executions.
+
+This is the end-to-end slice (SURVEY §7): a set of queries x the HintSet
+registry, explored with censored-ALS completion, where "executing a cell"
+launches the hinted query on the cluster with a wall-clock budget
+(steer.run_steered) instead of a matrix lookup. Plan-equivalence dedup means
+a measured latency is shared by every HintSet with the same physical plan.
+
+State lives in a long-form observations table (Parquet-persistable via
+``to_long_df``); the tiny Q x H mirror drives the solver on the driver.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+
+from limeqo_spark import hints as H
+from limeqo_spark.complete import complete_log_space
+from limeqo_spark.plans import plan_hash
+from limeqo_spark.steer import run_steered
+from limeqo_spark.strategies import ALPHA, BETA, rank_cells_by_improvement
+
+
+@dataclass
+class LiveObservation:
+    query_id: str
+    hint_id: int
+    latency: float | None  # None = censored
+    censor_cutoff: float | None
+    plan_hash: str
+    measured: bool  # False = inherited from a plan-equivalent hint
+
+
+@dataclass
+class LiveSteeringSession:
+    spark: SparkSession
+    queries: dict[str, Callable[[], DataFrame]]
+    hint_sets: list[H.HintSet] = field(default_factory=lambda: list(H.REGISTRY))
+    rank: int = 5
+    iters: int = 50
+    lam: float = 0.2
+    seed: int = 0
+
+    def __post_init__(self) -> None:
+        self.query_ids = list(self.queries)
+        q, h = len(self.query_ids), len(self.hint_sets)
+        self.matrix = np.full((q, h), np.nan)
+        self.cutoffs = np.zeros((q, h))
+        self.explored = np.zeros((q, h))
+        self.observations: list[LiveObservation] = []
+        self._plan_cache: dict[tuple[int, int], str] = {}
+
+    # --- state helpers ---
+    @property
+    def mask(self) -> np.ndarray:
+        return (~np.isnan(self.matrix)).astype(np.float64)
+
+    def min_observed(self) -> np.ndarray:
+        masked = np.where(np.isnan(self.matrix), np.inf, self.matrix)
+        return masked.min(axis=1)
+
+    def _fingerprints(self, qi: int) -> dict[int, str]:
+        """Plan hash per hint for one query (cheap: planning only)."""
+        out: dict[int, str] = {}
+        build = self.queries[self.query_ids[qi]]
+        for hj, hs in enumerate(self.hint_sets):
+            key = (qi, hj)
+            if key not in self._plan_cache:
+                with H.applied(self.spark, hs):
+                    self._plan_cache[key] = plan_hash(hs.apply_join_hint(build()))
+            out[hj] = self._plan_cache[key]
+        return out
+
+    def _record(self, qi: int, hj: int, latency: float | None, cutoff: float | None, fp: str, measured: bool) -> None:
+        self.explored[qi, hj] = 1
+        if latency is not None:
+            self.matrix[qi, hj] = latency
+        elif cutoff is not None:
+            self.cutoffs[qi, hj] = max(self.cutoffs[qi, hj], cutoff)
+        self.observations.append(
+            LiveObservation(self.query_ids[qi], hj, latency, cutoff, fp, measured)
+        )
+
+    def execute_cell(self, qi: int, hj: int, timeout_s: float | None) -> None:
+        """Run one (query, hint) cell live; fan the result out to every
+        plan-equivalent hint of that query (A15/A18: pay each plan once)."""
+        build = self.queries[self.query_ids[qi]]
+        run = run_steered(self.spark, build, self.hint_sets[hj], timeout_s)
+        self._record(qi, hj, run.latency, run.censor_cutoff, run.plan_hash, True)
+        for other_hj, fp in self._fingerprints(qi).items():
+            if other_hj != hj and fp == run.plan_hash and self.explored[qi, other_hj] == 0:
+                self._record(qi, other_hj, run.latency, run.censor_cutoff, fp, False)
+
+    # --- the loop ---
+    def bootstrap(self, timeout_s: float | None = None) -> None:
+        """Measure hint 0 (optimizer default) for every query — the always-
+        observed default column (reference invariant: mask[:,0] == 1)."""
+        for qi in range(len(self.query_ids)):
+            if self.explored[qi, 0] == 0:
+                self.execute_cell(qi, 0, timeout_s)
+
+    def explore(self, rounds: int = 3, k: int = 4) -> None:
+        """LimeQO rounds: complete the censored matrix in log space, pick the
+        top-k improvement cells, execute them with timeout tolerance
+        min(ALPHA * best, BETA * predicted)."""
+        rng = np.random.default_rng(self.seed)
+        for _ in range(rounds):
+            if self.explored.all():
+                break
+            res = complete_log_space(
+                np.nan_to_num(self.matrix, nan=0.0),
+                self.mask,
+                cutoffs=self.cutoffs,
+                rank=self.rank,
+                iters=self.iters,
+                lam=self.lam,
+                seed=int(rng.integers(2**31)),
+            )
+            mo = self.min_observed()
+            cells = rank_cells_by_improvement(res.completed, self.explored, mo, k)
+            if not cells:
+                untried = np.argwhere(self.explored == 0)
+                take = untried[rng.permutation(len(untried))[:k]]
+                cells = [(int(i), int(j)) for i, j in take]
+            for qi, hj in cells:
+                base = mo[qi] if math.isfinite(mo[qi]) else None
+                tol = None
+                if base is not None:
+                    tol = float(min(ALPHA * base, max(BETA * res.completed[qi, hj], 0.05 * base)))
+                self.execute_cell(qi, hj, tol)
+
+    def best_hints(self) -> dict[str, tuple[int, float]]:
+        """Current recommendation: per query, the best observed (hint, latency)."""
+        out: dict[str, tuple[int, float]] = {}
+        for qi, qid in enumerate(self.query_ids):
+            row = self.matrix[qi]
+            if np.isnan(row).all():
+                continue
+            hj = int(np.nanargmin(row))
+            out[qid] = (hj, float(row[hj]))
+        return out
+
+    def to_long_df(self, spark: SparkSession | None = None) -> DataFrame:
+        """Observations as a long-form DataFrame (the persistable state)."""
+        spark = spark or self.spark
+        rows = [
+            (o.query_id, o.hint_id, o.latency, o.censor_cutoff, o.plan_hash, o.measured)
+            for o in self.observations
+        ]
+        return spark.createDataFrame(
+            rows,
+            "query_id string, hint_id int, latency double, censor_cutoff double, "
+            "plan_hash string, measured boolean",
+        )

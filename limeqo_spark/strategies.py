@@ -82,6 +82,33 @@ class SimState:
         }
 
 
+def rank_cells_by_improvement(
+    pred: np.ndarray,
+    explored: np.ndarray,
+    min_observed: np.ndarray,
+    k: int,
+) -> list[tuple[int, int]]:
+    """LimeQO's selection core (A16): among untried cells, take the per-query
+    predicted-best hint, rank queries by relative improvement over their
+    current best, return up to k positive-improvement cells."""
+    cand = np.where(explored > 0, np.inf, pred)
+    mc_min = cand.min(axis=1)
+    mc_sel = cand.argmin(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        improve = (min_observed - mc_min) / np.maximum(mc_min, 1e-9)
+    improve[~np.isfinite(improve)] = -np.inf
+    out: list[tuple[int, int]] = []
+    for i in np.argsort(-improve):
+        if improve[i] <= 0:
+            break
+        j = int(mc_sel[i])
+        if explored[i, j] == 0:
+            out.append((int(i), j))
+            if len(out) == k:
+                break
+    return out
+
+
 class Strategy:
     name = "base"
 
@@ -269,23 +296,7 @@ class LimeQOStrategy(Strategy):
     def select(self) -> list[tuple[int, int]]:
         st, pred = self.state, self.pred
         assert pred is not None
-        mo = st.min_observed()
-        cand = np.where(st.explored > 0, np.inf, pred)  # untried cells only
-        mc_min = cand.min(axis=1)
-        mc_sel = cand.argmin(axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            improve = (mo - mc_min) / np.maximum(mc_min, 1e-9)
-        improve[~np.isfinite(improve)] = -np.inf
-        order = np.argsort(-improve)
-        out: list[tuple[int, int]] = []
-        for i in order:
-            if improve[i] <= 0:
-                break
-            j = int(mc_sel[i])
-            if st.explored[i, j] == 0:
-                out.append((int(i), j))
-                if len(out) == self.k:
-                    break
+        out = rank_cells_by_improvement(pred, st.explored, st.min_observed(), self.k)
         return self.random_fill(out)
 
 

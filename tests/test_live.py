@@ -1,0 +1,69 @@
+"""End-to-end live steering (SURVEY §7 slice demo): steer real queries on
+sf0.001 across the HintSet registry with LimeQO completion."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.live import LiveSteeringSession
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def session(spark) -> LiveSteeringSession:
+    def star_join():
+        li = table(spark, SF, "lineitem")
+        o = table(spark, SF, "orders")
+        c = table(spark, SF, "customer")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum("l_extendedprice").alias("s"))
+        )
+
+    def dim_join():
+        li = table(spark, SF, "lineitem")
+        p = table(spark, SF, "part")
+        return li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+
+    s = LiveSteeringSession(spark, {"star": star_join, "dim": dim_join}, iters=20)
+    s.bootstrap(timeout_s=120.0)
+    s.explore(rounds=2, k=3)
+    return s
+
+
+def test_bootstrap_observes_default_column(session):
+    assert (session.explored[:, 0] == 1).all()
+    assert np.isfinite(session.min_observed()).all()
+
+
+def test_exploration_made_progress(session):
+    assert session.explored.sum() > len(session.query_ids)
+    measured = [o for o in session.observations if o.measured]
+    inherited = [o for o in session.observations if not o.measured]
+    assert measured, "no live runs happened"
+    # plan-equivalence fan-out should have saved at least one execution
+    assert inherited, "expected some hints to inherit latency via plan hash"
+
+
+def test_best_hints_are_observed(session):
+    best = session.best_hints()
+    assert set(best) == {"star", "dim"}
+    for hj, lat in best.values():
+        assert lat > 0
+        assert 0 <= hj < len(session.hint_sets)
+
+
+def test_long_df_roundtrip(session, spark):
+    df = session.to_long_df(spark)
+    assert df.count() == len(session.observations)
+    assert df.filter("measured").count() >= len(session.query_ids)
+    # censored rows carry a cutoff and no latency
+    bad = df.filter("latency IS NULL AND censor_cutoff IS NULL").count()
+    assert bad == 0
