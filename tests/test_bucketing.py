@@ -1,0 +1,68 @@
+"""Bucketing eliminates the join shuffle: the 100 TB co-location path."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from limeqo_spark.bucketing import colocated_join, exchanges_in_executed_plan, write_bucketed
+from limeqo_spark.io import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    write_bucketed(
+        table(spark, SF, "lineitem").select("l_orderkey", "l_quantity"),
+        "li_bkt",
+        ["l_orderkey"],
+        n_buckets=8,
+    )
+    write_bucketed(
+        table(spark, SF, "orders").select("o_orderkey", "o_orderstatus"),
+        "ord_bkt",
+        ["o_orderkey"],
+        n_buckets=8,
+    )
+    yield "li_bkt", "ord_bkt"
+    spark.sql("DROP TABLE IF EXISTS li_bkt")
+    spark.sql("DROP TABLE IF EXISTS ord_bkt")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    li, od = bucketed_tables
+    joined = colocated_join(
+        spark, li, od, spark.table(li).l_orderkey == spark.table(od).o_orderkey
+    )
+    # compare with the plain (unbucketed) join, which must shuffle both sides
+    # hint must go on an input side (post-join .hint() is a no-op — AQE
+    # would broadcast this tiny fixture and hide the shuffle)
+    plain = (
+        table(spark, SF, "lineitem")
+        .hint("MERGE")
+        .join(table(spark, SF, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    n_bucketed = exchanges_in_executed_plan(joined)
+    n_plain = exchanges_in_executed_plan(plain)
+    assert n_bucketed == 0, f"bucketed join still shuffles ({n_bucketed} exchanges)"
+    assert n_plain >= 1
+
+
+def test_bucketed_results_match_plain(spark, bucketed_tables):
+    li, od = bucketed_tables
+    a = (
+        colocated_join(spark, li, od, spark.table(li).l_orderkey == spark.table(od).o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    b = (
+        table(spark, SF, "lineitem")
+        .join(table(spark, SF, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
