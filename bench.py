@@ -33,6 +33,15 @@ HEADLINE = [
     "q25_running_sum",
     "q37_dedup_exact",
     "q40_tokenize_counts",
+    # pipeline operators (north-star suite)
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "text_fingerprint",
+    # streaming
+    "q44a_stream_tumbling",
 ]
 
 
@@ -43,7 +52,7 @@ def materialize(df) -> int:
 
 
 def main() -> None:
-    from limeqo_spark.relational import REGISTRY
+    from limeqo_spark.manifest import REGISTRY
     from limeqo_spark.session import get_spark
 
     spark = get_spark("limeqo_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)

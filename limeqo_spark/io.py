@@ -8,6 +8,8 @@ or SQL API against the same names the DuckDB oracle uses.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,9 +30,12 @@ TABLES = (
 def ensure_session_confs(spark: SparkSession) -> None:
     """Pin runtime confs the engine's semantics depend on, regardless of who
     built the session (the driver harness constructs its own): UTC so
-    timestamp->date casts are deterministic, ANSI off for permissive casts.
-    """
+    timestamp->date casts are deterministic; and if the session still has
+    the stock 200 shuffle partitions, right-size to the local cores (AQE
+    coalesces downward, but 200 tasks per tiny stage is pure overhead)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(min(os.cpu_count() or 8, 32)))
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
