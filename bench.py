@@ -68,8 +68,11 @@ def main() -> None:
         materialize(spec.builder(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # simulation-mode track: LimeQO on the reference JOB matrix to a 90 s
-    # exploration budget — wall time of the full strategy loop
+    # simulation-mode track (BASELINE.md track 1): LimeQO on the reference's
+    # own matrices at its published exploration-budget checkpoints.
+    # Baselines to beat: JOB@90s -> 112.4 s; CEB@0.75h -> 1.615 h
+    # (default 181 s / 2.94 h).
+    sim: dict[str, float] = {}
     try:
         from limeqo_spark.strategies import LimeQOStrategy
         from limeqo_spark.workload import Workload
@@ -81,9 +84,22 @@ def main() -> None:
         t0 = time.perf_counter()
         rec = LimeQOStrategy(wl, k=8, seed=1, max_rounds=200, time_budget=90.0).run()
         timings["sim_job_limeqo"] = round(time.perf_counter() - t0, 3)
-        sim_final = rec[-1]["total_latency"]
+        sim["sim_job_limeqo_final_latency"] = round(float(rec[-1]["total_latency"]), 2)
+
+        wl_ceb = Workload.from_reference(
+            "/root/reference/dataset/ceb-matrix.csv",
+            "/root/reference/dataset/init_ceb_mask.npy",
+        )
+        t0 = time.perf_counter()
+        rec = LimeQOStrategy(
+            wl_ceb, k=8, seed=1, max_rounds=100_000, time_budget=0.75 * 3600
+        ).run()
+        timings["sim_ceb_limeqo"] = round(time.perf_counter() - t0, 3)
+        sim["sim_ceb_limeqo_final_latency_h"] = round(
+            float(rec[-1]["total_latency"]) / 3600, 4
+        )
     except Exception:  # sim track must never sink the bench line
-        sim_final = None
+        pass
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -94,8 +110,7 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
     }
-    if sim_final is not None:
-        out["sim_job_limeqo_final_latency"] = round(float(sim_final), 2)
+    out.update(sim)
     print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()

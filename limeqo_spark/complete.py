@@ -38,7 +38,11 @@ def _solve_factor(
     Returns (n, r).
     """
     rank = other.shape[1]
-    grams = np.einsum("ij,jk,jl->ikl", weights, other, other)  # (n, r, r)
+    # grams[i] = sum_j w_ij * b_j b_j^T, expressed as ONE (n,m)@(m,r^2) GEMM
+    # over flattened outer products (a 3-operand einsum here falls back to a
+    # naive C loop and dominates the fit time ~10x)
+    outer = (other[:, :, None] * other[:, None, :]).reshape(other.shape[0], rank * rank)
+    grams = (weights @ outer).reshape(-1, rank, rank)
     grams += lam * np.eye(rank)[None, :, :]
     rhs = (weights * targets) @ other  # (n, r)
     return np.linalg.solve(grams, rhs)
