@@ -86,6 +86,15 @@ def main() -> None:
         timings["sim_job_limeqo"] = round(time.perf_counter() - t0, 3)
         sim["sim_job_limeqo_final_latency"] = round(float(rec[-1]["total_latency"]), 2)
 
+        from limeqo_spark.strategies import LimeQOPlusStrategy
+
+        t0 = time.perf_counter()
+        rec = LimeQOPlusStrategy(wl, k=8, seed=1, max_rounds=500, time_budget=90.0).run()
+        timings["sim_job_limeqo_plus"] = round(time.perf_counter() - t0, 3)
+        sim["sim_job_limeqo_plus_final_latency"] = round(
+            float(rec[-1]["total_latency"]), 2
+        )  # baseline LimeQO+@90s: 109.3 s
+
         wl_ceb = Workload.from_reference(
             "/root/reference/dataset/ceb-matrix.csv",
             "/root/reference/dataset/init_ceb_mask.npy",
@@ -96,6 +105,19 @@ def main() -> None:
         ).run()
         timings["sim_ceb_limeqo"] = round(time.perf_counter() - t0, 3)
         sim["sim_ceb_limeqo_final_latency_h"] = round(
+            float(rec[-1]["total_latency"]) / 3600, 4
+        )
+
+        wl_dsb = Workload.from_reference(
+            "/root/reference/dataset/dsb-matrix.csv",
+            "/root/reference/dataset/init_dsb_mask.npy",
+        )
+        t0 = time.perf_counter()
+        rec = LimeQOStrategy(
+            wl_dsb, k=8, seed=1, max_rounds=100_000, time_budget=1.19 * 3600
+        ).run()  # baseline LimeQO@1.19h: 3.822 h (default 4.75 h)
+        timings["sim_dsb_limeqo"] = round(time.perf_counter() - t0, 3)
+        sim["sim_dsb_limeqo_final_latency_h"] = round(
             float(rec[-1]["total_latency"]) / 3600, 4
         )
     except Exception:  # sim track must never sink the bench line

@@ -130,3 +130,94 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             16 + (octet_length(encode(text)) % 64) AS width,
+             16 + (doc_id % 32) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(224 AS BIGINT) AS out_w, CAST(224 AS BIGINT) AS out_h,
+           CAST(LEAST(n_bytes, GREATEST(1, FLOOR(n_bytes * 224.0 * 224.0 / (width * height)))) AS BIGINT)
+             AS out_bytes
+    FROM meta ORDER BY doc_id
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for "image" docs (doc_id % 3 == 0): binary in, binary
+    out through an Arrow batch — the fake resizer scales the byte budget by
+    the (224x224)/(w*h) area ratio and truncates the payload to it, standing
+    in for a real thumbnail encoder. The output column IS binary (the plan
+    carries BinaryType end-to-end); the oracle checks its length."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    d = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                w, h, _ = fake_meta(len(payload), did)
+                budget = min(len(payload), max(1, int(len(payload) * 224.0 * 224.0 / (w * h))))
+                rows.append((did, payload[:budget]))
+            yield pd.DataFrame(rows, columns=["doc_id", "resized"])
+
+    out = d.mapInPandas(resize_batches, "doc_id bigint, resized binary")
+    return out.select(
+        "doc_id",
+        F.lit(224).cast("bigint").alias("out_w"),
+        F.lit(224).cast("bigint").alias("out_h"),
+        F.octet_length("resized").cast("bigint").alias("out_bytes"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "mm_feature_extract",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             CAST((n_bytes * (i + 1) + doc_id) % 1000 AS DOUBLE) / 1000.0 AS v
+      FROM base, UNNEST(range(0, 8)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS dim,
+           ROUND(SQRT(SUM(v * v)), 4) AS feat_norm
+    FROM dims GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction plumbing: bytes -> 8-dim embedding via an Arrow
+    batch (the fake extractor derives each dim arithmetically from the byte
+    count, standing in for a vision/audio encoder). The embedding column is
+    a real array<double> — downstream ANN consumes the same shape — and the
+    oracle verifies its L2 norm per document."""
+    import numpy as np
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len).to_numpy(dtype="int64")
+            dids = pdf["doc_id"].to_numpy(dtype="int64")
+            # (batch, 8) vectorized: dim i = ((n_bytes*(i+1) + id) % 1000)/1000
+            mat = ((n_bytes[:, None] * (np.arange(8)[None, :] + 1) + dids[:, None]) % 1000) / 1000.0
+            yield pd.DataFrame({"doc_id": dids, "embedding": list(mat)})
+
+    out = d.mapInPandas(extract_batches, "doc_id bigint, embedding array<double>")
+    sq = "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
+    return out.select(
+        "doc_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.expr(f"SQRT({sq})"), 4).alias("feat_norm"),
+    ).orderBy("doc_id")

@@ -101,3 +101,36 @@ def test_simulation_parity_vs_baseline_checkpoints():
         mine = float(np.mean(finals))
         assert mine <= 2 * ref_val, f"budget {budget}: {mine:.1f} vs 2x{ref_val}"
         assert mine < wl.default_time
+
+
+def test_report_pipeline(tmp_path):
+    """A34: checkpoint extraction reproduces the notebooks' interp+mean
+    logic on a synthetic two-rep run with a known closed form."""
+    from limeqo_spark.report import checkpoint_table, load_runs, write_checkpoint_csv
+
+    for rep, off in enumerate((0.0, 10.0)):
+        recs = [
+            {"exec_time": t, "total_latency": 100.0 - t + off} for t in (0.0, 20.0, 40.0)
+        ]
+        (tmp_path / f"demo_{rep}.json").write_text(json.dumps(recs))
+    # decoy that the strategy glob must not pick up
+    (tmp_path / "demo_plus_0.json").write_text(json.dumps([{"exec_time": 0, "total_latency": 0}]))
+    rows = checkpoint_table(str(tmp_path), ["demo", "absent"], [10.0, 30.0, 50.0])
+    assert [r["demo"] for r in rows] == [95.0, 75.0, 65.0]  # mean of (100-t, 110-t); clamped at t=40
+    assert all(r["absent"] is None for r in rows)
+    write_checkpoint_csv(rows, str(tmp_path / "result.csv"))
+    assert (tmp_path / "result.csv").read_text().startswith("exploration_time,demo,absent")
+
+
+def test_report_on_real_experiment(tmp_path):
+    """End-to-end: run_experiment -> report; LimeQO's curve must be
+    monotone non-increasing and bounded by [opt, default]."""
+    from limeqo_spark.report import checkpoint_table
+
+    wl = load_dataset("job")
+    run_suite(wl, str(tmp_path), ["limeqo"], reps=2, k=8, budget=180.0)
+    rows = checkpoint_table(str(tmp_path), ["limeqo"], [45.0, 90.0, 180.0])
+    vals = [r["limeqo"] for r in rows]
+    assert all(v is not None for v in vals)
+    assert vals == sorted(vals, reverse=True)
+    assert wl.opt_time <= vals[-1] <= wl.default_time
