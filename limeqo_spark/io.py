@@ -50,7 +50,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    # steering: inside hints.applied(...), tag every base relation with the
+    # active join-strategy hint — the placement Spark requires for the hint
+    # to reach its joins (a hint above the final plan node is discarded)
+    from limeqo_spark.hints import active_join_hint
+
+    jh = active_join_hint()
+    return df.hint(jh) if jh else df
 
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

@@ -73,7 +73,7 @@ class LiveSteeringSession:
             key = (qi, hj)
             if key not in self._plan_cache:
                 with H.applied(self.spark, hs):
-                    self._plan_cache[key] = plan_hash(hs.apply_join_hint(build()))
+                    self._plan_cache[key] = plan_hash(build())
             out[hj] = self._plan_cache[key]
         return out
 

@@ -44,8 +44,7 @@ def run_steered(
     plan stability).
     """
     with H.applied(spark, hint_set):
-        df = build()
-        df = hint_set.apply_join_hint(df)
+        df = build()  # io.table tags relations with the active join hint
         text = explain_formatted(df)
         fp = plan_hash(text)
 
@@ -94,8 +93,7 @@ def probe_hint_space(
     for hs in hint_sets:
         if dedup_by_plan:
             with H.applied(spark, hs):
-                df = hs.apply_join_hint(build())
-                fp = plan_hash(df)
+                fp = plan_hash(build())
             if fp in seen:
                 prior = seen[fp]
                 runs.append(SteeredRun(hs.hint_id, prior.latency, prior.censor_cutoff, fp, ""))

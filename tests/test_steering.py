@@ -29,10 +29,13 @@ def join_query(spark):
 
 
 def test_registry_shape():
-    assert len(H.REGISTRY) == 16
+    assert len(H.REGISTRY) == 49
     assert H.REGISTRY[0].name == "default"
     ids = [h.hint_id for h in H.REGISTRY]
-    assert ids == list(range(16))
+    assert ids == list(range(49))
+    # join-strategy family hints present (the README.md:11 nested-loop analog)
+    assert any(h.join_hint == "SHUFFLE_REPLICATE_NL" for h in H.REGISTRY)
+    assert len({h.name for h in H.REGISTRY}) == 49
 
 
 def test_hint_invariance_and_plan_dedup(spark):
@@ -45,7 +48,7 @@ def test_hint_invariance_and_plan_dedup(spark):
     # hint-invariance: every hinted variant returns identical results
     for hs in H.REGISTRY[:6]:
         with H.applied(spark, hs):
-            got = {tuple(r) for r in hs.apply_join_hint(build()).collect()}
+            got = {tuple(r) for r in build().collect()}
         assert got == baseline, f"HintSet {hs.hint_id} changed query results"
 
 
