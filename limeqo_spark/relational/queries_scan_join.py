@@ -456,3 +456,42 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT event_type, UPPER(event_type) AS label FROM events)
+    SELECT d.label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY d.label ORDER BY d.label
+    """,
+)
+def skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated hot-key join (scale path beyond AQE's skew split):
+    events.event_type has only a handful of values, so an unsalted shuffle
+    join would send each entire key to one task. skew.salted_join scatters
+    the fact side over 8 sub-keys and replicates the dim 8x; the oracle is
+    the PLAIN join — salting must be invisible in the result."""
+    from limeqo_spark.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select(F.col("event_type").alias("d_type"), F.upper("event_type").alias("label"))
+    )
+    joined = salted_join(ev, dim, ev.event_type == dim.d_type, factor=8)
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("label")
+    )

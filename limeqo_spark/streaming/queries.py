@@ -18,7 +18,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
@@ -208,4 +208,78 @@ def q44d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_input, n_surv, n_expected, n_surv == n_expected)],
         "n_input bigint, n_survivors bigint, n_expected bigint, ok boolean",
+    )
+
+
+@query(
+    "q45_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY §1.4 extension; the mechanism SURVEY names for operators Spark
+    lacks): per-user running totals carried in explicit GroupState across
+    micro-batches. The stream is staged as multiple files with
+    maxFilesPerTrigger=1 so state genuinely persists across batches; each
+    update emits the current totals and the last emission per user equals
+    the batch aggregate — which is exactly what the oracle checks.
+
+    Money math in exact integer micros (decimal semantics): double
+    accumulation across batch boundaries would drift vs the oracle.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage = _stage_events(spark, sf_dir)
+    # re-stage as two files so the stateful operator sees >=2 micro-batches
+    ev = spark.read.schema(EVENTS_SCHEMA).option("recursiveFileLookup", "true").parquet(stage)
+    half = ev.filter(F.col("event_id") % 2 == 0)
+    other = ev.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "s0"))
+    other.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "s1"))
+    import shutil
+
+    shutil.rmtree(os.path.join(stage, "batch0"))
+
+    stream = _read_stream(spark, stage, one_file_per_batch=True)
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            micros += int(round(pdf["value"].astype("float64").mul(1_000_000).round().sum()))
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micros": [micros]}
+        )
+
+    updates = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id bigint, n_events bigint, total_micros bigint",
+            stateStructType="n bigint, micros bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    emitted = _run_stream(updates, "update")
+    # last emission per user = totals after the final batch
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_micros") / 1_000_000, 2).alias("total_value"),
+        )
+        .orderBy("user_id")
     )

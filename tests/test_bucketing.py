@@ -66,3 +66,30 @@ def test_bucketed_results_match_plain(spark, bucketed_tables):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is result-invariant: same rows as the unsalted join, and the
+    salted fact side spreads each hot key over multiple salt buckets."""
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.io import table
+    from limeqo_spark.skew import SALT_COL, salt_large, salted_join
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events").select("event_type", "value")
+    dim = (
+        ev.select("event_type").distinct()
+        .select(F.col("event_type").alias("d_type"), F.upper("event_type").alias("label"))
+    )
+    plain = ev.join(dim, ev.event_type == dim.d_type).groupBy("label").count()
+    salted = (
+        salted_join(ev, dim, ev.event_type == dim.d_type, factor=8)
+        .groupBy("label").count()
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+    spread = (
+        salt_large(ev, 8).groupBy("event_type")
+        .agg(F.countDistinct(SALT_COL).alias("buckets")).collect()
+    )
+    assert all(r["buckets"] >= 6 for r in spread), spread
