@@ -35,9 +35,12 @@ HEADLINE = [
     "q40_tokenize_counts",
     # pipeline operators (north-star suite)
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",  # df-capped blocking (100 TB path)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",  # KMeans coarse quantizer scale path
+    "skew_salted_join",
     "text_quality_score",
     "text_fingerprint",
     # streaming

@@ -94,6 +94,88 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.select("a", "b", F.round("jaccard_raw", 4).alias("jaccard")).orderBy("a", "b")
 
 
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+      FROM (
+        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM toks
+      ) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a, b, ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+    FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
+    ORDER BY a, b
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-hardened variant of dedup_ngram_jaccard: candidate pairs
+    come only from shingles whose document frequency is <= a cap (hot
+    "stop-shingles" would otherwise pair quadratically many docs — one
+    shingle in 1M docs = 5e11 candidate rows), and the exact Jaccard is then
+    computed per candidate via set intersection, NOT via the hot join.
+
+    Pairs sharing ONLY hot shingles are missed by construction — but such
+    pairs have near-zero Jaccard at any useful tau, which is why the oracle
+    here is the SAME exact-Jaccard SQL: at tau=0.6 the capped output must be
+    identical to the uncapped one."""
+    c = planted_corpus(spark, sf_dir)
+    return ngram_jaccard_pairs(c, n=3, tau=0.6, max_doc_freq=50)
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, n: int = 3, tau: float = 0.6, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Near-dup pairs with Jaccard >= tau over n-token shingles.
+
+    With ``max_doc_freq`` set, the inverted-index join is built only from
+    shingles appearing in <= that many documents (blocking), and the exact
+    intersection is computed per candidate pair from the full shingle sets
+    (array_intersect over collect_set — bounded by document length, immune
+    to hot keys)."""
+    sh = token_shingles(corpus, n)
+    idx = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    cand = (
+        idx.select(F.col("doc_id").alias("a"), "shingle")
+        .join(idx.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    pairs = cand.join(
+        sets.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")), "a"
+    ).join(sets.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")), "b")
+    jac = pairs.withColumn(
+        "c", F.size(F.array_intersect("sa", "sb")).cast("double")
+    ).withColumn("jaccard_raw", F.col("c") / (F.size("sa") + F.size("sb") - F.col("c")))
+    return (
+        jac.filter(F.col("jaccard_raw") >= tau)
+        .select("a", "b", F.round("jaccard_raw", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
 @query("dedup_minhash_lsh", oracle=None, check="prop")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle -> HashingTF sparse set

@@ -72,3 +72,19 @@ def test_multimodal_decode_stub_is_gated():
 
     with pytest.raises(NotImplementedError):
         real_decode(b"xx", "image")
+
+
+def test_ann_ivf_agrees_with_brute_force(spark, sf_dir):
+    """IVF with nprobe=3/16 cells must keep high top-5 recall (planted
+    near-identical vectors land in the same cell as their probe)."""
+    brute = REGISTRY["ann_cosine_topk"].builder(spark, sf_dir).collect()
+    ivf = REGISTRY["ann_ivf_topk"].builder(spark, sf_dir).collect()
+    brute_sets, ivf_sets = {}, {}
+    for r in brute:
+        brute_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in ivf:
+        ivf_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    hits = sum(len(brute_sets[p] & ivf_sets.get(p, set())) for p in brute_sets)
+    total = sum(len(s) for s in brute_sets.values())
+    assert hits / total >= 0.5, f"IVF top-5 overlap only {hits}/{total}"
+    assert len(ivf_sets) == len(brute_sets), "every probe must get candidates"
