@@ -22,9 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from limeqo_spark import hints as H
 from limeqo_spark.complete import complete_log_space
-from limeqo_spark.plans import plan_hash
+from limeqo_spark.plans import explain_formatted, featurize, parse_formatted_tree, plan_hash
 from limeqo_spark.steer import run_steered
 from limeqo_spark.strategies import ALPHA, BETA, rank_cells_by_improvement
+from limeqo_spark.tcnn import RidgeCostModel, hint_onehot
 
 
 @dataclass
@@ -55,6 +56,7 @@ class LiveSteeringSession:
         self.explored = np.zeros((q, h))
         self.observations: list[LiveObservation] = []
         self._plan_cache: dict[tuple[int, int], str] = {}
+        self._feature_cache: dict[tuple[int, int], np.ndarray] = {}
 
     # --- state helpers ---
     @property
@@ -76,6 +78,30 @@ class LiveSteeringSession:
                     self._plan_cache[key] = plan_hash(build())
             out[hj] = self._plan_cache[key]
         return out
+
+    def _features(self, qi: int, hj: int) -> np.ndarray:
+        """LimeQO+ live featurization (A22/A27 on real Spark plans): parse
+        the EXPLAIN FORMATTED tree of THIS query under THIS HintSet into the
+        node-histogram feature vector, concatenated with the hint one-hot."""
+        key = (qi, hj)
+        if key not in self._feature_cache:
+            build = self.queries[self.query_ids[qi]]
+            hs = self.hint_sets[hj]
+            with H.applied(self.spark, hs):
+                text = explain_formatted(build())
+            self._plan_cache.setdefault(key, plan_hash(text))
+            from limeqo_spark.plans import NODE_VOCABULARY
+
+            tree = parse_formatted_tree(text)
+            plan_vec = (
+                featurize(tree)
+                if tree is not None
+                else np.zeros(len(NODE_VOCABULARY) + 2)
+            )
+            self._feature_cache[key] = np.concatenate(
+                [plan_vec, hint_onehot(hj, len(self.hint_sets))]
+            )
+        return self._feature_cache[key]
 
     def _record(self, qi: int, hj: int, latency: float | None, cutoff: float | None, fp: str, measured: bool) -> None:
         self.explored[qi, hj] = 1
@@ -105,25 +131,49 @@ class LiveSteeringSession:
             if self.explored[qi, 0] == 0:
                 self.execute_cell(qi, 0, timeout_s)
 
-    def explore(self, rounds: int = 3, k: int = 4) -> None:
-        """LimeQO rounds: complete the censored matrix in log space, pick the
-        top-k improvement cells, execute them with timeout tolerance
-        min(ALPHA * best, BETA * predicted)."""
+    def _predict_plan_model(self) -> np.ndarray:
+        """LimeQO+ live prediction: fit the plan-feature cost model (ridge
+        fallback of the TCNN, A21/A25-A27) on every explored cell — observed
+        latency or censoring cutoff — and predict the full Q x H matrix from
+        the real EXPLAIN features. Observed cells keep their true value."""
+        xs, ys, cuts = [], [], []
+        for qi, hj in np.argwhere(self.explored > 0):
+            lat, cut = self.matrix[qi, hj], self.cutoffs[qi, hj]
+            if np.isnan(lat) and cut <= 0:
+                continue
+            xs.append(self._features(int(qi), int(hj)))
+            ys.append(0.0 if np.isnan(lat) else lat)
+            cuts.append(cut)
+        model = RidgeCostModel().fit(np.asarray(xs), np.asarray(ys), np.asarray(cuts))
+        q, h = self.explored.shape
+        all_feats = np.stack([self._features(qi, hj) for qi in range(q) for hj in range(h)])
+        pred = model.predict(all_feats).reshape(q, h)
+        return np.where(np.isnan(self.matrix), pred, self.matrix)
+
+    def explore(self, rounds: int = 3, k: int = 4, model: str = "als") -> None:
+        """LimeQO rounds: predict unobserved cells — ``model="als"`` via
+        censored-ALS matrix completion (LimeQO), ``model="plan"`` via the
+        plan-feature cost model over real EXPLAIN trees (LimeQO+ live) —
+        pick the top-k improvement cells, execute them with timeout
+        tolerance min(ALPHA * best, BETA * predicted)."""
         rng = np.random.default_rng(self.seed)
         for _ in range(rounds):
             if self.explored.all():
                 break
-            res = complete_log_space(
-                np.nan_to_num(self.matrix, nan=0.0),
-                self.mask,
-                cutoffs=self.cutoffs,
-                rank=self.rank,
-                iters=self.iters,
-                lam=self.lam,
-                seed=int(rng.integers(2**31)),
-            )
+            if model == "plan":
+                completed = self._predict_plan_model()
+            else:
+                completed = complete_log_space(
+                    np.nan_to_num(self.matrix, nan=0.0),
+                    self.mask,
+                    cutoffs=self.cutoffs,
+                    rank=self.rank,
+                    iters=self.iters,
+                    lam=self.lam,
+                    seed=int(rng.integers(2**31)),
+                ).completed
             mo = self.min_observed()
-            cells = rank_cells_by_improvement(res.completed, self.explored, mo, k)
+            cells = rank_cells_by_improvement(completed, self.explored, mo, k)
             if not cells:
                 untried = np.argwhere(self.explored == 0)
                 take = untried[rng.permutation(len(untried))[:k]]
@@ -132,7 +182,7 @@ class LiveSteeringSession:
                 base = mo[qi] if math.isfinite(mo[qi]) else None
                 tol = None
                 if base is not None:
-                    tol = float(min(ALPHA * base, max(BETA * res.completed[qi, hj], 0.05 * base)))
+                    tol = float(min(ALPHA * base, max(BETA * completed[qi, hj], 0.05 * base)))
                 self.execute_cell(qi, hj, tol)
 
     def best_hints(self) -> dict[str, tuple[int, float]]:

@@ -67,3 +67,24 @@ def test_long_df_roundtrip(session, spark):
     # censored rows carry a cutoff and no latency
     bad = df.filter("latency IS NULL AND censor_cutoff IS NULL").count()
     assert bad == 0
+
+
+def test_plan_model_exploration(spark):
+    """LimeQO+ live: exploration driven by the plan-feature cost model over
+    real EXPLAIN trees makes progress and keeps state invariants."""
+    def dim_join():
+        li = table(spark, SF, "lineitem")
+        p = table(spark, SF, "part")
+        return li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+
+    s = LiveSteeringSession(spark, {"dim": dim_join}, iters=20)
+    s.bootstrap(timeout_s=120.0)
+    before = int(s.explored.sum())
+    s.explore(rounds=2, k=3, model="plan")
+    assert int(s.explored.sum()) > before
+    # features exist for explored cells and have plan + hint parts
+    qi, hj = map(int, np.argwhere(s.explored > 0)[-1])
+    f = s._features(qi, hj)
+    assert f.shape[0] > len(s.hint_sets) and np.isfinite(f).all()
+    best = s.best_hints()
+    assert "dim" in best and best["dim"][1] > 0
