@@ -140,13 +140,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Jaccard >= tau over n-token shingles.
 
-    With ``max_doc_freq`` set, the inverted-index join is built only from
-    shingles appearing in <= that many documents (blocking), and the exact
-    intersection is computed per candidate pair from the full shingle sets
-    (array_intersect over collect_set — bounded by document length, immune
-    to hot keys)."""
-    sh = token_shingles(corpus, n)
-    idx = sh
+    With ``max_doc_freq`` set, the inverted-index join runs only over
+    shingles appearing in <= that many documents (no hot-key blowup), and
+    the exact common count is completed with a per-pair correction from
+    *hot*-shingle sets only — hot shingles are few by construction (a
+    shingle must clear the df cap), so the correction arrays are tiny.
+    Pairs whose entire overlap is hot shingles are missed by construction
+    (they cannot reach a useful tau unless the docs are all boilerplate)."""
+    sh = token_shingles(corpus, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    idx, hot_sets = sh, None
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -155,20 +158,47 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    cand = (
+        hot_sets = (
+            sh.join(F.broadcast(hot), "shingle")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("hs"))
+        )
+    common = (
         idx.select(F.col("doc_id").alias("a"), "shingle")
         .join(idx.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_rare"))
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
-    pairs = cand.join(
-        sets.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")), "a"
-    ).join(sets.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")), "b")
+    pairs = common.join(
+        sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a"
+    ).join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+    if hot_sets is not None:
+        pairs = (
+            pairs.join(
+                hot_sets.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha")),
+                "a",
+                "left",
+            )
+            .join(
+                hot_sets.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb")),
+                "b",
+                "left",
+            )
+            .withColumn(
+                "c",
+                F.col("c_rare")
+                + F.when(
+                    F.col("ha").isNotNull() & F.col("hb").isNotNull(),
+                    F.size(F.array_intersect("ha", "hb")),
+                ).otherwise(F.lit(0)),
+            )
+        )
+    else:
+        pairs = pairs.withColumn("c", F.col("c_rare"))
     jac = pairs.withColumn(
-        "c", F.size(F.array_intersect("sa", "sb")).cast("double")
-    ).withColumn("jaccard_raw", F.col("c") / (F.size("sa") + F.size("sb") - F.col("c")))
+        "jaccard_raw", F.col("c").cast("double") / (F.col("sa") + F.col("sb") - F.col("c"))
+    )
     return (
         jac.filter(F.col("jaccard_raw") >= tau)
         .select("a", "b", F.round("jaccard_raw", 4).alias("jaccard"))

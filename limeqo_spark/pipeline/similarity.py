@@ -161,7 +161,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     vecs = e.withColumn("features", array_to_vector("embedding"))
-    km = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cell_id")
+    # maxIter=5: a coarse quantizer needs rough Voronoi cells, not a
+    # converged clustering — at 100 TB the index build cost matters
+    km = KMeans(k=nlist, seed=seed, maxIter=5, featuresCol="features", predictionCol="cell_id")
     model = km.fit(vecs)
     assigned = model.transform(vecs).select("vec_id", "embedding", "cell_id")
 
