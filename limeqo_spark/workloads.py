@@ -1,0 +1,125 @@
+"""Steering-target workload registry: JOB-style SPJA queries over the
+fixture tables, in the plan shapes the reference's workloads exercise
+(JOB/CEB = multi-join order problems, DSB = TPC-DS-ish aggs with outer/
+semi joins — SURVEY §2B intro). These are the queries the live steering
+loop explores HintSets against; each has a genuinely different join
+topology so hint sets separate (a broadcast-forbidden plan differs from
+default on a star, a replicate-NL hint matters on the theta join, etc.).
+
+``steering_workload(spark, sf_dir)`` returns the {query_id: builder}
+mapping LiveSteeringSession consumes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+
+
+def steering_workload(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, Callable[[], DataFrame]]:
+    def t(name: str) -> DataFrame:
+        return table(spark, sf_dir, name)
+
+    def star_5way() -> DataFrame:
+        # JOB-shape: fact + 4 dims through a key chain
+        return (
+            t("lineitem")
+            .join(t("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t("customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .join(t("nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(t("region"), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def chain_supplier() -> DataFrame:
+        # chain through part/supplier sides of the fact
+        return (
+            t("lineitem")
+            .join(t("part"), F.col("l_partkey") == F.col("p_partkey"))
+            .join(t("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+            .filter(F.col("p_size") < 25)
+            .groupBy("p_brand", "s_nationkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+
+    def selective_filter_join() -> DataFrame:
+        # high-selectivity predicate before the join: broadcast-friendly
+        hot = t("orders").filter(F.col("o_totalprice") > 400000)
+        return (
+            t("lineitem")
+            .join(hot, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def semi_anti_mix() -> DataFrame:
+        # DSB-ish EXISTS/NOT EXISTS decorrelation target
+        buyers = t("orders").select("o_custkey").distinct()
+        return (
+            t("customer")
+            .join(buyers, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def theta_window() -> DataFrame:
+        # bounded non-equi self-join: replicate-NL territory
+        e = t("events").select("user_id", "ts", "value")
+        a = e.select(
+            F.col("user_id").alias("u"), F.col("ts").alias("ta"), F.col("value").alias("va")
+        )
+        b = e.select(F.col("user_id").alias("u"), F.col("ts").alias("tb"))
+        return (
+            a.join(b, "u")
+            .filter((F.col("tb") > F.col("ta")) & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 5 MINUTES")))
+            .groupBy("u")
+            .agg(F.count("*").alias("pairs"), F.sum("va").alias("v"))
+        )
+
+    def agg_rollup() -> DataFrame:
+        # DSB/TPC-DS rollup shape
+        return (
+            t("orders")
+            .join(t("customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .rollup("c_mktsegment", "o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def fact_fact() -> DataFrame:
+        # two big sides: the sort-merge vs shuffle-hash decision point
+        li = t("lineitem").groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        return (
+            t("orders")
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .filter(F.col("qty") > 100)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def skewed_dim() -> DataFrame:
+        # low-cardinality hot join key (event_type)
+        dim = t("events").select("event_type").distinct()
+        return (
+            t("events")
+            .join(dim.withColumnRenamed("event_type", "et"), F.col("event_type") == F.col("et"))
+            .groupBy("event_type")
+            .agg(F.avg("value").alias("avg_v"))
+        )
+
+    return {
+        "star_5way": star_5way,
+        "chain_supplier": chain_supplier,
+        "selective_filter_join": selective_filter_join,
+        "semi_anti_mix": semi_anti_mix,
+        "theta_window": theta_window,
+        "agg_rollup": agg_rollup,
+        "fact_fact": fact_fact,
+        "skewed_dim": skewed_dim,
+    }

@@ -88,3 +88,41 @@ def test_plan_model_exploration(spark):
     assert f.shape[0] > len(s.hint_sets) and np.isfinite(f).all()
     best = s.best_hints()
     assert "dim" in best and best["dim"][1] > 0
+
+
+def test_steering_workload_shapes(spark):
+    """Every registry workload builds, runs, and yields distinct plan
+    hashes across at least two HintSets for the join-shape-sensitive
+    queries (the plan space is non-degenerate)."""
+    from limeqo_spark import hints as H
+    from limeqo_spark.plans import plan_hash
+    from limeqo_spark.workloads import steering_workload
+
+    wl = steering_workload(spark, SF)
+    assert len(wl) == 8
+    separating = 0
+    probe_sets = [H.REGISTRY[0], H.REGISTRY[17], H.REGISTRY[48]]  # default / merge / assists-off
+    for name, build in wl.items():
+        assert build().limit(1).count() >= 0  # runs
+        fps = set()
+        for hs in probe_sets:
+            with H.applied(spark, hs):
+                fps.add(plan_hash(build()))
+        if len(fps) > 1:
+            separating += 1
+    assert separating >= 6, f"only {separating}/8 workloads separate hint sets"
+
+
+def test_live_session_on_workload_registry(spark):
+    """End-to-end: steer a 3-query slice of the workload registry; the
+    session must surface a best hint per query with real latencies."""
+    from limeqo_spark.workloads import steering_workload
+
+    wl = steering_workload(spark, SF)
+    sub = {k: wl[k] for k in ("star_5way", "selective_filter_join", "fact_fact")}
+    s = LiveSteeringSession(spark, sub, iters=20)
+    s.bootstrap(timeout_s=120.0)
+    s.explore(rounds=1, k=3)
+    best = s.best_hints()
+    assert set(best) == set(sub)
+    assert all(lat > 0 for _, lat in best.values())
