@@ -61,6 +61,54 @@ def run_suite(
     return finals
 
 
+def run_live(
+    sf_dir: str,
+    out_dir: str,
+    rounds: int = 3,
+    k: int = 4,
+    timeout_s: float = 300.0,
+    model: str = "als",
+    queries: list[str] | None = None,
+) -> dict:
+    """Live-mode experiment: steer the workload registry's queries across
+    the 49 HintSets with real executions (the boundary the reference only
+    simulates). Writes the observations table (Parquet) and a best-hints
+    JSON; returns the summary."""
+    from limeqo_spark.live import LiveSteeringSession
+    from limeqo_spark.session import get_spark
+    from limeqo_spark.workloads import steering_workload
+
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("limeqo_live_experiment")
+    wl = steering_workload(spark, sf_dir)
+    if queries:
+        wl = {q: wl[q] for q in queries}
+    session = LiveSteeringSession(spark, wl)
+    session.bootstrap(timeout_s=timeout_s)
+    default = {qid: float(session.matrix[i, 0]) for i, qid in enumerate(session.query_ids)}
+    session.explore(rounds=rounds, k=k, model=model)
+    best = session.best_hints()
+    session.to_long_df().write.mode("overwrite").parquet(os.path.join(out_dir, "observations"))
+    summary = {
+        "sf_dir": sf_dir,
+        "model": model,
+        "queries": {
+            qid: {
+                "default_s": default[qid],
+                "best_hint": hj,
+                "best_s": lat,
+                "speedup": default[qid] / lat if lat > 0 else None,
+            }
+            for qid, (hj, lat) in best.items()
+        },
+        "cells_measured": sum(1 for o in session.observations if o.measured),
+        "cells_inherited": sum(1 for o in session.observations if not o.measured),
+    }
+    with open(os.path.join(out_dir, "live_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="job", choices=["job", "ceb", "dsb"])
@@ -72,7 +120,17 @@ def main() -> None:
         "--strategies",
         default="oracle,random,greedy,qo_advisor,limeqo,limeqo_plus",
     )
+    ap.add_argument("--live", action="store_true", help="steer real Spark executions")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--model", default="als", choices=["als", "plan"])
     args = ap.parse_args()
+    if args.live:
+        summary = run_live(
+            args.sf_dir, args.out, rounds=args.rounds, k=args.k, model=args.model
+        )
+        print(json.dumps(summary, indent=2))
+        return
     wl = load_dataset(args.dataset)
     finals = run_suite(
         wl, args.out, args.strategies.split(","), args.reps, args.k, args.budget

@@ -134,3 +134,25 @@ def test_report_on_real_experiment(tmp_path):
     assert all(v is not None for v in vals)
     assert vals == sorted(vals, reverse=True)
     assert wl.opt_time <= vals[-1] <= wl.default_time
+
+
+def test_live_experiment_cli(tmp_path, spark):
+    """A33 live mode: run_live produces the observations Parquet + summary
+    with per-query default/best latencies and plan-equivalence savings."""
+    from limeqo_spark.run_experiment import run_live
+
+    summary = run_live(
+        "/root/testdata/sf0.001",
+        str(tmp_path),
+        rounds=1,
+        k=2,
+        timeout_s=120.0,
+        queries=["star_5way", "fact_fact"],
+    )
+    assert set(summary["queries"]) == {"star_5way", "fact_fact"}
+    for rec in summary["queries"].values():
+        assert rec["default_s"] > 0 and rec["best_s"] <= rec["default_s"]
+    assert summary["cells_inherited"] > 0  # plan-hash dedup paid off
+    obs = spark.read.parquet(str(tmp_path / "observations"))
+    assert obs.count() == summary["cells_measured"] + summary["cells_inherited"]
+    assert (tmp_path / "live_summary.json").exists()
