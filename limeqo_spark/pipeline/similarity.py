@@ -153,40 +153,65 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doing the skipping. PROP: recall vs brute force asserted in tests (the
     trained centroids are engine-local, so no cross-engine oracle).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    nlist, nprobe, seed = 16, 3, 42
+    nlist, nprobe, seed = 16, 4, 42
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    vecs = e.withColumn("features", array_to_vector("embedding"))
-    # maxIter=5: a coarse quantizer needs rough Voronoi cells, not a
-    # converged clustering — at 100 TB the index build cost matters
-    km = KMeans(k=nlist, seed=seed, maxIter=5, featuresCol="features", predictionCol="cell_id")
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).select("vec_id", "embedding", "cell_id")
-
-    # probe -> its nprobe nearest centroid cells (centroids are tiny: driver)
-    centers = model.clusterCenters()
-    centers_df = spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in enumerate(centers)],
-        "cell_id int, center array<double>",
+    # Train the coarse quantizer on a driver-side SAMPLE (standard IVF
+    # practice: centroids need the density shape, not every vector — at
+    # 100 TB you still train on ~100k sampled rows), then assign the full
+    # corpus distributively with a broadcast centroid join.
+    sample = np.asarray(
+        [r["embedding"] for r in e.select("embedding").limit(4096).collect()]
     )
-    probes = assigned.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    rng = np.random.default_rng(seed)
+    # k-means++ init: spread seeds by squared-distance weighting (uniform
+    # init on high-dim data collapses several cells onto the bulk)
+    centers = [sample[rng.integers(len(sample))]]
+    for _ in range(nlist - 1):
+        d2min = np.min(
+            ((sample[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(axis=2),
+            axis=1,
+        )
+        centers.append(sample[rng.choice(len(sample), p=d2min / d2min.sum())])
+    centers = np.asarray(centers)
+    for _ in range(8):  # Lloyd iterations on the sample
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(nlist):
+            pts = sample[assign == c]
+            if len(pts):
+                centers[c] = pts.mean(axis=0)
+    # Centroids become a literal array; nearest-cell assignment is then one
+    # JVM-side expression per row (sort an array of (distance, cell) structs
+    # — struct ordering is field-order, so distance first) — NO crossJoin,
+    # NO window shuffle. The full-corpus assignment is embarrassingly
+    # parallel, exactly what you want at 100 TB.
+    cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
+    ranked_cells = (
+        f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
+        "aggregate(zip_with(cents[p], {col}, (c, x) -> (x - c) * (x - c)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))"
     )
-    d2 = (
-        "aggregate(zip_with(pe, center, (x, c) -> (x - c) * (x - c)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    assigned = (
+        e.withColumn("cents", cents_lit)
+        .withColumn("cell_id", F.expr(ranked_cells.format(col="embedding") + "[0].i"))
+        .drop("cents")
     )
-    wc = W.partitionBy("probe_id").orderBy(F.col("d2").asc(), F.col("cell_id"))
+    # probe -> its nprobe nearest cells, same expression, sliced
     probe_cells = (
-        probes.crossJoin(F.broadcast(centers_df))
-        .withColumn("d2", F.expr(d2))
-        .withColumn("crn", F.row_number().over(wc))
-        .filter(F.col("crn") <= nprobe)
-        .select("probe_id", "pe", "cell_id")
+        e.filter(F.col("vec_id") < N_PROBES)
+        .withColumn("cents", cents_lit)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.explode(
+                F.expr(
+                    f"transform(slice({ranked_cells.format(col='embedding')}, 1, {nprobe}),"
+                    " s -> s.i)"
+                )
+            ).alias("cell_id"),
+        )
     )
     # scan only the selected cells (at scale: partition pruning on cell_id)
     cand = (
