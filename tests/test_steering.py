@@ -104,3 +104,25 @@ def test_plan_tree_parse_and_featurize(spark):
         return max([len(n.children)] + [max_fanout(c) for c in n.children] or [0])
 
     assert max_fanout(btree) <= 2
+
+
+def test_hint_invariance_all_49(spark):
+    """The fundamental steering safety property across the FULL registry:
+    every one of the 49 HintSets returns identical results. Executed once
+    per distinct physical plan (plan-hash dedup) to stay fast."""
+    build = join_query(spark)
+    baseline = {tuple(r) for r in build().collect()}
+    seen: set[str] = set()
+    distinct = 0
+    for hs in H.REGISTRY:
+        with H.applied(spark, hs):
+            df = build()
+            fp = P.plan_hash(df)
+            if fp in seen:
+                continue
+            seen.add(fp)
+            distinct += 1
+            got = {tuple(r) for r in df.collect()}
+        assert got == baseline, f"HintSet {hs.hint_id} ({hs.name}) changed results"
+    # the 49 knob combos must map to a rich plan space, not 2-3 plans
+    assert distinct >= 8, f"only {distinct} distinct plans across 49 HintSets"
