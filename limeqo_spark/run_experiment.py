@@ -58,6 +58,16 @@ def run_suite(
         w.writerow(["strategy", "mean_final_latency", "std", "reps"])
         for name, vals in finals.items():
             w.writerow([name, float(np.mean(vals)), float(np.std(vals)), len(vals)])
+    # the reference's result/{ds}.csv analog (A34): checkpoint table over a
+    # grid spanning the observed exploration times
+    from limeqo_spark.report import checkpoint_table, write_checkpoint_csv
+
+    if budget:
+        grid = [budget * f for f in (0.125, 0.25, 0.5, 1.0)]
+    else:
+        grid = [wl.default_time * f for f in (0.25, 0.5, 1.0, 2.0)]
+    rows = checkpoint_table(out_dir, list(finals), grid)
+    write_checkpoint_csv(rows, os.path.join(out_dir, "result.csv"))
     return finals
 
 

@@ -80,3 +80,33 @@ def test_hot_paths_in_codegen(spark, name):
     assert "isFinalPlan=true" in plan
     # '*(n)' prefixes mark WholeStageCodegen spans in simple-mode plans
     assert "*(1)" in plan, f"no codegen span in executed plan of {name}"
+
+
+def test_salted_join_no_nested_loop(spark):
+    """Salting must not degrade the join into a nested-loop/cartesian: the
+    (key, salt) condition is still a pure equi-join."""
+    from limeqo_spark.manifest import REGISTRY
+
+    from limeqo_spark.plans import explain_formatted
+
+    text = explain_formatted(REGISTRY["skew_salted_join"].builder(spark, SF))
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_ivf_assignment_shuffle_free(spark):
+    """IVF cell assignment is a per-row expression: the plan up to the
+    candidate join must not exchange on vec_id (no window/crossJoin for
+    assignment), and the probe-cells side is broadcast."""
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.plans import explain_formatted
+
+    text = explain_formatted(REGISTRY["ann_ivf_topk"].builder(spark, SF))
+    assert "CartesianProduct" not in text
+    assert "BroadcastExchange" in text  # probe cells join by broadcast
+    # exactly ONE hash-partitioned exchange is allowed: the final top-k
+    # window over probe_id (candidates -> ranking); assignment adds none
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", text)
+    assert all(c.startswith("probe_id") for c in hash_exchanges), hash_exchanges

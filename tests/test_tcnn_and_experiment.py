@@ -85,6 +85,7 @@ def test_run_experiment_suite(tmp_path):
     rec = json.loads((tmp_path / "limeqo_0.json").read_text())
     assert {"training_time", "total_latency", "p99"} <= set(rec[0])
     assert (tmp_path / "summary.csv").exists()
+    assert (tmp_path / "result.csv").exists()  # A34 checkpoint table
 
 
 def test_simulation_parity_vs_baseline_checkpoints():
