@@ -109,11 +109,20 @@ if HAS_TORCH:  # pragma: no cover - torch not in the build container
 @dataclass
 class RidgeCostModel:
     """Fallback cost model: ridge over [plan-histogram || hint one-hot]
-    features with hinge-censoring iterations, in log1p latency space."""
+    features with hinge-censoring iterations, in log1p latency space.
+    Features are min-max scaled per column at fit time (A9: the reference
+    normalizes plan features with a MinMaxScaler pipeline,
+    dataset.py:114-139) — histogram counts and structure stats live on very
+    different scales, and a shared ridge penalty punishes the small ones."""
 
     lam: float = 1.0
     iters: int = 20
     weights: np.ndarray | None = None
+    f_min: np.ndarray | None = None
+    f_range: np.ndarray | None = None
+
+    def _scale(self, features: np.ndarray) -> np.ndarray:
+        return (features - self.f_min) / self.f_range
 
     def fit(
         self,
@@ -121,6 +130,11 @@ class RidgeCostModel:
         latency: np.ndarray,  # (n,) observed latencies (ignored where censored)
         cutoffs: np.ndarray | None = None,  # (n,) censor cutoffs; 0 = observed
     ) -> "RidgeCostModel":
+        self.f_min = features.min(axis=0)
+        self.f_range = np.where(
+            features.max(axis=0) > self.f_min, features.max(axis=0) - self.f_min, 1.0
+        )
+        features = self._scale(features)
         x = np.hstack([features, np.ones((len(features), 1))])
         y = np.log1p(latency.copy())
         cut = np.log1p(cutoffs) if cutoffs is not None else np.zeros_like(y)
@@ -137,7 +151,7 @@ class RidgeCostModel:
 
     def predict(self, features: np.ndarray) -> np.ndarray:
         assert self.weights is not None, "fit first"
-        x = np.hstack([features, np.ones((len(features), 1))])
+        x = np.hstack([self._scale(features), np.ones((len(features), 1))])
         return np.expm1(np.clip(x @ self.weights, None, 50.0))
 
 
