@@ -31,10 +31,20 @@ EVENTS_SCHEMA = (
 SENTINEL_USER = -999
 
 
+_STAGE_CACHE: dict[tuple[str, bool], str] = {}
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = False) -> str:
     """Materialize events (ts normalized to a proper timestamp) into a fresh
     directory usable as a file-stream source; optionally add a far-future
-    sentinel file that drives the watermark past all real data."""
+    sentinel file that drives the watermark past all real data. Staged dirs
+    are immutable once written, so they are memoized per (sf_dir, sentinel)
+    within the process — four streaming queries otherwise re-write the same
+    parquet."""
+    key = (sf_dir, with_sentinel)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     stage = tempfile.mkdtemp(prefix="limeqo_stream_")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -50,6 +60,7 @@ def _stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = False)
             F.lit(None).cast("string").alias("props"),
         )
         far.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch1"))
+    _STAGE_CACHE[key] = stage
     return stage
 
 
@@ -236,16 +247,18 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stage = _stage_events(spark, sf_dir)
-    # re-stage as two files so the stateful operator sees >=2 micro-batches
-    ev = spark.read.schema(EVENTS_SCHEMA).option("recursiveFileLookup", "true").parquet(stage)
-    half = ev.filter(F.col("event_id") % 2 == 0)
-    other = ev.filter(F.col("event_id") % 2 == 1)
-    half.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "s0"))
-    other.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "s1"))
-    import shutil
-
-    shutil.rmtree(os.path.join(stage, "batch0"))
+    # private stage (never the shared memoized one): two files so the
+    # stateful operator genuinely carries state across >=2 micro-batches
+    stage = tempfile.mkdtemp(prefix="limeqo_stream_state_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "s0")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "s1")
+    )
 
     stream = _read_stream(spark, stage, one_file_per_batch=True)
 
