@@ -37,17 +37,24 @@ class SimState:
     explored: np.ndarray  # 1 = cell tried (revealed OR censored OR unhelpful)
     spent: float = 0.0  # exploration wall-clock paid so far
     cells_explored: int = 0
+    #: per-row values already measured (one entry per distinct physical plan)
+    _revealed_values: dict[int, set[float]] = field(default_factory=dict)
 
     @classmethod
     def fresh(cls, wl: Workload) -> SimState:
         mask = wl.mask.astype(np.float64).copy()
-        return cls(
+        state = cls(
             wl=wl,
             mask=mask,
             cutoffs=np.zeros_like(mask),
             explored=mask.copy(),
             spent=0.0,
         )
+        # initially-observed cells are already-paid plans: their values seed
+        # the per-row equivalence sets
+        for i, j in np.argwhere(mask > 0):
+            state._revealed_values.setdefault(int(i), set()).add(wl.matrix[i, j])
+        return state
 
     def min_observed(self) -> np.ndarray:
         masked = np.where(self.mask > 0, self.wl.matrix, np.inf)
@@ -55,7 +62,17 @@ class SimState:
 
     def reveal_or_censor(self, i: int, j: int, tolerance: float) -> None:
         """A30: pay min(true latency, tolerance); past tolerance we only learn
-        the censoring bound, not the value."""
+        the censoring bound, not the value.
+
+        Plan-equivalence cost dedup (A15/A18): hints yielding the identical
+        physical plan have byte-identical runtimes in the reference matrices
+        (the cell is a lookup of one measured plan), and the reference's
+        accounting pays each plan once — `get_exec_time` dedups observed
+        cells per union-find group (dataset.py:205-219); the demo's
+        value-equality variant (limeqo.ipynb cells 4-5) infers the group
+        from equal values exactly as done here. So a reveal whose value was
+        already revealed in this row costs nothing — same plan, already
+        measured."""
         true = self.wl.matrix[i, j]
         self.explored[i, j] = 1.0
         self.cells_explored += 1
@@ -63,7 +80,10 @@ class SimState:
             self.spent += tolerance
             self.cutoffs[i, j] = max(self.cutoffs[i, j], tolerance)
         else:
-            self.spent += true
+            seen = self._revealed_values.setdefault(i, set())
+            if true not in seen:
+                self.spent += true
+                seen.add(true)
             self.mask[i, j] = 1.0
 
     def metrics(self, training_time: float, inference_time: float) -> dict:
