@@ -92,7 +92,8 @@ def main() -> None:
         from limeqo_spark.strategies import LimeQOPlusStrategy
 
         t0 = time.perf_counter()
-        rec = LimeQOPlusStrategy(wl, k=8, seed=1, max_rounds=500, time_budget=90.0).run()
+        # no k override: LimeQO+ uses the reference's k=32 batches
+        rec = LimeQOPlusStrategy(wl, seed=1, max_rounds=500, time_budget=90.0).run()
         timings["sim_job_limeqo_plus"] = round(time.perf_counter() - t0, 3)
         sim["sim_job_limeqo_plus_final_latency"] = round(
             float(rec[-1]["total_latency"]), 2
