@@ -27,6 +27,8 @@ HEADLINE = [
     "q14_asof_join",  # as-of via union+window
     "q15_star_join",  # 5-table star
     "q16_tpch_q1_agg",  # TPC-H Q1 aggregate
+    "q48_tpch_q5_local_volume",  # 6-table TPC-H Q5 shape
+    "q46_partition_pruned_scan",  # partitioned write + pruned read
     "q17_count_distinct",
     "q21_sort_limit",  # top-K
     "q23_ranking_windows",

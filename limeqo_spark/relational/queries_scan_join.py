@@ -495,3 +495,178 @@ def skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q46_partition_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT CAST(MIN(ts) AS DATE) FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 at scale made explicit: write events PARTITIONED BY event_date,
+    read back filtering one date — the filter must become a partition
+    filter (directory pruning; at 100 TB this is the difference between
+    scanning one day and scanning the lake). The oracle computes the same
+    day's aggregate from the unpartitioned table; a plan-quality test
+    asserts the pruned scan reads a single partition."""
+    df = partitioned_events(spark, sf_dir)
+    first_day = (
+        table(spark, sf_dir, "events").agg(F.min(F.col("ts").cast("date"))).collect()[0][0]
+    )
+    return (
+        df.filter(F.col("event_date") == F.lit(str(first_day)))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PARTITIONED_CACHE: dict[str, str] = {}
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str):
+    """events re-written partitioned by event_date (hive-style directories);
+    memoized per sf_dir — the layout a 100 TB event lake would use."""
+    out = _PARTITIONED_CACHE.get(sf_dir)
+    if out is None or not __import__("os").path.isdir(out):
+        out = tempfile.mkdtemp(prefix="limeqo_part_events_")
+        ev = table(spark, sf_dir, "events").withColumn(
+            "event_date", F.col("ts").cast("date").cast("string")
+        )
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(out)
+        _PARTITIONED_CACHE[sf_dir] = out
+    return spark.read.parquet(out)
+
+
+REVENUE_SQL = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - l_discount AS DECIMAL(6,2))) AS DOUBLE)"
+)
+
+
+@query(
+    "q47_tpch_q3_shipping",
+    oracle=f"""
+    SELECT l_orderkey,
+           ROUND({REVENUE_SQL}, 2) AS revenue,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter broadcast
+    into a fact-fact join, revenue in exact DECIMAL, deterministic top-10."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < "1995-03-15"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > "1995-03-15"
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(6,2)")
+    ).cast("double")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q48_tpch_q5_local_volume",
+    oracle=f"""
+    SELECT n_name, ROUND({REVENUE_SQL}, 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): 6-table join with the
+    customer-nation = supplier-nation local condition; dims broadcast."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(6,2)")
+    ).cast("double")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q49_tpch_q10_returns",
+    oracle=f"""
+    SELECT c_custkey, ROUND({REVENUE_SQL}, 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item customers): returns-filtered fact
+    joined up to customers, deterministic top-20 by lost revenue."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(6,2)")
+    ).cast("double")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.round(rev, 2).alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -110,3 +110,16 @@ def test_ivf_assignment_shuffle_free(spark):
 
     hash_exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", text)
     assert all(c.startswith("probe_id") for c in hash_exchanges), hash_exchanges
+
+
+def test_partition_pruning_reaches_directories(spark):
+    """q46: the event_date equality filter must prune at the directory
+    level (PartitionFilters in the scan), not post-filter all partitions."""
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.plans import explain_formatted
+
+    text = explain_formatted(REGISTRY["q46_partition_pruned_scan"].builder(spark, SF))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+    assert m and "event_date" in m.group(1), f"no partition filter: {m}"
