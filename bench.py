@@ -72,6 +72,10 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(spec.builder(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # each query is measured standalone: drop caches a query pinned
+        # (the dedup suite caches shingle/signature relations) so later
+        # queries aren't squeezed by leftover storage memory
+        spark.catalog.clearCache()
 
     # simulation-mode track (BASELINE.md track 1): LimeQO on the reference's
     # own matrices at its published exploration-budget checkpoints.
