@@ -296,3 +296,52 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q50_foreachbatch_sink",
+    oracle="""
+    SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> durable sink via foreachBatch: the hourly aggregate is
+    written per micro-batch to a parquet target in complete mode (each
+    batch overwrites with the latest totals — the idempotent-sink pattern;
+    at scale the same hook does MERGE INTO a lakehouse table). The check
+    reads the SINK back, proving the sink contents — not just the in-memory
+    result — match the batch oracle."""
+    stage = _stage_events(spark, sf_dir)
+    stream = _read_stream(spark, stage)
+    sink = tempfile.mkdtemp(prefix="limeqo_fb_sink_")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("ws"),
+            "n",
+            F.round(F.col("sum_value").cast("double"), 2).alias("total_value"),
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(sink)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink).orderBy("ws")
