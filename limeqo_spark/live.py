@@ -144,6 +144,11 @@ class LiveSteeringSession:
             xs.append(self._features(int(qi), int(hj)))
             ys.append(0.0 if np.isnan(lat) else lat)
             cuts.append(cut)
+        if not xs:
+            raise RuntimeError(
+                "plan-model exploration needs at least one observation; "
+                "call bootstrap() before explore(model='plan')"
+            )
         model = RidgeCostModel().fit(np.asarray(xs), np.asarray(ys), np.asarray(cuts))
         q, h = self.explored.shape
         all_feats = np.stack([self._features(qi, hj) for qi in range(q) for hj in range(h)])

@@ -72,26 +72,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-token shingle) Jaccard near-dup pairs at tau=0.6 via a
     shingle inverted-index join — only docs sharing a shingle are compared
     (the 100 TB-safe blocking; no all-pairs cross join)."""
-    c = planted_corpus(spark, sf_dir)
-    sh = token_shingles(c, 3).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb"))
-    jac = (
-        common.join(sa, "a")
-        .join(sb, "b")
-        .withColumn("jaccard_raw", F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")))
-        .filter(F.col("jaccard_raw") >= 0.6)
-    )
-    return jac.select("a", "b", F.round("jaccard_raw", 4).alias("jaccard")).orderBy("a", "b")
+    return ngram_jaccard_pairs(planted_corpus(spark, sf_dir), n=3, tau=0.6)
 
 
 @query(

@@ -95,7 +95,12 @@ def run_live(
         wl = {q: wl[q] for q in queries}
     session = LiveSteeringSession(spark, wl)
     session.bootstrap(timeout_s=timeout_s)
-    default = {qid: float(session.matrix[i, 0]) for i, qid in enumerate(session.query_ids)}
+    # a censored default run leaves matrix[i,0] NaN; record None (valid
+    # JSON) rather than letting float('nan') leak into the summary
+    default = {}
+    for i, qid in enumerate(session.query_ids):
+        v = float(session.matrix[i, 0])
+        default[qid] = v if v == v else None
     session.explore(rounds=rounds, k=k, model=model)
     best = session.best_hints()
     session.to_long_df().write.mode("overwrite").parquet(os.path.join(out_dir, "observations"))
@@ -107,10 +112,14 @@ def run_live(
                 "default_s": default[qid],
                 "best_hint": hj,
                 "best_s": lat,
-                "speedup": default[qid] / lat if lat > 0 else None,
+                "speedup": (
+                    default[qid] / lat if lat > 0 and default[qid] is not None else None
+                ),
             }
             for qid, (hj, lat) in best.items()
         },
+        # queries whose every run was censored have no best hint yet
+        "censored_only": [q for q in wl if q not in best],
         "cells_measured": sum(1 for o in session.observations if o.measured),
         "cells_inherited": sum(1 for o in session.observations if not o.measured),
     }

@@ -48,7 +48,17 @@ def salted_join(
     o.o_orderkey``); the salt equality is added on top. The salt column is
     dropped from the result, so this is a drop-in replacement for
     ``large.join(small, on, how)`` wherever the key histogram is skewed.
+
+    Only joins that preserve at most the LARGE side are supported: a
+    right/full join would emit each unmatched small-side row once per salt
+    replica (``factor`` null-padded copies instead of one).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full joins"
+        )
     lg = salt_large(large, factor, seed)
     sm = replicate_small(small, factor)
     cond = on & (lg[SALT_COL] == sm[SALT_COL])

@@ -87,6 +87,9 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         t0 = time.perf_counter()
         REGISTRY[name].builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 2)
+        # measurements are standalone: drop relations a query cached so the
+        # Nx pass isn't squeezed by 1x leftovers (same rationale as bench.py)
+        spark.catalog.clearCache()
     return out
 
 

@@ -88,3 +88,21 @@ def test_ann_ivf_agrees_with_brute_force(spark, sf_dir):
     total = sum(len(s) for s in brute_sets.values())
     assert hits / total >= 0.5, f"IVF top-5 overlap only {hits}/{total}"
     assert len(ivf_sets) == len(brute_sets), "every probe must get candidates"
+
+
+def test_corpus_shingle_df_under_cap(spark, sf_dir):
+    """Guard for dedup_ngram_jaccard_capped's oracle contract: the capped
+    variant shares the EXACT oracle, which is only sound while no shingle
+    in the planted corpus exceeds the df cap (pairs overlapping solely in
+    hot shingles would be blocked). If this fails after a corpus change,
+    the capped query's oracle must switch to cap-aware semantics."""
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.pipeline.corpus import planted_corpus, token_shingles
+
+    sh = token_shingles(planted_corpus(spark, sf_dir), 3)
+    max_df = (
+        sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        .agg(F.max("df")).collect()[0][0]
+    )
+    assert max_df <= 50, f"corpus now has a shingle with df={max_df} > cap 50"
