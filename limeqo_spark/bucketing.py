@@ -38,8 +38,58 @@ def exchanges_in_executed_plan(df: DataFrame) -> int:
     """Count shuffle exchanges in the final (post-AQE) executed plan."""
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # an adaptive plan string repeats the tree under "== Initial Plan ==";
+    # count only the final (executed) section
+    plan = plan.split("== Initial Plan ==")[0]
     return sum(
         1
         for line in plan.splitlines()
         if "Exchange hashpartitioning" in line or "Exchange rangepartitioning" in line
     )
+
+
+def ensure_bucketed_pair(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> tuple[str, str]:
+    """Materialize ``lineitem`` and ``orders`` hash-bucketed (and sorted) by
+    order key — the ingest-time layout a 100 TB lake would use so every
+    downstream orderkey join/agg runs without re-shuffling the fact table.
+    Idempotent per (warehouse, sf_dir); returns the two table names.
+
+    The bucketed copies carry only the columns the colocated surface needs:
+    bucketing is a physical-layout decision, and at scale you bucket the
+    curated fact projection, not every raw column.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    from limeqo_spark.io import table
+
+    def _drop_stale_location(name: str) -> None:
+        # the default in-memory catalog forgets tables between sessions but
+        # their warehouse directories persist; saveAsTable refuses to reuse
+        # an unregistered location, so clear it first
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        shutil.rmtree(f"{wh.path or wh.geturl()}/{name}", ignore_errors=True)
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    li_name, o_name = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    if not spark.catalog.tableExists(li_name):
+        _drop_stale_location(li_name)
+        write_bucketed(
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+            ),
+            li_name,
+            ["l_orderkey"],
+            n_buckets,
+        )
+    if not spark.catalog.tableExists(o_name):
+        _drop_stale_location(o_name)
+        write_bucketed(
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+            ),
+            o_name,
+            ["o_orderkey"],
+            n_buckets,
+        )
+    return li_name, o_name

@@ -670,3 +670,37 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q51_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Colocated fact-fact join over ingest-time bucketed tables (SURVEY
+    §4.4): lineitem and orders are materialized hash-bucketed by orderkey,
+    so the join plans as a bucket-local SortMergeJoin with NO Exchange on
+    either input — at 100 TB the fact table is shuffled once at ingest,
+    never per query. Oracle is the plain join; a plan test asserts the
+    exchange count."""
+    from limeqo_spark.bucketing import ensure_bucketed_pair
+
+    li_name, o_name = ensure_bucketed_pair(spark, sf_dir)
+    li, o = spark.table(li_name), spark.table(o_name)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

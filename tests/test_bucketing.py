@@ -93,3 +93,30 @@ def test_salted_join_equals_plain_join(spark):
         .agg(F.countDistinct(SALT_COL).alias("buckets")).collect()
     )
     assert all(r["buckets"] >= 6 for r in spread), spread
+
+
+def test_ensure_bucketed_pair_join_is_bucket_local(spark):
+    """q51's ingest layout: a forced SortMergeJoin over the bucketed pair
+    needs no exchange on either input (only the final agg shuffles its
+    few-row partials), while the same SMJ over raw parquet shuffles both
+    fact sides."""
+    from limeqo_spark.bucketing import ensure_bucketed_pair
+
+    sf = "/root/testdata/sf0.001"
+    li_name, o_name = ensure_bucketed_pair(spark, sf)
+    bucketed = (
+        spark.table(li_name).hint("MERGE")
+        .join(spark.table(o_name), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    plain = (
+        table(spark, sf, "lineitem").hint("MERGE")
+        .join(table(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    n_bucketed = exchanges_in_executed_plan(bucketed)
+    n_plain = exchanges_in_executed_plan(plain)
+    assert n_bucketed == 1, f"expected only the agg exchange, got {n_bucketed}"
+    assert n_plain >= 3, f"plain SMJ should shuffle both sides + agg, got {n_plain}"
