@@ -113,6 +113,56 @@ def steering_workload(
             .agg(F.avg("value").alias("avg_v"))
         )
 
+    def union_branches() -> DataFrame:
+        # n-ary union feeding a join: the binarizer/steering must handle
+        # union plans (SURVEY A23 note); two order slices deduped then
+        # joined up to customer
+        urgent = t("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        big = t("orders").filter(F.col("o_totalprice") > 300000)
+        u = urgent.unionByName(big).dropDuplicates(["o_orderkey"])
+        return (
+            u.join(t("customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+
+    def window_topn() -> DataFrame:
+        # rank-per-group before the join: window + join-order interplay
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), "l_linenumber")
+        top = t("lineitem").withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+        return (
+            top.join(t("part"), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.sum("l_extendedprice").alias("top_price"))
+        )
+
+    def outer_null_seg() -> DataFrame:
+        # DSB-ish left outer join with null-segment accounting: outer joins
+        # constrain the planner (no semi-join conversion, build-side rules)
+        return (
+            t("customer")
+            .join(t("orders"), F.col("c_custkey") == F.col("o_custkey"), "left")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("o_orderkey").alias("n_orders"),
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+                    "never_ordered"
+                ),
+            )
+        )
+
+    def docs_filter_join() -> DataFrame:
+        # training-pipeline shape: filtered corpus joined to its embeddings
+        # (doc_id == vec_id in the fixtures), aggregated per lang/label
+        d = t("documents").filter(F.col("n_chars") > 200)
+        return (
+            d.join(t("embeddings"), F.col("doc_id") == F.col("vec_id"))
+            .groupBy("lang", "label")
+            .agg(F.count("*").alias("n"), F.avg("n_chars").alias("avg_chars"))
+        )
+
     return {
         "star_5way": star_5way,
         "chain_supplier": chain_supplier,
@@ -122,4 +172,8 @@ def steering_workload(
         "agg_rollup": agg_rollup,
         "fact_fact": fact_fact,
         "skewed_dim": skewed_dim,
+        "union_branches": union_branches,
+        "window_topn": window_topn,
+        "outer_null_seg": outer_null_seg,
+        "docs_filter_join": docs_filter_join,
     }

@@ -99,7 +99,7 @@ def test_steering_workload_shapes(spark):
     from limeqo_spark.workloads import steering_workload
 
     wl = steering_workload(spark, SF)
-    assert len(wl) == 8
+    assert len(wl) == 12
     separating = 0
     probe_sets = [H.REGISTRY[0], H.REGISTRY[17], H.REGISTRY[48]]  # default / merge / assists-off
     for name, build in wl.items():
@@ -110,7 +110,7 @@ def test_steering_workload_shapes(spark):
                 fps.add(plan_hash(build()))
         if len(fps) > 1:
             separating += 1
-    assert separating >= 6, f"only {separating}/8 workloads separate hint sets"
+    assert separating >= 10, f"only {separating}/12 workloads separate hint sets"
 
 
 def test_live_session_on_workload_registry(spark):
