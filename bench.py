@@ -29,6 +29,7 @@ HEADLINE = [
     "q16_tpch_q1_agg",  # TPC-H Q1 aggregate
     "q48_tpch_q5_local_volume",  # 6-table TPC-H Q5 shape
     "q46_partition_pruned_scan",  # partitioned write + pruned read
+    "q51_bucketed_colocated_join",  # ingest-time bucketing, shuffle-free join
     "q17_count_distinct",
     "q21_sort_limit",  # top-K
     "q23_ranking_windows",
@@ -118,6 +119,17 @@ def main() -> None:
             float(rec[-1]["total_latency"]) / 3600, 4
         )
 
+        t0 = time.perf_counter()
+        # baseline CEB@0.75h: LimeQO 1.615 h, LimeQO+ 1.293 h (the latter
+        # needs the unshipped plan corpus; our fallback lands between)
+        rec = LimeQOPlusStrategy(
+            wl_ceb, seed=1, max_rounds=100_000, time_budget=0.75 * 3600
+        ).run()
+        timings["sim_ceb_limeqo_plus"] = round(time.perf_counter() - t0, 3)
+        sim["sim_ceb_limeqo_plus_final_latency_h"] = round(
+            float(rec[-1]["total_latency"]) / 3600, 4
+        )
+
         wl_dsb = Workload.from_reference(
             "/root/reference/dataset/dsb-matrix.csv",
             "/root/reference/dataset/init_dsb_mask.npy",
@@ -128,6 +140,16 @@ def main() -> None:
         ).run()  # baseline LimeQO@1.19h: 3.822 h (default 4.75 h)
         timings["sim_dsb_limeqo"] = round(time.perf_counter() - t0, 3)
         sim["sim_dsb_limeqo_final_latency_h"] = round(
+            float(rec[-1]["total_latency"]) / 3600, 4
+        )
+
+        t0 = time.perf_counter()
+        # baseline DSB@1.19h: LimeQO+ 3.407 h
+        rec = LimeQOPlusStrategy(
+            wl_dsb, seed=1, max_rounds=100_000, time_budget=1.19 * 3600
+        ).run()
+        timings["sim_dsb_limeqo_plus"] = round(time.perf_counter() - t0, 3)
+        sim["sim_dsb_limeqo_plus_final_latency_h"] = round(
             float(rec[-1]["total_latency"]) / 3600, 4
         )
     except Exception:  # sim track must never sink the bench line
