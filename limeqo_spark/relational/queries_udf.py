@@ -148,3 +148,71 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("node_type", "depth")
     )
+
+
+@query(
+    "q52_python_udtf_lateral",
+    oracle="""
+    WITH toks AS (SELECT p_partkey, string_split(p_name, ' ') AS ts FROM part)
+    SELECT p_partkey,
+           CAST(generate_subscripts(ts, 1) - 1 AS INT) AS pos,
+           UNNEST(ts) AS token
+    FROM toks ORDER BY p_partkey, pos
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43 as a real Python UDTF (Spark 3.5+ ``@udtf``): one part name in,
+    one row per token out, applied per input row via SQL LATERAL — the
+    native table-function surface, complementing q43's mapInPandas route.
+    Runs distributed: the UDTF evaluates on executors per partition."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class SplitTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate((text or "").split(" ")):
+                if tok:
+                    yield i, tok
+
+    spark.udtf.register("limeqo_split_tokens", SplitTokens)
+    table(spark, sf_dir, "part").createOrReplaceTempView("limeqo_q52_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.pos, s.token
+        FROM limeqo_q52_part p, LATERAL limeqo_split_tokens(p.p_name) s
+        ORDER BY p.p_partkey, s.pos
+        """
+    )
+
+
+@query(
+    "q53_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS ks,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
+    FROM events WHERE props IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4.x): parse events.props into a
+    VARIANT column once, then typed ``variant_get`` extractions feed the
+    aggregate — the open-schema JSON lake pattern (vs q03's fixed
+    from_json schema, which requires knowing the schema up front)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = ev.withColumn("v", F.parse_json("props"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).cast("bigint").alias("ks"),
+            F.max(k).cast("bigint").alias("k_max"),
+            F.sum(F.when(k > 50, 1).otherwise(0)).cast("bigint").alias("n_hot"),
+        )
+        .orderBy("event_type")
+    )
