@@ -345,3 +345,55 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(sink).orderBy("ws")
+
+
+@query(
+    "q54_stream_stream_join",
+    oracle="""
+    SELECT a.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(epoch_ns(b.ts) // 1000 - epoch_ns(a.ts) // 1000) AS BIGINT)
+               AS min_lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND epoch_ns(b.ts) // 1000 >= epoch_ns(a.ts) // 1000
+     AND epoch_ns(b.ts) // 1000 <= epoch_ns(a.ts) // 1000 + 1800000000
+    GROUP BY a.user_id ORDER BY a.user_id
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the remaining Structured Streaming join
+    surface): clicks joined to purchases by the same user within 30
+    minutes, both sides watermarked so the join state is bounded — at
+    100 TB/day the watermark is what keeps per-user join state from
+    growing without bound. The streaming part is the join (append mode);
+    the deterministic per-user rollup happens on the sink table. Oracle is
+    the equivalent batch interval join at Spark's microsecond timestamp
+    precision (the raw fixture carries TIMESTAMP_NANOS)."""
+    stage = _stage_events(spark, sf_dir)
+    clicks = (
+        _read_stream(spark, stage)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "10 minutes")
+    )
+    purchases = (
+        _read_stream(spark, stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("cu = pu AND pts >= cts AND pts <= cts + interval 30 minutes"),
+    ).select(
+        F.col("cu").alias("user_id"),
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+    )
+    pairs = _run_stream(joined, "append")
+    return (
+        pairs.groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"), F.min("lag_us").alias("min_lag_us"))
+        .orderBy("user_id")
+    )
