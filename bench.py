@@ -96,6 +96,21 @@ def main() -> None:
         timings["sim_job_limeqo"] = round(time.perf_counter() - t0, 3)
         sim["sim_job_limeqo_final_latency"] = round(float(rec[-1]["total_latency"]), 2)
 
+        # baseline-table companions at JOB@90s: Random 138.4 s (20-rep
+        # mean), Greedy 120.4 s
+        from limeqo_spark.strategies import GreedyStrategy, RandomStrategy
+
+        t0 = time.perf_counter()
+        rnd = [
+            RandomStrategy(wl, k=8, seed=s, max_rounds=200, time_budget=90.0)
+            .run()[-1]["total_latency"]
+            for s in range(1, 6)
+        ]
+        sim["sim_job_random_final_latency"] = round(sum(rnd) / len(rnd), 2)
+        rec = GreedyStrategy(wl, k=8, seed=1, max_rounds=200, time_budget=90.0).run()
+        sim["sim_job_greedy_final_latency"] = round(float(rec[-1]["total_latency"]), 2)
+        timings["sim_job_random_greedy"] = round(time.perf_counter() - t0, 3)
+
         from limeqo_spark.strategies import LimeQOPlusStrategy
 
         t0 = time.perf_counter()

@@ -52,6 +52,7 @@ DEFAULT_QUERIES = [
     "dedup_simhash",
     "ann_ivf_topk",
     "skew_salted_join",
+    "q51_bucketed_colocated_join",
 ]
 
 
