@@ -47,6 +47,13 @@ class LiveSteeringSession:
     iters: int = 50
     lam: float = 0.2
     seed: int = 0
+    #: run each query's default plan once unmeasured before its measured
+    #: bootstrap run: otherwise hint 0 is the only cold-cache measurement
+    #: and every alternative looks spuriously fast against it
+    warmup: bool = True
+    #: median-of-N measurements per executed cell (reference A10 semantics:
+    #: the training label is the median of repeated runs)
+    repeats: int = 1
 
     def __post_init__(self) -> None:
         self.query_ids = list(self.queries)
@@ -117,8 +124,18 @@ class LiveSteeringSession:
         """Run one (query, hint) cell live; fan the result out to every
         plan-equivalent hint of that query (A15/A18: pay each plan once)."""
         build = self.queries[self.query_ids[qi]]
-        run = run_steered(self.spark, build, self.hint_sets[hj], timeout_s)
-        self._record(qi, hj, run.latency, run.censor_cutoff, run.plan_hash, True)
+        runs = []
+        for _ in range(max(1, self.repeats)):
+            runs.append(run_steered(self.spark, build, self.hint_sets[hj], timeout_s))
+            if runs[-1].latency is None:  # censored: don't pay the budget again
+                break
+        run = runs[-1]
+        latency = (
+            None
+            if run.latency is None
+            else float(np.median([r.latency for r in runs]))
+        )
+        self._record(qi, hj, latency, run.censor_cutoff, run.plan_hash, True)
         for other_hj, fp in self._fingerprints(qi).items():
             if other_hj != hj and fp == run.plan_hash and self.explored[qi, other_hj] == 0:
                 self._record(qi, other_hj, run.latency, run.censor_cutoff, fp, False)
@@ -129,6 +146,14 @@ class LiveSteeringSession:
         observed default column (reference invariant: mask[:,0] == 1)."""
         for qi in range(len(self.query_ids)):
             if self.explored[qi, 0] == 0:
+                if self.warmup:
+                    # unmeasured priming run (same budget kill protection)
+                    run_steered(
+                        self.spark,
+                        self.queries[self.query_ids[qi]],
+                        self.hint_sets[0],
+                        timeout_s,
+                    )
                 self.execute_cell(qi, 0, timeout_s)
 
     def _predict_plan_model(self) -> np.ndarray:

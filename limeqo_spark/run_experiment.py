@@ -79,6 +79,7 @@ def run_live(
     timeout_s: float = 300.0,
     model: str = "als",
     queries: list[str] | None = None,
+    repeats: int = 1,
 ) -> dict:
     """Live-mode experiment: steer the workload registry's queries across
     the 49 HintSets with real executions (the boundary the reference only
@@ -93,7 +94,7 @@ def run_live(
     wl = steering_workload(spark, sf_dir)
     if queries:
         wl = {q: wl[q] for q in queries}
-    session = LiveSteeringSession(spark, wl)
+    session = LiveSteeringSession(spark, wl, repeats=repeats)
     session.bootstrap(timeout_s=timeout_s)
     # a censored default run leaves matrix[i,0] NaN; record None (valid
     # JSON) rather than letting float('nan') leak into the summary
@@ -143,10 +144,13 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--model", default="als", choices=["als", "plan"])
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="live mode: median-of-N measurements per cell")
     args = ap.parse_args()
     if args.live:
         summary = run_live(
-            args.sf_dir, args.out, rounds=args.rounds, k=args.k, model=args.model
+            args.sf_dir, args.out, rounds=args.rounds, k=args.k, model=args.model,
+            repeats=args.repeats,
         )
         print(json.dumps(summary, indent=2))
         return
