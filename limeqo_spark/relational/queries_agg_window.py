@@ -349,3 +349,41 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n1, n2, diff == 0)], "n1 bigint, n2 bigint, consistent boolean"
     )
+
+
+@query(
+    "q56_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f_cnt,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o_cnt,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p_cnt,
+           ROUND(CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE), 2) AS f_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide conditional aggregation): order counts and F-status
+    price per priority, statuses as columns. Values are pinned explicitly —
+    at 100 TB an unpinned pivot pays a full distinct-values pass before the
+    real aggregation; a pinned one is a single pass."""
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("price"),
+        )
+    )
+    return (
+        piv.select(
+            "o_orderpriority",
+            F.coalesce("F_cnt", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O_cnt", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P_cnt", F.lit(0)).alias("p_cnt"),
+            F.round(F.coalesce(F.col("F_price").cast("double"), F.lit(0.0)), 2).alias("f_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
