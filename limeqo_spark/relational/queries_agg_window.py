@@ -387,3 +387,69 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q57_cube_grouping",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, n_name) ORDER BY gid, region, nation
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 completed: CUBE over (region, nation) with grouping_id — all four
+    grouping sets in one pass (partial aggregation handles the expansion;
+    no four-scan union)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.cube("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gid",
+            "n_cust",
+            "bal",
+        )
+        .orderBy("gid", "region", "nation")
+    )
+
+
+@query(
+    "q58_string_agg",
+    oracle="""
+    SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: collect_list is shuffle-order-
+    dependent, so the list is sorted before joining — the only way a
+    string_agg hash-matches across engines (and across AQE layouts)."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("r_name")
+    )
