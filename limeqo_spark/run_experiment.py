@@ -26,8 +26,19 @@ REFERENCE_DATASET_DIR = "/root/reference/dataset"
 
 
 def load_dataset(name: str) -> Workload:
+    matrix = f"{REFERENCE_DATASET_DIR}/{name}-matrix.csv"
+    if not os.path.exists(matrix):
+        # the reference ships init_stack_mask.npy (6191x49) but its matrix
+        # CSV is a missing large blob in the snapshot — simulation needs
+        # the measured latencies, so say exactly that instead of crashing
+        # deep inside pandas
+        raise FileNotFoundError(
+            f"{matrix} is not in the reference snapshot (the stack matrix "
+            "is a missing large blob); simulation mode needs the measured "
+            "latency matrix. Available: job, ceb, dsb."
+        )
     return Workload.from_reference(
-        f"{REFERENCE_DATASET_DIR}/{name}-matrix.csv",
+        matrix,
         f"{REFERENCE_DATASET_DIR}/init_{name}_mask.npy",
     )
 
@@ -131,7 +142,7 @@ def run_live(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="job", choices=["job", "ceb", "dsb"])
+    ap.add_argument("--dataset", default="job", choices=["job", "ceb", "dsb", "stack"])
     ap.add_argument("--out", default="/tmp/limeqo_experiment")
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--k", type=int, default=8)

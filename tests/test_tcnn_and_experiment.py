@@ -157,3 +157,21 @@ def test_live_experiment_cli(tmp_path, spark):
     obs = spark.read.parquet(str(tmp_path / "observations"))
     assert obs.count() == summary["cells_measured"] + summary["cells_inherited"]
     assert (tmp_path / "live_summary.json").exists()
+
+
+def test_stack_dataset_mask_facts_and_missing_matrix():
+    """The reference ships the Stack mask but its matrix CSV is a missing
+    large blob: loading must fail with a message that says so, and the
+    mask itself must match the published facts (BASELINE.md: 6191x49,
+    ~11% density, default column fully observed)."""
+    import numpy as np
+    import pytest
+
+    from limeqo_spark.run_experiment import load_dataset
+
+    with pytest.raises(FileNotFoundError, match="missing large blob"):
+        load_dataset("stack")
+    m = np.load("/root/reference/dataset/init_stack_mask.npy")
+    assert m.shape == (6191, 49)
+    assert (m[:, 0] == 1).all()
+    assert 0.09 < m.mean() < 0.13
