@@ -70,6 +70,29 @@ class Workload:
         mask[:, 0] = 1.0  # default plan always observed
         return cls(np.abs(m), mask)
 
+    @classmethod
+    def from_long_df(cls, long_df: DataFrame) -> Workload:
+        """Rebuild from the long observations form (``to_long_df`` output or
+        a ``LiveSteeringSession`` observations table persisted to Parquet):
+        NULL latency = unobserved. Closes the live -> Parquet -> sim loop —
+        a live-collected matrix can be re-explored or analyzed offline with
+        the same strategy code. Unobserved cells are 0 in ``matrix`` and 0
+        in ``mask``; only mask-respecting consumers (everything in this
+        module) may touch them."""
+        pdf = (
+            long_df.select("query_id", "hint_id", "latency")
+            .groupBy("query_id")
+            .pivot("hint_id")
+            .agg(F.min("latency"))
+            .toPandas()
+            .set_index("query_id")
+            .sort_index()
+        )
+        pdf = pdf[sorted(pdf.columns, key=int)]
+        m = pdf.to_numpy(dtype=np.float64)
+        mask = (~np.isnan(m)).astype(np.float64)
+        return cls(np.nan_to_num(m, nan=0.0), mask, list(pdf.index))
+
     # --- Spark projections ---
     def to_long_df(self, spark: SparkSession) -> DataFrame:
         q, h = self.matrix.shape

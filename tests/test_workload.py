@@ -71,3 +71,20 @@ def test_equivalence_groups(long_df):
     for groups in by_q.values():
         assert min(groups) == 1
         assert max(groups) == len(groups)
+
+
+def test_workload_long_form_roundtrip(spark):
+    """from_long_df inverts to_long_df: matrix values on observed cells,
+    mask everywhere, and query ids survive the Parquet-shaped round trip."""
+    import numpy as np
+
+    from limeqo_spark.workload import Workload
+
+    wl = Workload.synthetic_low_rank(n_rows=12, n_cols=7, seed=3, density=0.4)
+    back = Workload.from_long_df(wl.to_long_df(spark))
+    assert back.query_ids == sorted(wl.query_ids)
+    order = [wl.query_ids.index(q) for q in back.query_ids]
+    np.testing.assert_array_equal(back.mask, wl.mask[order])
+    np.testing.assert_allclose(
+        back.matrix * back.mask, (wl.matrix * wl.mask)[order], rtol=1e-12
+    )
