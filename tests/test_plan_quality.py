@@ -123,3 +123,27 @@ def test_partition_pruning_reaches_directories(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
     assert m and "event_date" in m.group(1), f"no partition filter: {m}"
+
+
+def test_pivot_is_single_pass(spark):
+    """q56 pins its pivot values, so the plan is one scan of orders feeding
+    partial+final aggregation — no distinct-values pre-pass (which would
+    show as a second scan)."""
+    plan = plan_of(spark, "q56_pivot")
+    assert plan.count("Scan parquet") == 2  # one node: tree + details section
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cube_expands_once(spark):
+    """q57's CUBE runs all four grouping sets via a single Expand over one
+    pass of the data — not a union of four aggregations."""
+    plan = plan_of(spark, "q57_cube_grouping")
+    assert plan.count("Expand") == 2  # exactly one Expand node
+    assert plan.count("Scan parquet") == 6  # customer+nation+region, once each
+
+
+def test_variant_filter_pushdown(spark):
+    """q53's props IS NOT NULL must reach the parquet scan even though the
+    column is consumed as VARIANT downstream."""
+    plan = plan_of(spark, "q53_variant_json")
+    assert "IsNotNull(props)" in plan
