@@ -704,3 +704,92 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q59_tpch_q4_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a cross-table predicate.
+    Written as SQL so Catalyst's subquery decorrelation turns it into a
+    left-semi join (the node DSB's plans exercise) — no manual rewrite."""
+    from limeqo_spark.io import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q60_tpch_q18_in_subquery",
+    oracle="""
+    SELECT o_orderkey, ROUND(CAST(qty AS DOUBLE), 2) AS qty FROM (
+      SELECT l_orderkey AS o_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    ) t ORDER BY qty DESC, o_orderkey LIMIT 50
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 core (large-volume orders): aggregate-in-subquery with a
+    HAVING threshold feeding a deterministic top-N — the IN-over-grouped
+    pattern Catalyst plans as agg -> filter -> TakeOrdered."""
+    from limeqo_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(CAST(qty AS DOUBLE), 2) AS qty FROM (
+          SELECT l_orderkey AS o_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+        ) t ORDER BY qty DESC, o_orderkey LIMIT 50
+        """
+    )
+
+
+@query(
+    "q61_tpch_q17_scalar_subquery",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_size < 10
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery (per-part average) under
+    the outer predicate. Catalyst decorrelates it into an aggregate joined
+    back on p_partkey — one pass over lineitem per side, no per-row
+    re-execution."""
+    from limeqo_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_size < 10
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )

@@ -147,3 +147,13 @@ def test_variant_filter_pushdown(spark):
     column is consumed as VARIANT downstream."""
     plan = plan_of(spark, "q53_variant_json")
     assert "IsNotNull(props)" in plan
+
+
+def test_subqueries_decorrelate_to_joins(spark):
+    """q59's EXISTS must become a left-semi join and q61's correlated scalar
+    subquery an aggregate joined back — zero Subquery nodes survive (a
+    per-row subquery re-execution would be catastrophic at scale)."""
+    p59 = plan_of(spark, "q59_tpch_q4_exists")
+    assert "LeftSemi" in p59 and "Subquery" not in p59
+    p61 = plan_of(spark, "q61_tpch_q17_scalar_subquery")
+    assert "Subquery" not in p61 and p61.count("Join") >= 2
