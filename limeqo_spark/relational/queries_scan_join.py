@@ -793,3 +793,31 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
         """
     )
+
+
+@query(
+    "q62_binned_range_join",
+    oracle="""
+    SELECT a.event_type AS ta, b.event_type AS tb, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events a JOIN events b
+      ON epoch_ns(b.ts) // 1000 > epoch_ns(a.ts) // 1000
+     AND epoch_ns(b.ts) // 1000 <= epoch_ns(a.ts) // 1000 + 300000000
+    GROUP BY ta, tb ORDER BY ta, tb
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join (no equality key) via limeqo_spark.rangejoin:
+    binning turns the would-be BroadcastNestedLoopJoin into an equi-join on
+    the bin number (plan-gated). Counts event-type pairs within 5 minutes;
+    oracle is DuckDB's IEJoin over the same microsecond-precision bound."""
+    from limeqo_spark.rangejoin import binned_range_join
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(F.col("event_type").alias("ta"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_type").alias("tb"), F.col("ts").alias("ts_b"))
+    pairs = binned_range_join(a, b, F.col("ts_a"), F.col("ts_b"), 300.0)
+    return (
+        pairs.groupBy("ta", "tb")
+        .agg(F.count("*").alias("n"))
+        .orderBy("ta", "tb")
+    )

@@ -157,3 +157,14 @@ def test_subqueries_decorrelate_to_joins(spark):
     assert "LeftSemi" in p59 and "Subquery" not in p59
     p61 = plan_of(spark, "q61_tpch_q17_scalar_subquery")
     assert "Subquery" not in p61 and p61.count("Join") >= 2
+
+
+def test_range_join_is_binned_not_nested_loop(spark):
+    """q62: the pure time-range join must plan as an equi-join on the bin
+    number — BroadcastNestedLoopJoin/CartesianProduct would be M x N."""
+    plan = plan_of(spark, "q62_binned_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
