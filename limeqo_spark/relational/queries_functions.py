@@ -218,3 +218,79 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_tokens"), F.countDistinct("tok").alias("n_distinct"))
         .orderBy("lang")
     )
+
+
+@query("q63_stratified_sample", oracle=None, check="prop")
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions over
+    order priorities — the rebalancing primitive for skewed training-data
+    classes. PROP: per-stratum counts within 4 sigma of fraction * N and
+    the seeded sample reproduces itself exactly (same seed => same rows).
+
+    Returns (stratum, n_total, n_sampled, frac, ok)."""
+    o = table(spark, sf_dir, "orders")
+    fractions = {"1-URGENT": 0.5, "2-HIGH": 0.2, "3-MEDIUM": 0.1,
+                 "4-NOT SPECIFIED": 0.05, "5-LOW": 0.01}
+    s1 = o.sampleBy("o_orderpriority", fractions, seed=41)
+    s2 = o.sampleBy("o_orderpriority", fractions, seed=41)
+    rerun_equal = s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    totals = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_total"))
+    sampled = s1.groupBy("o_orderpriority").agg(F.count("*").alias("n_sampled"))
+    frac_col = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(v))]
+    )[F.col("o_orderpriority")]
+    return (
+        totals.join(sampled, "o_orderpriority", "left")
+        .na.fill({"n_sampled": 0})
+        .withColumn("frac", frac_col)
+        .withColumn(
+            "ok",
+            (
+                F.abs(F.col("n_sampled") - F.col("frac") * F.col("n_total"))
+                <= 4 * F.sqrt(F.col("frac") * (1 - F.col("frac")) * F.col("n_total")) + 1
+            )
+            & F.lit(rerun_equal),
+        )
+        .select(
+            F.col("o_orderpriority").alias("stratum"),
+            "n_total", "n_sampled",
+            F.round("frac", 2).alias("frac"),
+            "ok",
+        )
+        .orderBy("stratum")
+    )
+
+
+@query("q64_sized_file_sink", oracle=None, check="prop")
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-file sizing (maxRecordsPerFile): the lake-management knob that
+    keeps 100 TB writes from producing either 10-GB unsplittable files or
+    millions of tiny ones. PROP: every written file respects the record
+    cap, the row count survives the roundtrip, and the writer produced at
+    least ceil(rows/cap) files. Returns one row of the checked facts."""
+    import glob
+    import math
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    cap = 50_000
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="limeqo_q64_")
+    li.write.mode("overwrite").option("maxRecordsPerFile", cap).parquet(out)
+    files = glob.glob(f"{out}/*.parquet")
+    per_file = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    n_in = li.count()
+    n_back = spark.read.parquet(out).count()
+    ok = (
+        bool(per_file)
+        and max(per_file) <= cap
+        and n_back == n_in
+        and len(files) >= math.ceil(n_in / cap)
+    )
+    return spark.createDataFrame(
+        [(n_in, n_back, len(files), max(per_file) if per_file else 0, ok)],
+        "rows_in bigint, rows_back bigint, n_files int, max_file_rows bigint, ok boolean",
+    )
