@@ -138,7 +138,7 @@ class Strategy:
         k: int = 8,
         seed: int = 0,
         max_rounds: int = 100_000,
-        slack: float = 20.0,
+        slack: float | None = 20.0,
         time_budget: float | None = None,
     ) -> None:
         self.wl = wl
@@ -165,6 +165,12 @@ class Strategy:
     def stopped(self) -> bool:
         if self.time_budget is not None and self.state.spent >= self.time_budget:
             return True
+        if self.slack is None:
+            # golden-curve mode: the reference's shipped experiment JSONs
+            # descend to ~optimal (experiment/job/limeqo/*.json end at 68.2
+            # vs opt 68, far below opt+20), so full-curve parity runs must
+            # not freeze at the opt+slack crossing
+            return bool(self.state.explored.all())
         return float(self.state.min_observed().sum()) <= self.wl.opt_time + self.slack
 
     def random_fill(self, chosen: list[tuple[int, int]]) -> list[tuple[int, int]]:
