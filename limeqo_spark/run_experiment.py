@@ -98,13 +98,17 @@ def run_live(
     JSON; returns the summary."""
     from limeqo_spark.live import LiveSteeringSession
     from limeqo_spark.session import get_spark
-    from limeqo_spark.workloads import steering_workload
+    from limeqo_spark.workloads import manifest_workload, steering_workload
 
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("limeqo_live_experiment")
     wl = steering_workload(spark, sf_dir)
     if queries:
-        wl = {q: wl[q] for q in queries}
+        # names not in the synthetic registry resolve against the manifest:
+        # any oracle-checked query is steerable
+        manifest_names = [q for q in queries if q not in wl]
+        wl = {q: wl[q] for q in queries if q in wl}
+        wl.update(manifest_workload(spark, sf_dir, manifest_names))
     session = LiveSteeringSession(spark, wl, repeats=repeats)
     session.bootstrap(timeout_s=timeout_s)
     # a censored default run leaves matrix[i,0] NaN; record None (valid
@@ -157,11 +161,13 @@ def main() -> None:
     ap.add_argument("--model", default="als", choices=["als", "plan"])
     ap.add_argument("--repeats", type=int, default=1,
                     help="live mode: median-of-N measurements per cell")
+    ap.add_argument("--queries", default=None,
+                    help="live mode: comma-separated workload/manifest query names")
     args = ap.parse_args()
     if args.live:
         summary = run_live(
             args.sf_dir, args.out, rounds=args.rounds, k=args.k, model=args.model,
-            repeats=args.repeats,
+            repeats=args.repeats, queries=args.queries.split(",") if args.queries else None,
         )
         print(json.dumps(summary, indent=2))
         return

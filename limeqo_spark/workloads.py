@@ -177,3 +177,18 @@ def steering_workload(
         "outer_null_seg": outer_null_seg,
         "docs_filter_join": docs_filter_join,
     }
+
+
+def manifest_workload(
+    spark: SparkSession, sf_dir: str, names: list[str]
+) -> dict[str, Callable[[], DataFrame]]:
+    """Adapt manifest queries (relational/pipeline registry entries) into
+    live steering targets: any oracle-checked query can be explored across
+    the HintSet space, not just the synthetic shapes above."""
+    from limeqo_spark.manifest import REGISTRY
+
+    def closure(name: str) -> Callable[[], DataFrame]:
+        spec = REGISTRY[name]
+        return lambda: spec.builder(spark, sf_dir)
+
+    return {name: closure(name) for name in names}

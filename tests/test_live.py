@@ -126,3 +126,13 @@ def test_live_session_on_workload_registry(spark):
     best = s.best_hints()
     assert set(best) == set(sub)
     assert all(lat > 0 for _, lat in best.values())
+
+
+def test_manifest_queries_steerable(spark):
+    """Any manifest query adapts into a live steering target."""
+    from limeqo_spark.workloads import manifest_workload
+
+    wl = manifest_workload(spark, SF, ["q47_tpch_q3_shipping", "q16_tpch_q1_agg"])
+    assert set(wl) == {"q47_tpch_q3_shipping", "q16_tpch_q1_agg"}
+    for build in wl.values():
+        assert build().limit(1).count() >= 0
