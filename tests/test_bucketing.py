@@ -120,3 +120,40 @@ def test_ensure_bucketed_pair_join_is_bucket_local(spark):
     n_plain = exchanges_in_executed_plan(plain)
     assert n_bucketed == 1, f"expected only the agg exchange, got {n_bucketed}"
     assert n_plain >= 3, f"plain SMJ should shuffle both sides + agg, got {n_plain}"
+
+
+def test_binned_range_join_matches_brute_force(spark):
+    """Property: binned_range_join == the O(M*N) definition on random
+    timestamps, including bin-boundary pairs (the replicate-to-next-bin
+    edge case)."""
+    import itertools
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.rangejoin import binned_range_join
+
+    rng = np.random.default_rng(11)
+    gap_s = 60.0
+    # cluster timestamps near bin boundaries to stress the +1-bin replica
+    base = 1_700_000_000_000_000  # us
+    ts = base + (rng.integers(0, 40, 300) * 60_000_000
+                 + rng.integers(-2_000_000, 2_000_000, 300))
+    rows = [(int(i), int(t)) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "id bigint, us bigint").withColumn(
+        "ts", F.timestamp_micros(F.col("us"))
+    )
+    a = df.select(F.col("id").alias("ia"), F.col("ts").alias("ta"))
+    b = df.select(F.col("id").alias("ib"), F.col("ts").alias("tb"))
+    got = {
+        (r.ia, r.ib)
+        for r in binned_range_join(a, b, F.col("ta"), F.col("tb"), gap_s).collect()
+    }
+    gap_us = int(gap_s * 1_000_000)
+    want = {
+        (i, j)
+        for (i, ti), (j, tj) in itertools.product(enumerate(ts), repeat=2)
+        if tj > ti and tj <= ti + gap_us
+    }
+    assert got == want, f"missing={len(want-got)} extra={len(got-want)}"
