@@ -821,3 +821,42 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("ta", "tb")
     )
+
+
+@query(
+    "q65_iejoin_band",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(ROUND((vb - va) * 1e6) AS BIGINT)) AS BIGINT) AS gap_micro_sum,
+           MIN(ea) AS min_ea, MAX(eb) AS max_eb
+    FROM (SELECT event_id AS ea, "value" AS va FROM events WHERE event_type = 'click') a
+    JOIN (SELECT event_id AS eb, "value" AS vb FROM events WHERE event_type = 'purchase') b
+      ON va < vb AND vb <= va + 0.5
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General inequality join (no equality key, no fixed time grid) via
+    limeqo_spark.rangejoin.ie_join: click/purchase value band ``va < vb <=
+    va + 0.5``. Block-partitioned on the first attribute with per-block
+    min/max pruning on the second — the distributed IEJoin strategy
+    (Khayyat et al. VLDB'15), vs the BroadcastNestedLoopJoin Spark would
+    otherwise plan. DuckDB's oracle runs its native IEJoin operator on the
+    same predicate."""
+    from limeqo_spark.rangejoin import ie_join
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ea"),
+        F.col("value").alias("va"),
+        (F.col("value") + F.lit(0.5)).alias("va_hi"),
+    )
+    b = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("eb"), F.col("value").alias("vb")
+    )
+    pairs = ie_join(a, b, ("va", "<", "vb"), ("va_hi", ">=", "vb"), blocks=16)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round((F.col("vb") - F.col("va")) * 1e6).cast("bigint")).alias("gap_micro_sum"),
+        F.min("ea").alias("min_ea"),
+        F.max("eb").alias("max_eb"),
+    )

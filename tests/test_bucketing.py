@@ -157,3 +157,45 @@ def test_binned_range_join_matches_brute_force(spark):
         if tj > ti and tj <= ti + gap_us
     }
     assert got == want, f"missing={len(want-got)} extra={len(got-want)}"
+
+
+def test_ie_join_matches_brute_force(spark):
+    """Property: ie_join == crossJoin+filter for every op direction, on
+    random doubles with NULLs (dropped, matching SQL comparison
+    semantics), one- and two-condition forms."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.rangejoin import ie_join
+
+    rng = np.random.default_rng(23)
+
+    def side(n, pa, pb):
+        rows = []
+        for i in range(n):
+            x = None if rng.random() < 0.05 else float(rng.uniform(0, 100))
+            y = None if rng.random() < 0.05 else float(rng.uniform(0, 100))
+            rows.append((i, x, y))
+        return rows
+
+    a = spark.createDataFrame(side(250, "xa", "ya"), "ida long, xa double, ya double")
+    b = spark.createDataFrame(side(200, "xb", "yb"), "idb long, xb double, yb double")
+    cases = [
+        (("xa", "<", "xb"), ("ya", ">", "yb")),
+        (("xa", ">", "xb"), ("ya", "<=", "yb")),
+        (("xa", ">=", "xb"), None),
+    ]
+    for c1, c2 in cases:
+        got = {
+            (r.ida, r.idb)
+            for r in ie_join(a, b, c1, c2, blocks=6).select("ida", "idb").collect()
+        }
+        cond = F.expr(f"{c1[0]} {c1[1]} {c1[2]}")
+        if c2 is not None:
+            cond = cond & F.expr(f"{c2[0]} {c2[1]} {c2[2]}")
+        want = {
+            (r.ida, r.idb)
+            for r in a.crossJoin(b).where(cond).select("ida", "idb").collect()
+        }
+        assert got == want, f"{c1} {c2}: missing={len(want-got)} extra={len(got-want)}"

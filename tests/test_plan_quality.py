@@ -168,3 +168,13 @@ def test_range_join_is_binned_not_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_ie_join_plan_has_no_nested_loop(spark):
+    """q65: the general inequality join must run as block-pair cogrouped
+    Arrow kernels — never BroadcastNestedLoopJoin / CartesianProduct, and
+    no side broadcast whole."""
+    plan = plan_of(spark, "q65_iejoin_band")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan
