@@ -106,3 +106,42 @@ def test_corpus_shingle_df_under_cap(spark, sf_dir):
         .agg(F.max("df")).collect()[0][0]
     )
     assert max_df <= 50, f"corpus now has a shingle with df={max_df} > cap 50"
+
+
+def test_upsert_latest_semantics(spark):
+    """Changelog compaction: latest-wins per key with seq tie-break; a key
+    whose LATEST change is a tombstone is dropped, but a delete followed by
+    a re-insert survives (no permanent tombstone)."""
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.pipeline.cdc import upsert_latest
+
+    rows = [
+        # key, seq, op, val
+        (1, 1, "set", 10.0), (1, 2, "set", 11.0),              # plain upsert
+        (2, 1, "set", 20.0), (2, 2, "del", 0.0),               # ends deleted
+        (3, 1, "set", 30.0), (3, 2, "del", 0.0), (3, 3, "set", 31.0),  # resurrect
+        (4, 5, "set", 40.0), (4, 5, "set", 41.0),              # seq tie -> undefined w/o tiebreak; add id
+    ]
+    df = spark.createDataFrame(
+        [(k, s, o, v, i) for i, (k, s, o, v) in enumerate(rows)],
+        "k long, seq long, op string, val double, chg_id long",
+    )
+    snap = upsert_latest(
+        df, ["k"], ["seq", "chg_id"], ["op", "val"],
+        delete_when=F.col("op") == "del",
+    )
+    got = {r.k: (r.op, r.val) for r in snap.collect()}
+    assert got == {1: ("set", 11.0), 3: ("set", 31.0), 4: ("set", 41.0)}
+
+
+def test_upsert_latest_plan_is_partial_aggregate(spark, sf_dir):
+    """The compaction must plan as HashAggregate partial->final (map-side
+    combine on hot keys), never as a ranking window sort."""
+    from limeqo_spark.manifest import REGISTRY
+
+    df = REGISTRY["cdc_upsert_latest"].builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan
