@@ -64,27 +64,32 @@ class SimState:
         """A30: pay min(true latency, tolerance); past tolerance we only learn
         the censoring bound, not the value.
 
-        Plan-equivalence cost dedup (A15/A18): hints yielding the identical
+        Plan-equivalence marking (A15/A18): hints yielding the identical
         physical plan have byte-identical runtimes in the reference matrices
-        (the cell is a lookup of one measured plan), and the reference's
-        accounting pays each plan once — `get_exec_time` dedups observed
-        cells per union-find group (dataset.py:205-219); the demo's
-        value-equality variant (limeqo.ipynb cells 4-5) infers the group
-        from equal values exactly as done here. So a reveal whose value was
-        already revealed in this row costs nothing — same plan, already
-        measured."""
+        (the cell is a lookup of one measured plan). The reference knows the
+        class a priori (union-find over each plan's ``hint_list``, built
+        from EXPLAIN without executing — dataset.py:188-199) and every
+        strategy marks the WHOLE class on reveal AND on timeout
+        (``mask/explored_m/timeout_m[select, same_hints]`` —
+        limeqo.py:86-98, greedy.py:71-79, random.py:57-63), so one plan is
+        never measured or timed out twice. Our a-priori proxy is the row's
+        value-equality class (the limeqo.ipynb cells 4-5 variant): exact
+        float equality only groups cells that are lookups of the same
+        measured plan. The first reveal of a class pays its latency, a
+        timeout pays the tolerance once for the class."""
         true = self.wl.matrix[i, j]
-        self.explored[i, j] = 1.0
+        cls = np.flatnonzero(self.wl.matrix[i] == true)
+        self.explored[i, cls] = 1.0
         self.cells_explored += 1
         if true >= tolerance:
             self.spent += tolerance
-            self.cutoffs[i, j] = max(self.cutoffs[i, j], tolerance)
+            self.cutoffs[i, cls] = np.maximum(self.cutoffs[i, cls], tolerance)
         else:
             seen = self._revealed_values.setdefault(i, set())
             if true not in seen:
                 self.spent += true
                 seen.add(true)
-            self.mask[i, j] = 1.0
+            self.mask[i, cls] = 1.0
 
     def metrics(self, training_time: float, inference_time: float) -> dict:
         mo = self.min_observed()

@@ -70,7 +70,7 @@ def run_dataset(ds: str, out_root: str, reps: int) -> dict:
     # reference batch sizes: k=8 for random/greedy/limeqo, k=32 for limeqo+
     plans = [
         ("random", RandomStrategy, dict(k=8), reps),
-        ("greedy", GreedyStrategy, dict(k=8), 1),  # deterministic
+        ("greedy", GreedyStrategy, dict(k=8), reps),  # random untried hint per worst query
         ("limeqo", LimeQOStrategy, dict(k=8), reps),
         ("limeqo_plus", LimeQOPlusStrategy, dict(), max(1, reps // 4)),
     ]
