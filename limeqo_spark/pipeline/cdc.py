@@ -75,10 +75,14 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     states the same semantics as a ranking window; our plan is the
     partial-aggregatable max_by reduction (see module docstring)."""
     ev = table(spark, sf_dir, "events")
+    # Order by the timestamp column itself, not unix_micros(ts): the fixture
+    # parquet stores ts without timezone, which Spark reads as TIMESTAMP_NTZ,
+    # and unix_micros only accepts TIMESTAMP. Struct comparison orders both
+    # timestamp types correctly and keeps the aggregate partial-combinable.
     snap = upsert_latest(
-        ev.withColumn("seq_us", F.unix_micros("ts")),
+        ev,
         key_cols=["user_id"],
-        seq_cols=["seq_us", "event_id"],
+        seq_cols=["ts", "event_id"],
         payload_cols=["event_type", "value"],
         delete_when=F.col("event_type") == TOMBSTONE,
     )
