@@ -187,12 +187,161 @@ def ngram_jaccard_pairs(
     )
 
 
-@query("dedup_minhash_lsh", oracle=None, check="prop")
+#: Portable MinHash: x = first-8-hex-chars of md5(shingle) as int (identical
+#: in Spark `conv(substr(md5,1,8),16,10)` and DuckDB `('0x'||...)::BIGINT`),
+#: permutations h_i(x) = (a_i * (x % P) + b_i) % P over the Mersenne prime
+#: P = 2^31-1 (products stay < 2^62 — no int64 overflow in either engine).
+_MH_P = 2147483647
+_MH_AB = [
+    (2128164061, 398802782),
+    (596987483, 1147225393),
+    (1916785055, 1479347476),
+    (972347433, 116450322),
+    (291219901, 430979121),
+    (234034475, 1406942087),
+    (1761180996, 1267685540),
+    (924035317, 1172698795),
+    (2038977239, 402639405),
+    (2143289124, 1357670270),
+    (1355823819, 2113210625),
+    (668925749, 252657889),
+    (1177825180, 428031840),
+    (1696544698, 230896653),
+    (794664036, 1758809000),
+    (1480032976, 858479239),
+]
+_MH_K = len(_MH_AB)  # 16 signatures -> 4 bands x 4 rows
+_MH_BANDS, _MH_ROWS = 4, 4
+
+#: shared shingle CTE for the DuckDB oracles (same 3-token shingles as
+#: `token_shingles`, already hash-verified by the jaccard oracles)
+_SHINGLE_SQL = f"""
+    corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+      FROM (
+        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM toks
+      ) z
+    )
+"""
+
+
+def _minhash_oracle_sql() -> str:
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * x + {b}) % {_MH_P}) AS s{i}" for i, (a, b) in enumerate(_MH_AB)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {j} AS band, "
+        + ", ".join(f"s{_MH_ROWS * j + r} AS k{r}" for r in range(_MH_ROWS))
+        + " FROM sigs"
+        for j in range(_MH_BANDS)
+    )
+    band_keys = " AND ".join(f"x.k{r} = y.k{r}" for r in range(_MH_ROWS))
+    matches = " + ".join(f"CAST(sa.s{i} = sb.s{i} AS INT)" for i in range(_MH_K))
+    return f"""
+    WITH {_SHINGLE_SQL},
+    hx AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {_MH_P} AS x
+      FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hx GROUP BY doc_id
+    ),
+    bands AS (
+{band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y ON x.band = y.band AND {band_keys}
+      WHERE x.doc_id < y.doc_id
+    )
+    SELECT c.a, c.b,
+           ROUND(({matches}) / {float(_MH_K)}, 4) AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.a
+    JOIN sigs sb ON sb.doc_id = c.b
+    WHERE ({matches}) >= {_MH_K // 2}
+    ORDER BY a, b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: shingle -> HashingTF sparse set
-    vector -> MinHashLSH approx similarity self-join at Jaccard-distance
-    <= 0.4. PROP: recall of planted pairs asserted in tests (hash functions
-    are engine-specific, so no cross-engine value oracle)."""
+    """MinHash+LSH near-dup detection with *portable deterministic* hashing
+    (md5-derived shingle ids + fixed linear permutations mod 2^31-1), so the
+    full pipeline — signatures, banding, candidate join, estimated Jaccard —
+    is hash-verified against an identical DuckDB oracle. Candidates are pairs
+    agreeing on any of 4 bands of 4 signature rows; survivors need >= 8/16
+    matching signatures (est Jaccard >= 0.5).
+
+    Scale design: signatures are a single groupBy with map-side-combinable
+    MIN aggregates (one shuffle of (doc, 16 ints), never documents); the band
+    join only pairs docs sharing a band key, bounding candidates the same way
+    production MinHash dedup does at 100 TB. Signatures ride through the band
+    explode as a struct so no re-join against the signature table is needed.
+    """
+    c = planted_corpus(spark, sf_dir)
+    sh = token_shingles(c, 3)
+    hx = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % _MH_P).alias("x"),
+    )
+    sigs = hx.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"s{i}")
+            for i, (a, b) in enumerate(_MH_AB)
+        ]
+    )
+    sig_struct = F.struct(*[F.col(f"s{i}") for i in range(_MH_K)]).alias("sig")
+    bands = sigs.select(
+        "doc_id",
+        sig_struct,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        *[F.col(f"s{_MH_ROWS * j + r}").alias(f"k{r}") for r in range(_MH_ROWS)],
+                    )
+                    for j in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.*")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band"] + [f"k{r}" for r in range(_MH_ROWS)])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.sig").alias("sa"),
+            F.col("y.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    matches = None
+    for i in range(_MH_K):
+        term = (F.col(f"sa.s{i}") == F.col(f"sb.s{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    est = cand.withColumn("m", matches)
+    return (
+        est.filter(F.col("m") >= _MH_K // 2)
+        .select("a", "b", F.round(F.col("m") / float(_MH_K), 4).alias("est_jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def minhash_mllib_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH variant (HashingTF set vectors -> approx similarity
+    self-join). Kept as the library-idiom reference path — its hash family is
+    engine-specific, so it is property-tested (planted-pair recall) rather
+    than oracle-hashed; the registered `dedup_minhash_lsh` uses portable
+    hashing and IS oracle-hashed."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     c = planted_corpus(spark, sf_dir)
@@ -214,18 +363,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None, check="prop")
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign-aggregated xxhash64 token
-    bits; candidates = pairs agreeing on any of 4 16-bit bands (Hamming<=
-    ~3-per-band heuristic); verified with exact Hamming distance <= 8.
+#: SimHash geometry: 60-bit signatures (md5 first 15 hex chars — portable
+#: across engines without int64 sign issues), 4 bands x 15 bits.
+_SH_BITS, _SH_BANDS = 60, 4
+_SH_BAND_BITS = _SH_BITS // _SH_BANDS
+_SH_HAMMING = 8
 
-    All bit math is built-in integer expressions — no UDFs. PROP: planted
-    pairs recalled (xxhash64 is Spark-specific; no cross-engine oracle).
+_SIMHASH_ORACLE = f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM corpus),
+    hx AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM (SELECT doc_id, h, UNNEST(generate_series(0, {_SH_BITS - 1})) AS b FROM hx) z
+      GROUP BY doc_id, b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+      FROM votes GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, sig, b AS band,
+             (sig >> (b * {_SH_BAND_BITS})) & {(1 << _SH_BAND_BITS) - 1} AS key
+      FROM (SELECT doc_id, sig, UNNEST(generate_series(0, {_SH_BANDS - 1})) AS b FROM sigs) z
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+      WHERE x.doc_id < y.doc_id
+    )
+    SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SH_HAMMING}
+    ORDER BY a, b
+    """
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit signature = sign-aggregated per-bit votes of
+    md5-derived token hashes (portable — identical ints in Spark and DuckDB,
+    so signatures, banding, and Hamming filter are all hash-verified against
+    the oracle); candidates = pairs agreeing on any of 4 15-bit bands;
+    verified with exact Hamming distance <= 8.
+
+    All bit math is built-in integer expressions — no UDFs. The vote
+    aggregation is 60 map-side-combinable SUM columns (one shuffle of 60
+    ints per doc, never text), and banding bounds the candidate join.
     """
     c = planted_corpus(spark, sf_dir)
     toks = c.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    h = toks.withColumn("h", F.xxhash64("tok"))
+    h = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
     # per-bit vote: +1 if bit set else -1; simhash bit b = (sum > 0)
     bits = h.select(
         "doc_id",
@@ -233,19 +427,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
             .otherwise(-1)
             .alias(f"b{b}")
-            for b in range(64)
+            for b in range(_SH_BITS)
         ],
     )
-    votes = bits.groupBy("doc_id").agg(*[F.sum(f"b{b}").alias(f"b{b}") for b in range(64)])
+    votes = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(_SH_BITS)]
+    )
     sig_expr = None
-    for b in range(64):
-        # shiftleft (not 1<<b literal): bit 63 wraps to the sign bit in
-        # two's-complement long, which a python int literal would overflow
+    for b in range(_SH_BITS):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
     sigs = votes.select("doc_id", sig_expr.alias("sig")).cache()
-    # band join: 4 bands of 16 bits
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -254,9 +447,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright("sig", i * _SH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _SH_BAND_BITS) - 1))
+                        .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(_SH_BANDS)
                 ]
             )
         ).alias("bk"),

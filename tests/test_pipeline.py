@@ -28,6 +28,18 @@ def test_minhash_no_pair_explosion(minhash_pairs):
     assert len(minhash_pairs) <= 10 * PLANT_N
 
 
+def test_minhash_mllib_recalls_planted_pairs(spark, sf_dir):
+    """The MLlib MinHashLSH reference path (engine-specific hashes, so
+    prop-checked here rather than oracle-hashed like the registered
+    portable variant)."""
+    from limeqo_spark.pipeline.dedup import minhash_mllib_pairs
+
+    rows = minhash_mllib_pairs(spark, sf_dir).collect()
+    pairs = {(r["a"], r["b"]) for r in rows}
+    recall = len(pairs & PLANTED) / len(PLANTED)
+    assert recall >= 0.95, f"MLlib MinHash recall {recall:.2f}"
+
+
 def test_simhash_recalls_planted_pairs(spark, sf_dir):
     rows = REGISTRY["dedup_simhash"].builder(spark, sf_dir).collect()
     pairs = {(r["a"], r["b"]) for r in rows}
