@@ -83,15 +83,62 @@ def _hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> np.ndarray
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-@query("ann_lsh_bucketed", oracle=None, check="prop")
+def _lsh_oracle_sql() -> str:
+    """DuckDB oracle for the SRP-LSH path: the hyperplanes are fixed seeded
+    literals, so the identical floats are embedded here and the signature,
+    banding, candidate join, and re-scoring are all value-checkable."""
+    planes = _hyperplanes()
+    rows = ",\n      ".join(
+        f"({p}, CAST([{', '.join(repr(float(v)) for v in row)}] AS DOUBLE[]))"
+        for p, row in enumerate(planes)
+    )
+    return f"""
+    WITH planes(p, plane) AS (VALUES
+      {rows}
+    ),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    sigs AS (
+      SELECT b.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(pl.plane, b.emb) > 0
+                           THEN (1 << pl.p) ELSE 0 END) AS INT) AS sig
+      FROM base b CROSS JOIN planes pl GROUP BY b.vec_id
+    ),
+    bands AS (
+      SELECT s.vec_id, t.b AS band, (s.sig >> (t.b * 4)) & 15 AS key
+      FROM sigs s, (SELECT UNNEST(generate_series(0, 3)) AS b) t
+    ),
+    probes AS (SELECT vec_id AS probe_id, band, key FROM bands WHERE vec_id < {N_PROBES}),
+    cand AS (
+      SELECT DISTINCT p.probe_id, c.vec_id
+      FROM bands c JOIN probes p ON c.band = p.band AND c.key = p.key
+      WHERE c.vec_id <> p.probe_id
+    ),
+    scored AS (
+      SELECT cd.probe_id, cd.vec_id,
+             CAST(list_cosine_similarity(pb.emb, cb.emb) AS DOUBLE) AS cos
+      FROM cand cd
+      JOIN base pb ON pb.vec_id = cd.probe_id
+      JOIN base cb ON cb.vec_id = cd.vec_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rn, ROUND(cos, 4) AS cos_sim
+    FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn
+    """
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_oracle_sql())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: 16-bit random-hyperplane (SRP) signatures; candidates
     are corpus vectors whose signature matches the probe's in any of 4
     4-bit bands; exact cosine re-scoring + top-5 within candidates.
 
     At 100 TB the band join touches ~1/16 of the corpus per band instead of
-    everything. PROP: recall vs brute force asserted in tests (signature
-    planes are engine-local)."""
+    everything. The hyperplanes are fixed seeded literals, so the whole path
+    is hash-verified against a DuckDB oracle embedding the same floats."""
     e = table(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
     plane_lits = F.array(
@@ -161,8 +208,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # practice: centroids need the density shape, not every vector — at
     # 100 TB you still train on ~100k sampled rows), then assign the full
     # corpus distributively with a broadcast centroid join.
+    # orderBy before limit: a bare limit takes arbitrary rows (whatever
+    # partition answers first), which would make the trained centroids —
+    # and thus the query result — run-to-run nondeterministic.
     sample = np.asarray(
-        [r["embedding"] for r in e.select("embedding").limit(4096).collect()]
+        [r["embedding"] for r in e.orderBy("vec_id").limit(4096).collect()]
     )
     rng = np.random.default_rng(seed)
     # k-means++ init: spread seeds by squared-distance weighting (uniform
