@@ -37,7 +37,7 @@ def long_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "wl_min_observed",
+    "limeqo_wl_min_observed",
     oracle=f"""
     WITH long AS ({LONG_SQL})
     SELECT query_idx, MIN(latency) AS min_observed
@@ -50,7 +50,7 @@ def wl_min_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "wl_argmin_per_query",
+    "limeqo_wl_argmin_per_query",
     oracle=f"""
     WITH long AS ({LONG_SQL}),
     ranked AS (
@@ -70,7 +70,7 @@ def wl_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "wl_default_vs_opt",
+    "limeqo_wl_default_vs_opt",
     oracle=f"""
     WITH long AS ({LONG_SQL})
     SELECT
@@ -100,7 +100,7 @@ def wl_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "wl_percentiles",
+    "limeqo_wl_percentiles",
     oracle=f"""
     WITH long AS ({LONG_SQL}),
     mo AS (SELECT query_idx, MIN(latency) AS min_observed FROM long WHERE observed GROUP BY query_idx)
@@ -118,7 +118,7 @@ def wl_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "wl_topk_improvement",
+    "limeqo_wl_topk_improvement",
     oracle=f"""
     WITH long AS ({LONG_SQL}),
     mo AS (SELECT query_idx, MIN(latency) AS min_observed FROM long WHERE observed GROUP BY query_idx),
@@ -147,7 +147,7 @@ def wl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "wl_equivalence_groups",
+    "limeqo_wl_equivalence_groups",
     oracle=f"""
     WITH long AS ({LONG_SQL}),
     g AS (
