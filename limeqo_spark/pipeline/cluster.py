@@ -1,0 +1,125 @@
+"""Duplicate-cluster resolution: near-dup PAIRS are only half of dedup — a
+pipeline must then group pairs into clusters (connected components) and pick
+one canonical document per cluster to keep. This is the step between
+`pipeline.dedup` (pair generation) and the final keep/drop decision.
+
+Scale design: min-label propagation over the edge list — each iteration is
+one join + one map-side-combinable min aggregate, both hash-partitioned on
+the same key so the shuffle layout is reused; iterations needed = component
+diameter, which for near-dup graphs is tiny (dup clusters are cliques-ish,
+diameter ~2-3). Driver only checks a converged flag per round (a count, not
+collected data). For adversarial billion-edge graphs you would switch to the
+large-star/small-star algorithm (same DataFrame primitives, fewer rounds);
+the loop below is the honest version of what GraphFrames' connected
+components does under the hood, without the extra dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.pipeline.corpus import CORPUS_SQL, planted_corpus
+from limeqo_spark.pipeline.dedup import ngram_jaccard_pairs
+from limeqo_spark.relational.registry import query
+
+#: the exact-Jaccard pair SQL (tau 0.6) — same text as dedup_ngram_jaccard's
+#: oracle, reused as the edge set of the clustering oracle
+_PAIRS_SQL = f"""
+    corpus AS ({CORPUS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+      FROM (
+        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM toks
+      ) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT a, b
+      FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
+    )
+"""
+
+
+def connected_components_min_label(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected edge list ``(a, b)``; returns
+    ``(node, component)`` where component = the minimum node id reachable.
+    Deterministic; converges in O(diameter) rounds."""
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(
+            nbr_min, labels.node == nbr_min.src, "left"
+        ).select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("new_label"),
+        )
+        # localCheckpoint: truncate the lineage so plan size stays constant
+        # across rounds (an unbounded iterative plan re-executes everything)
+        stepped = stepped.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_SQL},
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    walk(node, r) AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst AS node, w.r FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id,
+           MIN(r) AS canonical_id,
+           (MIN(r) = node) AS keep
+    FROM walk GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the exact-Jaccard near-dup pairs (tau 0.6) into connected
+    components and mark the canonical (minimum-id) document of each cluster
+    as the one to keep — the decision step a training-data dedup pipeline
+    runs after pair generation. Oracle computes the same transitive closure
+    with a recursive CTE."""
+    pairs = ngram_jaccard_pairs(planted_corpus(spark, sf_dir), n=3, tau=0.6)
+    comp = connected_components_min_label(pairs.select("a", "b"))
+    return (
+        comp.select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            (F.col("component") == F.col("node")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -28,6 +28,21 @@ def test_minhash_no_pair_explosion(minhash_pairs):
     assert len(minhash_pairs) <= 10 * PLANT_N
 
 
+def test_cluster_canonical_resolves_planted_pairs(spark, sf_dir):
+    """Each planted clone (i+PLANT_OFFSET) must resolve to canonical i, and
+    every canonical doc must be marked keep=True."""
+    rows = REGISTRY["dedup_cluster_canonical"].builder(spark, sf_dir).collect()
+    canon = {r["doc_id"]: r["canonical_id"] for r in rows}
+    keep = {r["doc_id"]: r["keep"] for r in rows}
+    for i in range(PLANT_N):
+        clone = i + PLANT_OFFSET
+        assert canon.get(clone) == canon.get(i) is not None
+        assert not keep[clone]
+    for d, c in canon.items():
+        assert keep[d] == (d == c)
+        assert canon[c] == c, "canonical of a canonical must be itself"
+
+
 def test_minhash_mllib_recalls_planted_pairs(spark, sf_dir):
     """The MLlib MinHashLSH reference path (engine-specific hashes, so
     prop-checked here rather than oracle-hashed like the registered
