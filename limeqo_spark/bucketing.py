@@ -20,10 +20,25 @@ def write_bucketed(
     n_buckets: int = 8,
     sort: bool = True,
 ) -> None:
+    _drop_orphaned_location(df.sparkSession, table_name)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort:
         w = w.sortBy(*bucket_cols)
     w.format("parquet").saveAsTable(table_name)
+
+
+def _drop_orphaned_location(spark: SparkSession, table_name: str) -> None:
+    """The default in-memory catalog forgets managed tables between sessions
+    but their warehouse directories persist (e.g. after a killed run);
+    saveAsTable then refuses the location. If the table is NOT registered
+    but its directory exists, remove the orphaned directory."""
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(table_name):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    shutil.rmtree(f"{wh.path or wh.geturl()}/{table_name.lower()}", ignore_errors=True)
 
 
 def colocated_join(
@@ -58,22 +73,11 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -
     bucketing is a physical-layout decision, and at scale you bucket the
     curated fact projection, not every raw column.
     """
-    import shutil
-    from urllib.parse import urlparse
-
     from limeqo_spark.io import table
-
-    def _drop_stale_location(name: str) -> None:
-        # the default in-memory catalog forgets tables between sessions but
-        # their warehouse directories persist; saveAsTable refuses to reuse
-        # an unregistered location, so clear it first
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        shutil.rmtree(f"{wh.path or wh.geturl()}/{name}", ignore_errors=True)
 
     tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
     li_name, o_name = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     if not spark.catalog.tableExists(li_name):
-        _drop_stale_location(li_name)
         write_bucketed(
             table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
@@ -83,7 +87,6 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -
             n_buckets,
         )
     if not spark.catalog.tableExists(o_name):
-        _drop_stale_location(o_name)
         write_bucketed(
             table(spark, sf_dir, "orders").select(
                 "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
