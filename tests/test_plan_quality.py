@@ -178,3 +178,35 @@ def test_ie_join_plan_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_minhash_signatures_partial_combine(spark):
+    """The 16 MIN signature aggregates must be two-phase (map-side combine
+    pre-shuffle) and the band candidate join must stay an equi-join."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_votes_partial_combine(spark):
+    """The 60 per-bit vote SUMs must partial-combine before the shuffle;
+    banding must keep the candidate join equi."""
+    plan = plan_of(spark, "dedup_simhash")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_label_step_is_equi_join(spark):
+    """One min-label propagation round must plan as an equi-join + partial
+    min aggregate — no nested loop, no cartesian."""
+    from limeqo_spark.pipeline.cluster import connected_components_min_label
+    from limeqo_spark.pipeline.corpus import planted_corpus
+    from limeqo_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(planted_corpus(spark, SF), n=3, tau=0.6)
+    comp = connected_components_min_label(pairs.select("a", "b"), max_iter=1)
+    plan = explain_formatted(comp)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
