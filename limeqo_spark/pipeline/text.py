@@ -184,3 +184,180 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+      FROM (
+        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i
+        FROM toks
+      ) z
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*), 4) AS rep_ratio
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition ratio — the boilerplate/spam detector every corpus filter
+    runs: 1 - distinct/total 3-token shingles per document (0 = no repeated
+    n-gram, ->1 = the same phrase looping). One partial-combinable aggregate
+    per doc; never materializes pairs."""
+    d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(t) - 3, -1)),"
+                " i -> concat_ws(' ', slice(t, i + 1, 3)))"
+            )
+        ).alias("shingle"),
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.countDistinct("shingle").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_total",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_total"), 4
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_contamination_overlap",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text || ' zzzdup' AS text
+      FROM documents WHERE doc_id < 30
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i : i + 4], ' ') AS gram
+      FROM (
+        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 4, 0))) AS i
+        FROM toks
+      ) z
+    ),
+    eval_sh AS (SELECT doc_id AS eval_doc, gram FROM sh WHERE doc_id < 30),
+    train_sh AS (SELECT doc_id AS train_doc, gram FROM sh WHERE doc_id >= 30)
+    SELECT t.train_doc, e.eval_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM train_sh t JOIN eval_sh e ON t.gram = e.gram
+    GROUP BY t.train_doc, e.eval_doc
+    HAVING COUNT(*) >= 3
+    ORDER BY train_doc, eval_doc
+    """,
+)
+def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >= 3
+    distinct 5-token grams with any eval-set document (here the eval set is
+    doc_id < 30 and the planted clones are the known-contaminated training
+    docs). The check is an inverted-index join on grams — the same blocked
+    shape as the Jaccard dedup, so no train x eval cross join; at 100 TB the
+    eval side (benchmarks are small) broadcasts."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") < 30).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(" zzzdup")).alias("text"),
+        )
+    )
+    t = corpus.select("doc_id", F.split("text", " ").alias("t"))
+    sh = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(t) - 5, -1)),"
+                " i -> concat_ws(' ', slice(t, i + 1, 5)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    eval_sh = sh.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    train_sh = sh.filter(F.col("doc_id") >= 30).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("train_doc", "eval_doc")
+    )
+
+
+#: portable regexes (same semantics under Java regex and RE2)
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-0100' AS text
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+             regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM planted
+    )
+    SELECT doc_id, n_emails, n_phones, MD5(redacted) AS redacted_md5
+    FROM red ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: plant a deterministic email+phone into every 50th
+    document, then redact both patterns and count matches. Output carries
+    md5 of the redacted text so the oracle verifies the actual rewritten
+    bytes, not just the counts. Pure regexp_replace/regexp_count — JVM-side,
+    no UDFs; the regexes are written to the common subset of Java regex and
+    RE2 so both engines compute identical rewrites."""
+    planted = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                "text",
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-0100"),
+            ).alias("text"),
+        )
+    )
+    red = planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return red.select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("redacted_md5")
+    ).orderBy("doc_id")
