@@ -38,6 +38,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(min(os.cpu_count() or 8, 32)))
 
 
+def epoch_us(col) -> F.Column:
+    """Microseconds since epoch for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+    unix_micros refuses NTZ; casting through TIMESTAMP first interprets the
+    NTZ wall clock in the session zone, which ensure_session_confs pins to
+    UTC — so the value matches DuckDB's epoch of the same naive timestamp."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     if name == "events":

@@ -24,6 +24,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from limeqo_spark.io import epoch_us
 from pyspark.sql.types import StructType
 
 BIN_COL = "__range_bin"
@@ -52,8 +54,8 @@ def binned_range_join(
     ``extra_cond`` adds predicates evaluated after the bin equi-join.
     """
     gap_us = int(gap_seconds * 1_000_000)
-    lbin = F.floor(F.unix_micros(left_ts) / F.lit(gap_us))
-    rbin = F.floor(F.unix_micros(right_ts) / F.lit(gap_us))
+    lbin = F.floor(epoch_us(left_ts) / F.lit(gap_us))
+    rbin = F.floor(epoch_us(right_ts) / F.lit(gap_us))
     # replicate left into its own bin and the next: a right row one bin
     # ahead can still be within gap of a late-in-bin left row
     lrep = left.withColumn(BIN_COL, F.explode(F.array(lbin, lbin + 1)))
@@ -61,7 +63,7 @@ def binned_range_join(
     cond = (
         (lrep[BIN_COL] == rrep[BIN_COL])
         & (right_ts > left_ts)
-        & (F.unix_micros(right_ts) <= F.unix_micros(left_ts) + F.lit(gap_us))
+        & (epoch_us(right_ts) <= epoch_us(left_ts) + F.lit(gap_us))
     )
     if extra_cond is not None:
         cond = cond & extra_cond

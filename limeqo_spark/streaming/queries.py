@@ -51,9 +51,12 @@ def _stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = False)
     )
     ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch0"))
     if with_sentinel:
+        # interval arithmetic, not cast-to-long: it preserves the source ts
+        # type (TIMESTAMP or TIMESTAMP_NTZ, depending on fixture vintage),
+        # and NTZ refuses a bigint cast outright
         far = ev.agg(F.max("ts").alias("m")).select(
             F.lit(-1).cast("bigint").alias("event_id"),
-            F.timestamp_seconds(F.col("m").cast("long") + 10 * 24 * 3600).alias("ts"),
+            (F.col("m") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
             F.lit(SENTINEL_USER).cast("bigint").alias("user_id"),
             F.lit("sentinel").alias("event_type"),
             F.lit(0.0).alias("value"),
