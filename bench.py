@@ -41,11 +41,14 @@ HEADLINE = [
     "dedup_ngram_jaccard_capped",  # df-capped blocking (100 TB path)
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_canonical",  # connected components -> canonical keeper
     "ann_cosine_topk",
     "ann_ivf_topk",  # KMeans coarse quantizer scale path
     "skew_salted_join",
     "text_quality_score",
     "text_fingerprint",
+    "text_contamination_overlap",  # benchmark decontamination
+    "limeqo_wl_topk_improvement",  # the steering select step as one plan
     # streaming
     "q44a_stream_tumbling",
 ]

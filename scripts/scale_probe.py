@@ -15,6 +15,13 @@ output growth there is semantic, not a plan defect. Measured at N=4 on
 local[32] (2026-08-13): every probed operator except the dedup pair
 generators ran at ratio <= 1.1 (fixed-overhead regime); capped Jaccard ran
 at 3.1x for 4x data + 16x pair output, i.e. sublinear in input.
+
+Round-2 probe (same box, N=4) over the newer operators: scans/joins/aggs
+and signature generators stay in the fixed-overhead regime (ratios
+0.73-0.93: q16 0.73, q08 0.93, minhash 0.87, ann_lsh 0.84, cdc 0.84);
+ops whose OUTPUT grows with the planted clone groups scale with that
+output, not the input — simhash 1.62, repetition 1.63, contamination 3.3x
+and cluster 3.5x wall for up-to-16x pair/edge growth.
 """
 
 from __future__ import annotations
