@@ -172,3 +172,38 @@ def test_upsert_latest_plan_is_partial_aggregate(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max_by" in plan
+
+
+def test_capped_jaccard_matches_uncapped_when_cap_fires(spark):
+    """On a corpus with genuinely hot shingles (boilerplate in every doc,
+    df >> cap) the capped variant must still produce the exact uncapped
+    pair set at tau: the hot-set correction restores the hot-shingle
+    intersections that the capped inverted index skipped."""
+    from limeqo_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = []
+    for i in range(120):
+        uniq = " ".join(f"tok{i}x{j}" for j in range(10))
+        rows.append((i, f"{uniq} {boiler}"))
+        if i < 10:  # planted near-dup: one token changed
+            dup = uniq.replace(f"tok{i}x9", "changed")
+            rows.append((1000 + i, f"{dup} {boiler}"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(corpus, n=3, tau=0.6).collect()
+    capped = ngram_jaccard_pairs(corpus, n=3, tau=0.6, max_doc_freq=50).collect()
+    as_set = lambda rs: {(r["a"], r["b"], r["jaccard"]) for r in rs}
+    assert len(uncapped) >= 10  # the planted pairs survived tau
+    assert as_set(capped) == as_set(uncapped)
+
+    # and the cap genuinely fired: boilerplate shingles exceed df 50
+    from limeqo_spark.pipeline.corpus import token_shingles
+    from pyspark.sql import functions as F
+
+    max_df = (
+        token_shingles(corpus, 3)
+        .groupBy("shingle").agg(F.count("*").alias("df"))
+        .agg(F.max("df")).collect()[0][0]
+    )
+    assert max_df > 50
