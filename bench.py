@@ -190,6 +190,22 @@ def main() -> None:
         "cpus": CPUS,
     }
     out.update(sim)
+    if sim:
+        # published reference checkpoints (BASELINE.md) next to our numbers,
+        # same keys minus the prefix, so the comparison is self-contained
+        out["sim_baselines"] = {
+            "job_limeqo_at_90s": 112.4,
+            "job_random_at_90s": 138.4,
+            "job_greedy_at_90s": 120.4,
+            "job_limeqo_plus_at_90s": 109.3,
+            "job_default": 181.0,
+            "ceb_limeqo_at_0.75h": 1.615,
+            "ceb_limeqo_plus_at_0.75h": 1.293,
+            "ceb_default_h": 2.94,
+            "dsb_limeqo_at_1.19h": 3.822,
+            "dsb_limeqo_plus_at_1.19h": 3.407,
+            "dsb_default_h": 4.75,
+        }
     print(json.dumps(out))
     sys.stdout.flush()
     spark.stop()
