@@ -207,3 +207,21 @@ def test_capped_jaccard_matches_uncapped_when_cap_fires(spark):
         .agg(F.max("df")).collect()[0][0]
     )
     assert max_df > 50
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    """The 16-permutation estimate must track exact Jaccard on every pair
+    both ops emit (deterministic given the fixed hash constants; measured
+    max deviation 0.18 on the fixture — assert a 0.25 ceiling)."""
+    mh = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+    }
+    ex = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard"].builder(spark, sf_dir).collect()
+    }
+    common = set(mh) & set(ex)
+    assert len(common) >= PLANT_N  # the planted pairs at minimum
+    for k in common:
+        assert abs(mh[k] - ex[k]) <= 0.25, f"pair {k}: est {mh[k]} vs exact {ex[k]}"
