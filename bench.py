@@ -73,12 +73,14 @@ def main() -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        # min of 2 runs: the first run pays one-time costs (codegen compile,
-        # ingest-time materialization for the bucketed/partitioned queries)
-        # and this box has noisy neighbors — the min is the steady-state
-        # per-query latency a warm cluster would see
+        # min of 2 runs for the heavier queries: the first run pays one-time
+        # costs (codegen compile, ingest-time materialization for the
+        # bucketed/partitioned variants) and this box has noisy neighbors —
+        # the min is the steady-state per-query latency a warm cluster would
+        # see. Sub-1.5s queries keep their single measurement (already in
+        # the fixed-overhead regime; re-running only burns the wall budget).
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(2):
             t0 = time.perf_counter()
             materialize(spec.builder(spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
@@ -86,6 +88,8 @@ def main() -> None:
             # (the dedup suite caches shingle/signature relations) so later
             # queries aren't squeezed by leftover storage memory
             spark.catalog.clearCache()
+            if best <= 1.5:
+                break
         timings[name] = round(best, 3)
 
     # simulation-mode track (BASELINE.md track 1): LimeQO on the reference's
