@@ -238,3 +238,29 @@ class LiveSteeringSession:
             "query_id string, hint_id int, latency double, censor_cutoff double, "
             "plan_hash string, measured boolean",
         )
+
+    def save(self, path: str) -> None:
+        """Persist the observation log as Parquet — the exploration state
+        (SURVEY §3.3) survives a driver restart and is queryable like any
+        other table."""
+        self.to_long_df().write.mode("overwrite").parquet(path)
+
+    def restore(self, path: str) -> int:
+        """Replay a persisted observation log into this session (matrix,
+        cutoffs, explored flags). Replay is idempotent: latency reveals
+        overwrite with the same value and cutoffs take the max, so restoring
+        on top of partial state is safe. Observations for queries or hints
+        no longer in this session's workload are skipped (workloads drift
+        between runs); returns the number applied."""
+        rows = self.spark.read.parquet(path).collect()
+        idx = {q: i for i, q in enumerate(self.query_ids)}
+        n = 0
+        for r in rows:
+            qi = idx.get(r.query_id)
+            if qi is None or not (0 <= r.hint_id < len(self.hint_sets)):
+                continue
+            self._record(
+                qi, r.hint_id, r.latency, r.censor_cutoff, r.plan_hash or "", r.measured
+            )
+            n += 1
+        return n

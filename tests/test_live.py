@@ -136,3 +136,29 @@ def test_manifest_queries_steerable(spark):
     assert set(wl) == {"q47_tpch_q3_shipping", "q16_tpch_q1_agg"}
     for build in wl.values():
         assert build().limit(1).count() >= 0
+
+
+def test_save_restore_roundtrip(spark, tmp_path):
+    """Exploration state round-trips through the Parquet observations table:
+    a fresh session restored from a saved log reproduces the matrix,
+    cutoffs, and explored flags (SURVEY §3.3 persistable state)."""
+    import numpy as np
+
+    from limeqo_spark.io import table
+
+    def dim_join():
+        n = table(spark, SF, "nation")
+        r = table(spark, SF, "region")
+        return n.join(r, n.n_regionkey == r.r_regionkey).groupBy("r_name").count()
+
+    s = LiveSteeringSession(spark, {"dim": dim_join}, iters=5, warmup=False)
+    s.bootstrap(timeout_s=None)
+    s.save(str(tmp_path / "obs"))
+
+    s2 = LiveSteeringSession(spark, {"dim": dim_join}, iters=5, warmup=False)
+    applied = s2.restore(str(tmp_path / "obs"))
+    assert applied == len(s.observations)
+    assert np.array_equal(np.isnan(s.matrix), np.isnan(s2.matrix))
+    assert np.allclose(np.nan_to_num(s.matrix), np.nan_to_num(s2.matrix))
+    assert np.array_equal(s.explored, s2.explored)
+    assert np.allclose(s.cutoffs, s2.cutoffs)
