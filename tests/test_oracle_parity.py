@@ -5,11 +5,16 @@ from __future__ import annotations
 
 import pytest
 
-from limeqo_spark.manifest import REGISTRY
+from limeqo_spark.manifest import REGISTRY, ROTATION_ALIAS_PREFIX
 from limeqo_spark.testing import compare_frames
 
-HASH_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
-PROP_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+# rotation aliases point at the same builder/oracle as their canonical
+# entry — running them locally would only double wall time
+_CANONICAL = {
+    n: s for n, s in REGISTRY.items() if not n.startswith(ROTATION_ALIAS_PREFIX)
+}
+HASH_QUERIES = sorted(n for n, s in _CANONICAL.items() if s.oracle is not None)
+PROP_QUERIES = sorted(n for n, s in _CANONICAL.items() if s.oracle is None)
 
 
 @pytest.mark.parametrize("name", HASH_QUERIES)
@@ -21,13 +26,30 @@ def test_hash_parity(spark, ddb, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
+# minimum row counts at sf0.01 — a prop query silently returning an empty
+# frame must fail the gate, not slide past it (VERDICT r2 §wrong.2)
+PROP_MIN_ROWS = {
+    "ann_ivf_topk": 50,
+    "q18_approx_count_distinct": 1,
+    "q20_partial_agg_plan": 1,
+    "q36_seeded_sample": 1,
+    "q44d_stream_dedup_watermark": 1,
+    "q63_stratified_sample": 5,
+    "q64_sized_file_sink": 1,
+}
+
+
+def test_prop_min_rows_covers_all_prop_queries():
+    assert set(PROP_MIN_ROWS) == set(PROP_QUERIES)
+
+
 @pytest.mark.parametrize("name", PROP_QUERIES)
 def test_prop_queries_run(spark, sf_dir, name):
     """Property-checked queries must at least run and return rows; their
     specific assertions live in dedicated test modules."""
     df = REGISTRY[name].builder(spark, sf_dir)
     rows = df.collect()
-    assert len(rows) >= 0 and df.columns
+    assert len(rows) >= PROP_MIN_ROWS[name] and df.columns
     # generic convention: any boolean column named ok/consistent/two_phase
     # on a prop query is an inline assertion — all must be true
     for row in rows:
