@@ -40,6 +40,25 @@ def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(dup)
 
 
+def shingle_transform_sql(arr: str, n: int, item: str | None = None) -> str:
+    """Guarded n-gram transform over a token-array column: yields an empty
+    array when the document has fewer than ``n`` tokens.
+
+    The naive ``sequence(0, size(arr) - n)`` produces a *descending*
+    ``[0, -1, ...]`` when ``size(arr) < n`` (Spark defaults the step to -1
+    when start > stop), and ``slice(arr, 0, n)`` then throws
+    INVALID_PARAMETER_VALUE at runtime — the CASE makes the empty case
+    explicit so short documents contribute no shingles (matching the
+    DuckDB ``generate_series(1, greatest(len - n, 0))`` oracle, which is
+    empty for start > stop).
+    """
+    item = item or f"concat_ws(' ', slice({arr}, i + 1, {n}))"
+    return (
+        f"CASE WHEN size({arr}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({arr}) - {n}), i -> {item}) END"
+    )
+
+
 def token_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct n-token shingles of whitespace tokens.
 
@@ -49,11 +68,6 @@ def token_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     toks = df.withColumn("toks", F.split(F.col("text"), " "))
     sh = toks.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, greatest(size(toks) - {n}, -1)),"
-                f" i -> concat_ws(' ', slice(toks, i + 1, {n})))"
-            )
-        ).alias("shingle"),
+        F.explode(F.expr(shingle_transform_sql("toks", n))).alias("shingle"),
     )
     return sh.distinct()

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
+from limeqo_spark.pipeline.corpus import shingle_transform_sql
 from limeqo_spark.relational.registry import query
 
 #: deterministic marker lexicons for the n-gram language-ID heuristic. The
@@ -171,8 +172,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, greatest(size(t) - 3, -1)),"
-                " i -> md5(concat_ws(' ', slice(t, i + 1, 3))))"
+                shingle_transform_sql("t", 3, "md5(concat_ws(' ', slice(t, i + 1, 3)))")
             )
         ).alias("h"),
     )
@@ -214,12 +214,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
     sh = d.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(t) - 3, -1)),"
-                " i -> concat_ws(' ', slice(t, i + 1, 3)))"
-            )
-        ).alias("shingle"),
+        F.explode(F.expr(shingle_transform_sql("t", 3))).alias("shingle"),
     )
     return (
         sh.groupBy("doc_id")
@@ -282,12 +277,7 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = corpus.select("doc_id", F.split("text", " ").alias("t"))
     sh = t.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(t) - 5, -1)),"
-                " i -> concat_ws(' ', slice(t, i + 1, 5)))"
-            )
-        ).alias("gram"),
+        F.explode(F.expr(shingle_transform_sql("t", 5))).alias("gram"),
     ).distinct()
     eval_sh = sh.filter(F.col("doc_id") < 30).select(
         F.col("doc_id").alias("eval_doc"), "gram"

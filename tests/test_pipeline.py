@@ -135,6 +135,38 @@ def test_corpus_shingle_df_under_cap(spark, sf_dir):
     assert max_df <= 50, f"corpus now has a shingle with df={max_df} > cap 50"
 
 
+def test_shingles_short_docs_yield_empty_not_error(spark):
+    """Documents with fewer than n tokens must contribute zero shingles.
+    The naive sequence(0, size-n) idiom produced a descending [0,-1] for
+    short docs and slice(t, 0, n) threw INVALID_PARAMETER_VALUE; the
+    guarded CASE must return an empty array instead (matching the DuckDB
+    generate_series oracle, which is empty when start > stop)."""
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.pipeline.corpus import shingle_transform_sql, token_shingles
+
+    corpus = spark.createDataFrame(
+        [(1, "one two three four"), (2, "one two"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    sh = token_shingles(corpus, 3).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert by_doc == {1: {"one two three", "two three four"}}
+
+    # the 5-gram + md5-mapped variants used by text_* must also be guarded
+    t = corpus.withColumn("t", F.split("text", " "))
+    five = t.select(F.explode(F.expr(shingle_transform_sql("t", 5))).alias("g")).collect()
+    assert five == []
+    md5d = t.select(
+        F.explode(
+            F.expr(shingle_transform_sql("t", 3, "md5(concat_ws(' ', slice(t, i + 1, 3)))"))
+        ).alias("h")
+    ).collect()
+    assert len(md5d) == 2  # only doc 1 has 3-token shingles
+
+
 def test_upsert_latest_semantics(spark):
     """Changelog compaction: latest-wins per key with seq tie-break; a key
     whose LATEST change is a tombstone is dropped, but a delete followed by
