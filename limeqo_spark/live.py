@@ -136,9 +136,12 @@ class LiveSteeringSession:
             else float(np.median([r.latency for r in runs]))
         )
         self._record(qi, hj, latency, run.censor_cutoff, run.plan_hash, True)
+        # inherited cells must carry the SAME median-of-N value as the
+        # measured cell, not the last run's latency — otherwise a plan
+        # equivalence class holds internally inconsistent observations
         for other_hj, fp in self._fingerprints(qi).items():
             if other_hj != hj and fp == run.plan_hash and self.explored[qi, other_hj] == 0:
-                self._record(qi, other_hj, run.latency, run.censor_cutoff, fp, False)
+                self._record(qi, other_hj, latency, run.censor_cutoff, fp, False)
 
     # --- the loop ---
     def bootstrap(self, timeout_s: float | None = None) -> None:

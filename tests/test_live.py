@@ -138,6 +138,37 @@ def test_manifest_queries_steerable(spark):
         assert build().limit(1).count() >= 0
 
 
+def test_repeats_median_inherited_consistently(spark, monkeypatch):
+    """A10 median-of-N semantics: with repeats=2 the measured cell records
+    the median latency, and plan-equivalent hints must inherit that SAME
+    median — not the last run's raw latency (regression for the fan-out
+    passing run.latency instead of the computed median)."""
+    import limeqo_spark.live as live_mod
+    from limeqo_spark.steer import SteeredRun
+
+    seq = iter([1.0, 3.0])  # two runs of the measured cell: median 2.0
+
+    def fake_run(spark_, build, hint_set, timeout_s=None):
+        return SteeredRun(hint_set.hint_id, next(seq), None, "FAKEPLAN", "")
+
+    monkeypatch.setattr(live_mod, "run_steered", fake_run)
+
+    def q():
+        return spark.range(1)
+
+    s = LiveSteeringSession(spark, {"q": q}, warmup=False, repeats=2)
+    # every hint fingerprints to the same plan for this trivial query, so
+    # the fan-out covers the whole row; pin the hash to the fake run's
+    monkeypatch.setattr(live_mod, "plan_hash", lambda df: "FAKEPLAN")
+    s.execute_cell(0, 0, None)
+
+    assert s.matrix[0, 0] == 2.0  # median of [1.0, 3.0], not 3.0
+    lats = {o.latency for o in s.observations}
+    assert lats == {2.0}, f"equivalence class carries mixed values: {lats}"
+    assert sum(o.measured for o in s.observations) == 1
+    assert len(s.observations) == len(s.hint_sets)
+
+
 def test_save_restore_roundtrip(spark, tmp_path):
     """Exploration state round-trips through the Parquet observations table:
     a fresh session restored from a saved log reproduces the matrix,
