@@ -64,6 +64,8 @@ class LiveSteeringSession:
         self.observations: list[LiveObservation] = []
         self._plan_cache: dict[tuple[int, int], str] = {}
         self._feature_cache: dict[tuple[int, int], np.ndarray] = {}
+        self._tree_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        self._tcnn = None
 
     # --- state helpers ---
     @property
@@ -183,17 +185,96 @@ class LiveSteeringSession:
         pred = model.predict(all_feats).reshape(q, h)
         return np.where(np.isnan(self.matrix), pred, self.matrix)
 
+    def _flat_tree(self, qi: int, hj: int):
+        """Flattened (features, child-index) EXPLAIN tree for one cell —
+        the real-plan input of the live TCNN (A22/A23 on Spark plans)."""
+        key = (qi, hj)
+        if key not in self._tree_cache:
+            from limeqo_spark.plans import NODE_VOCABULARY
+            from limeqo_spark.tcnn import flatten_tree
+
+            build = self.queries[self.query_ids[qi]]
+            hs = self.hint_sets[hj]
+            with H.applied(self.spark, hs):
+                text = explain_formatted(build())
+            self._plan_cache.setdefault(key, plan_hash(text))
+            tree = parse_formatted_tree(text)
+            if tree is None:
+                d = len(NODE_VOCABULARY)
+                self._tree_cache[key] = (np.zeros((2, d)), np.zeros((2, 2), dtype=np.int64))
+            else:
+                self._tree_cache[key] = flatten_tree(tree)
+        return self._tree_cache[key]
+
+    def _predict_tcnn_model(self) -> np.ndarray:
+        """LimeQO+ live with the executable tree-CNN (A21/A24-A27): train
+        :class:`~limeqo_spark.tcnn.NumpyTCNN` on the real EXPLAIN trees of
+        every explored cell (censored hinge on timeouts), then predict the
+        full Q x H matrix from each cell's own plan tree + query/hint
+        embeddings. Observed cells keep their true value."""
+        from limeqo_spark.plans import NODE_VOCABULARY
+        from limeqo_spark.tcnn import NumpyTCNN, collate_trees
+
+        q, h = self.explored.shape
+        n_feat = len(NODE_VOCABULARY)
+        # unique trees over ALL cells (train + predict), deduped by plan hash
+        tree_of: dict[tuple[int, int], int] = {}
+        flats, hash_to_id = [], {}
+        for qi in range(q):
+            for hj in range(h):
+                self._flat_tree(qi, hj)  # also fills the plan-hash cache
+                ph = self._plan_cache[(qi, hj)]
+                if ph not in hash_to_id:
+                    hash_to_id[ph] = len(flats)
+                    flats.append(self._tree_cache[(qi, hj)])
+                tree_of[(qi, hj)] = hash_to_id[ph]
+        trees = collate_trees(flats)
+        xs, qs, hs_, ys, cuts = [], [], [], [], []
+        for qi, hj in np.argwhere(self.explored > 0):
+            lat, cut = self.matrix[qi, hj], self.cutoffs[qi, hj]
+            if np.isnan(lat) and cut <= 0:
+                continue
+            xs.append(tree_of[(int(qi), int(hj))])
+            qs.append(int(qi))
+            hs_.append(int(hj))
+            ys.append(0.0 if np.isnan(lat) else lat)
+            cuts.append(cut)
+        if not xs:
+            raise RuntimeError(
+                "TCNN exploration needs at least one observation; "
+                "call bootstrap() before explore(model='tcnn')"
+            )
+        if self._tcnn is None:
+            self._tcnn = NumpyTCNN(
+                n_feat, q, h, rank=8, conv1=32, conv2=16, seed=self.seed
+            )
+            epochs = 800
+        else:
+            epochs = 200
+        self._tcnn.fit(
+            trees, np.asarray(xs), np.asarray(qs), np.asarray(hs_),
+            np.asarray(ys), np.asarray(cuts), epochs=epochs, lr=1e-2,
+        )
+        all_tid = np.asarray([tree_of[(qi, hj)] for qi in range(q) for hj in range(h)])
+        allq = np.repeat(np.arange(q), h)
+        allh = np.tile(np.arange(h), q)
+        pred = self._tcnn.predict(trees, all_tid, allq, allh).reshape(q, h)
+        return np.where(np.isnan(self.matrix), pred, self.matrix)
+
     def explore(self, rounds: int = 3, k: int = 4, model: str = "als") -> None:
         """LimeQO rounds: predict unobserved cells — ``model="als"`` via
         censored-ALS matrix completion (LimeQO), ``model="plan"`` via the
-        plan-feature cost model over real EXPLAIN trees (LimeQO+ live) —
-        pick the top-k improvement cells, execute them with timeout
-        tolerance min(ALPHA * best, BETA * predicted)."""
+        ridge plan-feature cost model, ``model="tcnn"`` via the executable
+        numpy tree-CNN over real EXPLAIN trees (LimeQO+ live) — pick the
+        top-k improvement cells, execute them with timeout tolerance
+        min(ALPHA * best, BETA * predicted)."""
         rng = np.random.default_rng(self.seed)
         for _ in range(rounds):
             if self.explored.all():
                 break
-            if model == "plan":
+            if model == "tcnn":
+                completed = self._predict_tcnn_model()
+            elif model == "plan":
                 completed = self._predict_plan_model()
             else:
                 completed = complete_log_space(

@@ -112,16 +112,26 @@ def rank_cells_by_improvement(
     explored: np.ndarray,
     min_observed: np.ndarray,
     k: int,
+    min_gain: float = 0.0,
 ) -> list[tuple[int, int]]:
     """LimeQO's selection core (A16): among untried cells, take the per-query
     predicted-best hint, rank queries by relative improvement over their
-    current best, return up to k positive-improvement cells."""
+    current best, return up to k positive-improvement cells.
+
+    ``min_gain`` (seconds) additionally requires a minimum ABSOLUTE predicted
+    saving: ratio-only ranking lets a model that predicts 0.1 ms for a 1 ms
+    query outrank every real opportunity and churn the whole budget on
+    microscopic rows (observed with the free-form TCNN predictor; a
+    multiplicative ALS never does this). 0.0 preserves the reference's exact
+    ranking for the ALS strategies."""
     cand = np.where(explored > 0, np.inf, pred)
     mc_min = cand.min(axis=1)
     mc_sel = cand.argmin(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
         improve = (min_observed - mc_min) / np.maximum(mc_min, 1e-9)
     improve[~np.isfinite(improve)] = -np.inf
+    if min_gain > 0.0:
+        improve[(min_observed - mc_min) < min_gain] = -np.inf
     out: list[tuple[int, int]] = []
     for i in np.argsort(-improve):
         if improve[i] <= 0:
@@ -333,11 +343,29 @@ class LimeQOStrategy(Strategy):
 
 class LimeQOPlusStrategy(LimeQOStrategy):
     """A21/A25-A27 LimeQO+: LimeQO's loop with a learned cost model in place
-    of pure matrix completion. With torch available the model is the TCNN
-    over plan features (limeqo_spark.tcnn); headless (no torch, no plan
-    corpus) it falls back to a censored factorization model of higher rank
-    trained on (query-factor x hint) features — same censored-loss semantics,
-    k=32 batches per the reference driver."""
+    of pure matrix completion (reference ``src/strategies/limeqo_plus.py``).
+
+    Two cost models are available via ``model=``:
+
+    - ``"als"`` (default): restart-averaged censored ALS — rank-5
+      completions from ``n_restarts`` independent inits, predictions
+      averaged, k=16 batches (smaller than the reference's k=32 so the
+      plan-less model re-fits more often). This is the robust headless
+      fallback: the reference's TCNN trains on EXPLAIN plan trees, and no
+      plan corpus ships with its matrices.
+    - ``"tcnn"``: the executable :class:`~limeqo_spark.tcnn.NumpyTCNN` in
+      embeddings-only mode (every cell shares one dummy tree, reducing the
+      tree-CNN to a neural matrix factorization trained with the censored
+      hinge loss, warm-started across rounds). Measured on the reference
+      CEB matrix (docs/tcnn_sim_study_r3.json): a BETTER completer than
+      ALS (held-out log-RMSE 0.35 vs 0.54) but a chaotically
+      init-sensitive explorer — final workload latency at the 0.75 h
+      checkpoint ranges 1.31-1.59 h across inits vs the ALS fallback's
+      robust 1.44 h, because exploration feeds on prediction noise that
+      averaging or calibration destroys. Kept as an option and for parity
+      with live mode, where the TCNN gets REAL plan trees
+      (:meth:`limeqo_spark.live.LiveSteeringSession.explore`).
+    """
 
     name = "limeqo_plus"
 
@@ -345,8 +373,13 @@ class LimeQOPlusStrategy(LimeQOStrategy):
     #: variance (not bias) is what costs exploration time; averaging
     #: independent censored-ALS restarts is the cheap variance reducer
     n_restarts = 3
+    #: embeddings-only TCNN hyperparameters (see docstring)
+    tcnn_kw = {"rank": 8, "conv1": 16, "conv2": 8}
 
-    def __init__(self, *args, rank: int = 5, iters: int = 50, lam: float = 0.2, **kw):
+    def __init__(
+        self, *args, rank: int = 5, iters: int = 50, lam: float = 0.2,
+        model: str = "als", **kw,
+    ):
         # k=16, not the reference's k=32: the TCNN's plan features justify
         # big batches; the headless fallback re-fits more often instead.
         # Measured (3 seeds, reference matrices @ published checkpoints):
@@ -354,8 +387,13 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         # both well under the 3.407 h baseline).
         kw.setdefault("k", 16)
         super().__init__(*args, rank=rank, iters=iters, lam=lam, **kw)
+        self.model = model
+        self._tcnn = None
 
     def fit(self) -> None:
+        if self.model == "tcnn":
+            self._fit_tcnn()
+            return
         st = self.state
         log_m = np.log1p(np.where(st.mask > 0, self.wl.matrix, 0.0))
         log_cut = np.log1p(st.cutoffs)
@@ -367,6 +405,49 @@ class LimeQOPlusStrategy(LimeQOStrategy):
             )
             preds.append(np.expm1(done))
         self.pred = np.mean(preds, axis=0)
+
+    def _fit_tcnn(self) -> None:
+        """Embeddings-only NumpyTCNN fit over every explored cell (revealed
+        value or censoring cutoff), warm-started across rounds; reference
+        training-loop semantics (800-epoch cold fit, 200-epoch refits,
+        loss<0.1 plateau early-stop — limeqo_plus.py:193-234)."""
+        from limeqo_spark.tcnn import NumpyTCNN, dummy_tree
+
+        st = self.state
+        cells = np.argwhere((st.mask > 0) | (st.cutoffs > 0))
+        qi, hj = cells[:, 0], cells[:, 1]
+        observed = st.mask[qi, hj] > 0
+        lat = np.where(observed, self.wl.matrix[qi, hj], 0.0)
+        cut = np.where(observed, 0.0, st.cutoffs[qi, hj])
+        if self._tcnn is None:
+            self._tcnn = NumpyTCNN(
+                4, *self.wl.matrix.shape,
+                seed=int(self.rng.integers(2**31)), **self.tcnn_kw,
+            )
+            epochs = 800
+        else:
+            epochs = 200
+        self._dummy = dummy_tree(4)
+        self._tcnn.fit(
+            self._dummy, np.zeros(len(qi), dtype=np.int64), qi, hj, lat, cut,
+            epochs=epochs, lr=1e-2,
+        )
+        q, h = self.wl.matrix.shape
+        allq, allh = np.meshgrid(np.arange(q), np.arange(h), indexing="ij")
+        self.pred = self._tcnn.predict(
+            self._dummy, np.zeros(q * h, dtype=np.int64), allq.ravel(), allh.ravel()
+        ).reshape(q, h)
+
+    def select(self) -> list[tuple[int, int]]:
+        st = self.state
+        assert self.pred is not None
+        # the free-form TCNN needs the absolute-gain guard (see
+        # rank_cells_by_improvement); the multiplicative ALS does not
+        min_gain = 0.01 if self.model == "tcnn" else 0.0
+        out = rank_cells_by_improvement(
+            self.pred, st.explored, st.min_observed(), self.k, min_gain=min_gain
+        )
+        return self.random_fill(out)
 
     def stopped(self) -> bool:
         if self.time_budget is not None and self.state.spent >= self.time_budget:

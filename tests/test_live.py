@@ -138,6 +138,26 @@ def test_manifest_queries_steerable(spark):
         assert build().limit(1).count() >= 0
 
 
+def test_tcnn_model_exploration_on_real_plans(spark):
+    """LimeQO+ live with the executable numpy tree-CNN: exploration over
+    REAL EXPLAIN trees makes progress; the fitted model's training loss
+    converged and predictions are positive finite."""
+    def dim_join():
+        n = table(spark, SF, "nation")
+        r = table(spark, SF, "region")
+        return n.join(r, n.n_regionkey == r.r_regionkey).groupBy("r_name").count()
+
+    s = LiveSteeringSession(spark, {"dim": dim_join}, iters=10, warmup=False)
+    s.bootstrap(timeout_s=120.0)
+    before = int(s.explored.sum())
+    s.explore(rounds=2, k=3, model="tcnn")
+    assert int(s.explored.sum()) > before
+    assert s._tcnn is not None and len(s._tcnn.loss_curve) > 0
+    assert np.isfinite(s._tcnn.loss_curve[-1])
+    best = s.best_hints()
+    assert "dim" in best and best["dim"][1] > 0
+
+
 def test_repeats_median_inherited_consistently(spark, monkeypatch):
     """A10 median-of-N semantics: with repeats=2 the measured cell records
     the median latency, and plan-equivalent hints must inherit that SAME

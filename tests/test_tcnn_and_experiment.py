@@ -59,6 +59,131 @@ def test_hint_onehot():
     assert v[3] == 1.0 and v.sum() == 1.0
 
 
+def test_numpy_tcnn_gradients_match_finite_differences():
+    """The hand-derived backward pass is exact: every parameter gradient
+    matches central finite differences to <1e-6 relative error (params
+    perturbed off the ReLU kinks first — zero-init biases put the pad rows
+    exactly on the kink where subgradients differ legitimately)."""
+    from limeqo_spark.tcnn import NumpyTCNN
+
+    rng = np.random.default_rng(0)
+    m = NumpyTCNN(4, 3, 5, rank=2, conv1=6, conv2=4, hidden=(5, 3), seed=1)
+    for k in m.p:
+        m.p[k] = m.p[k] + 0.05 * rng.standard_normal(m.p[k].shape)
+    t, n = 2, 4
+    feats = rng.standard_normal((t, n, 4))
+    feats[:, 0, :] = 0
+    child = rng.integers(0, n, (t, n, 2))
+    child[:, 0, :] = 0
+    b = 7
+    tree_id = rng.integers(0, t, b)
+    q_idx, h_idx = rng.integers(0, 3, b), rng.integers(0, 5, b)
+    y = rng.uniform(0.5, 5.0, b)
+    cuts = np.zeros(b)
+    cuts[0], cuts[3] = 2.0, 1.0
+    m._scale_fit(y, cuts)
+    ys = m._scale(np.where(cuts > 0, 0.0, y))
+    cut_s = np.where(cuts > 0, m._scale(cuts), 0.0)
+    cens = cuts > 0
+
+    def loss_fn():
+        conv = m._conv_forward(feats, child)
+        f = m._forward(conv, tree_id, q_idx, h_idx)
+        err = np.where(cens, np.minimum(f["out"] - cut_s, 0.0), f["out"] - ys)
+        return float((err**2).mean()), conv, f, err
+
+    loss, conv, f, err = loss_fn()
+    grads = m._backward(conv, f, tree_id, q_idx, h_idx, 2.0 * err / b)
+    eps = 1e-6
+    for k in m.p:
+        it = np.nditer(m.p[k], flags=["multi_index"])
+        num = np.zeros_like(m.p[k])
+        for _ in it:
+            idx = it.multi_index
+            orig = m.p[k][idx]
+            m.p[k][idx] = orig + eps
+            lp, *_ = loss_fn()
+            m.p[k][idx] = orig - eps
+            lm, *_ = loss_fn()
+            m.p[k][idx] = orig
+            num[idx] = (lp - lm) / (2 * eps)
+        denom = max(np.abs(grads[k]).max(), np.abs(num).max(), 1e-8)
+        assert np.abs(grads[k] - num).max() / denom < 1e-6, f"grad mismatch: {k}"
+
+
+def test_numpy_tcnn_learns_synthetic_tree_cost():
+    """Training on synthetic trees whose latency is a function of node-type
+    counts converges below the loss threshold and correlates >0.99 with
+    the ground truth — the A21/A25/A26 chain executes for real."""
+    from limeqo_spark.tcnn import NumpyTCNN, collate_trees
+
+    rng = np.random.default_rng(7)
+    d = 6
+
+    def rand_tree():
+        n = int(rng.integers(2, 9))
+        feats = np.zeros((n + 1, d))
+        child = np.zeros((n + 1, 2), dtype=np.int64)
+        types = rng.integers(0, d, n)
+        for i, t in enumerate(types):
+            feats[i + 1, t] = 1.0
+        for i in range(2, n + 1):  # heap-shaped binary tree
+            child[1 + (i - 2) // 2, (i - 2) % 2] = i
+        lat = 2.0 * (types == 0).sum() + 0.5 * (types == 1).sum() + 0.3
+        return (feats, child), lat
+
+    pairs = [rand_tree() for _ in range(200)]
+    trees = collate_trees([p[0] for p in pairs])
+    y = np.array([p[1] for p in pairs])
+    tid = np.arange(200)
+    q = rng.integers(0, 10, 200)
+    h = rng.integers(0, 4, 200)
+    m = NumpyTCNN(d, 10, 4, rank=2, conv1=32, conv2=16, seed=0)
+    m.fit(trees, tid, q, h, y, epochs=400, lr=5e-3)
+    assert m.loss_curve[-1] < 1e-2
+    pred = m.predict(trees, tid, q, h)
+    assert np.corrcoef(pred, y)[0, 1] > 0.99
+
+
+def test_numpy_tcnn_censored_hinge_respects_cutoffs():
+    """Censored samples only constrain from below: after training, the
+    model predicts at-or-above the cutoff for censored cells (within 20%
+    in log space) without needing their true values."""
+    from limeqo_spark.tcnn import NumpyTCNN, dummy_tree
+
+    rng = np.random.default_rng(3)
+    b = 400
+    q = rng.integers(0, 20, b)
+    h = rng.integers(0, 8, b)
+    true = np.exp(0.2 * q + 0.1 * h + 0.1 * rng.standard_normal(b))
+    cens = rng.random(b) < 0.3
+    cuts = np.where(cens, true * 1.2, 0.0)
+    m = NumpyTCNN(4, 20, 8, rank=4, conv1=8, conv2=8, seed=0)
+    m.fit(
+        dummy_tree(4), np.zeros(b, dtype=np.int64), q, h,
+        np.where(cens, 0.0, true), cuts, epochs=600, lr=1e-2, stop_loss=1e-3,
+    )
+    pred = m.predict(dummy_tree(4), np.zeros(b, dtype=np.int64), q, h)
+    ok = np.log1p(pred[cens]) >= 0.8 * np.log1p(cuts[cens])
+    assert ok.mean() > 0.9, f"only {ok.mean():.2f} of censored cells clear cutoff"
+
+
+def test_limeqo_plus_tcnn_mode_on_job_matrix():
+    """Sim LimeQO+ with model='tcnn' (embeddings-only NumpyTCNN) keeps the
+    reference invariants on the JOB matrix: curve bounded by [opt,
+    default], monotone non-increasing total latency."""
+    from limeqo_spark.strategies import LimeQOPlusStrategy
+
+    wl = load_dataset("job")
+    rec = LimeQOPlusStrategy(
+        wl, seed=1, max_rounds=30, time_budget=60.0, model="tcnn"
+    ).run()
+    lat = [r["total_latency"] for r in rec]
+    assert all(l2 <= l1 + 1e-9 for l1, l2 in zip(lat, lat[1:]))
+    assert wl.opt_time - 1e-6 <= lat[-1] <= wl.default_time + 1e-6
+    assert lat[-1] < wl.default_time  # made real progress
+
+
 @pytest.mark.skipif(not HAS_TORCH, reason="torch not in container")
 def test_torch_tcnn_forward():  # pragma: no cover
     import torch
