@@ -193,45 +193,37 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk", oracle=None, check="prop")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN, IVF flavor: a KMeans coarse quantizer partitions the
-    corpus into nlist=16 cells; each probe scans only its nprobe=3 nearest
-    cells and re-scores exactly. At 100 TB the corpus is written partitioned
-    by cell_id, so a probe reads 3/16 of the data with partition pruning
-    doing the skipping. PROP: recall vs brute force asserted in tests (the
-    trained centroids are engine-local, so no cross-engine oracle).
+    """Scale-path ANN, IVF flavor: a distributed MLlib KMeans coarse
+    quantizer partitions the corpus into nlist=16 cells; each probe scans
+    only its nprobe=6 nearest cells and re-scores exactly. At 100 TB the
+    corpus is written partitioned by cell_id, so a probe reads 6/16 of the
+    data with partition pruning doing the skipping, and the quantizer fit
+    itself is distributed (no vector collect — only the 16 trained
+    centroids reach the driver). PROP: recall >= 0.8 vs brute force
+    asserted in tests (the trained centroids are engine-local, so no
+    cross-engine oracle).
     """
-    nlist, nprobe, seed = 16, 4, 42
+    nlist, nprobe, seed = 16, 6, 42
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # Train the coarse quantizer on a driver-side SAMPLE (standard IVF
-    # practice: centroids need the density shape, not every vector — at
-    # 100 TB you still train on ~100k sampled rows), then assign the full
-    # corpus distributively with a broadcast centroid join.
+    # Train the coarse quantizer with DISTRIBUTED MLlib KMeans (k-means||
+    # init, seeded) on a deterministic sample DataFrame — standard IVF
+    # practice: centroids need the density shape, not every vector, so at
+    # 100 TB you fit on ~100k sampled rows while the fit itself never
+    # collects vectors to the driver; only the 16 trained centroids (model
+    # coefficients) come back.
     # orderBy before limit: a bare limit takes arbitrary rows (whatever
     # partition answers first), which would make the trained centroids —
     # and thus the query result — run-to-run nondeterministic.
-    sample = np.asarray(
-        [r["embedding"] for r in e.orderBy("vec_id").limit(4096).collect()]
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = e.orderBy("vec_id").limit(4096).select(
+        array_to_vector(F.col("embedding")).alias("features")
     )
-    rng = np.random.default_rng(seed)
-    # k-means++ init: spread seeds by squared-distance weighting (uniform
-    # init on high-dim data collapses several cells onto the bulk)
-    centers = [sample[rng.integers(len(sample))]]
-    for _ in range(nlist - 1):
-        d2min = np.min(
-            ((sample[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(axis=2),
-            axis=1,
-        )
-        centers.append(sample[rng.choice(len(sample), p=d2min / d2min.sum())])
-    centers = np.asarray(centers)
-    for _ in range(8):  # Lloyd iterations on the sample
-        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(nlist):
-            pts = sample[assign == c]
-            if len(pts):
-                centers[c] = pts.mean(axis=0)
+    km = KMeans(k=nlist, seed=seed, maxIter=10, featuresCol="features")
+    centers = np.asarray(km.fit(sample).clusterCenters())
     # Centroids become a literal array; nearest-cell assignment is then one
     # JVM-side expression per row (sort an array of (distance, cell) structs
     # — struct ordering is field-order, so distance first) — NO crossJoin,

@@ -113,7 +113,7 @@ def test_ann_ivf_agrees_with_brute_force(spark, sf_dir):
         ivf_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
     hits = sum(len(brute_sets[p] & ivf_sets.get(p, set())) for p in brute_sets)
     total = sum(len(s) for s in brute_sets.values())
-    assert hits / total >= 0.5, f"IVF top-5 overlap only {hits}/{total}"
+    assert hits / total >= 0.8, f"IVF top-5 overlap only {hits}/{total}"
     assert len(ivf_sets) == len(brute_sets), "every probe must get candidates"
 
 
