@@ -16,8 +16,12 @@ components does under the hood, without the extra dependency.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 from limeqo_spark.pipeline.corpus import CORPUS_SQL, planted_corpus
 from limeqo_spark.pipeline.dedup import ngram_jaccard_pairs
@@ -83,7 +87,95 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 25) -> Data
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # falling through with changed > 0 would silently return labels of
+        # PARTIAL components (propagation distance > max_iter)
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_two_phase for long-chain graphs"
+        )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_two_phase(
+    edges: DataFrame, max_iter: int = 20, stats: dict | None = None
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation — the
+    O(log n)-round MapReduce algorithm (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"), built from the same DataFrame
+    primitives as the min-label loop but converging in logarithmically many
+    rounds on ANY diameter, which is the 100 TB answer for adversarial
+    long-chain graphs (the min-label loop needs O(diameter) full shuffles).
+    Fixpoint detection is one tiny (count, bit_xor-of-hashes) aggregate per
+    round — nothing data-sized is collected.
+
+    Each round: large-star hangs every larger neighbor of u under
+    min(N(u) ∪ u); small-star re-hangs the smaller neighborhood the same
+    way. Edges canonicalize to (min, max) pairs; at the fixpoint every
+    component is a star rooted at its minimum id.
+    Returns ``(node, component)``; ``stats["rounds"]`` records the rounds
+    used when a dict is passed.
+    """
+    e = (
+        edges.select(F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v"))
+        .filter("u <> v")
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev: tuple | None = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: for each node, hang all LARGER neighbors under the
+        # minimum of its closed neighborhood
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        big = sym.filter("v > u").join(mins, "u").select(F.col("v").alias("a"), F.col("m").alias("b"))
+        e = (
+            big.filter("a <> b")
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+        )
+        # small-star: per node, re-hang the SMALLER neighborhood (plus the
+        # node itself) under its minimum
+        mins2 = e.groupBy("v").agg(F.min("u").alias("m"))
+        small = (
+            e.join(mins2, "v")
+            .select("u", "m")
+            .filter("u <> m")
+            .unionByName(mins2.select(F.col("v").alias("u"), F.col("m").alias("m")))
+        )
+        e = (
+            small.select(F.least("u", "m").alias("u"), F.greatest("u", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # constant-size plan per round
+        )
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free fingerprint
+        ).collect()[0]
+        chk = (row["n"], row["h"])
+        if chk == prev:
+            break
+        prev = chk
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not reach a fixpoint in {max_iter} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    return (
+        e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .unionByName(roots)
+        .distinct()
+    )
 
 
 @query(
@@ -112,9 +204,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     components and mark the canonical (minimum-id) document of each cluster
     as the one to keep — the decision step a training-data dedup pipeline
     runs after pair generation. Oracle computes the same transitive closure
-    with a recursive CTE."""
+    with a recursive CTE. Components come from the O(log n)-round
+    large-star/small-star kernel (the min-label variant is kept for
+    small-diameter graphs)."""
     pairs = ngram_jaccard_pairs(planted_corpus(spark, sf_dir), n=3, tau=0.6)
-    comp = connected_components_min_label(pairs.select("a", "b"))
+    comp = connected_components_two_phase(pairs.select("a", "b"))
     return (
         comp.select(
             F.col("node").alias("doc_id"),

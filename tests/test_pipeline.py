@@ -43,6 +43,55 @@ def test_cluster_canonical_resolves_planted_pairs(spark, sf_dir):
         assert canon[c] == c, "canonical of a canonical must be itself"
 
 
+def test_two_phase_cc_long_chain_converges_in_log_rounds(spark):
+    """Adversarial-diameter graph: a 256-node path (diameter 255). The
+    large-star/small-star kernel must find the single component in
+    O(log n) rounds — far below the diameter — and agree with the
+    min-label kernel given enough iterations."""
+    from limeqo_spark.pipeline.cluster import (
+        connected_components_min_label,
+        connected_components_two_phase,
+    )
+
+    n = 256
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    stats: dict = {}
+    comp = connected_components_two_phase(chain, max_iter=20, stats=stats)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {0}
+    assert stats["rounds"] <= 10, f"took {stats['rounds']} rounds for a 256-path"
+
+    # and the min-label kernel raises rather than silently returning
+    # partial labels when the diameter exceeds its round budget
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_min_label(chain, max_iter=5)
+
+
+def test_two_phase_cc_matches_min_label_on_random_graph(spark):
+    """Both kernels produce identical (node, component) labelings on a
+    random multi-component graph."""
+    import numpy as np
+
+    from limeqo_spark.pipeline.cluster import (
+        connected_components_min_label,
+        connected_components_two_phase,
+    )
+
+    rng = np.random.default_rng(5)
+    edges = [
+        (int(g * 100 + rng.integers(50)), int(g * 100 + rng.integers(50)))
+        for g in range(6)
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(a, b) for a, b in edges if a != b], "a long, b long")
+    two = {(r["node"], r["component"]) for r in connected_components_two_phase(df).collect()}
+    ml = {(r["node"], r["component"]) for r in connected_components_min_label(df).collect()}
+    assert two == ml and len(two) > 0
+
+
 def test_minhash_mllib_recalls_planted_pairs(spark, sf_dir):
     """The MLlib MinHashLSH reference path (engine-specific hashes, so
     prop-checked here rather than oracle-hashed like the registered
