@@ -168,6 +168,33 @@ def test_numpy_tcnn_censored_hinge_respects_cutoffs():
     assert ok.mean() > 0.9, f"only {ok.mean():.2f} of censored cells clear cutoff"
 
 
+def test_datashift_newquery_reconverges():
+    """Datashift golden (reference experiment/stack-datashift + the
+    draw_newquery analysis): explore 80% of JOB, inject the held-out 20%
+    with only their defaults observed. The curve must jump UP at injection
+    (new defaults join the sum), descend again afterwards (the completer
+    extrapolates the new rows from learned hint factors), and stay inside
+    [opt, default] of the FULL workload throughout phase 2."""
+    from limeqo_spark.datashift import run_datashift
+
+    wl = load_dataset("job")
+    res = run_datashift(wl, budget_before=45.0, budget_after=60.0, seed=1)
+    lat = [r["total_latency"] for r in res.records]
+    ir = res.inject_round
+    assert 0 < ir < len(lat)
+    assert len(res.holdout_rows) == round(0.2 * wl.matrix.shape[0])
+    # phase 1 made progress on the subset
+    assert lat[ir - 1] < lat[0]
+    # injection raises total latency (the new queries arrive unoptimized)
+    assert lat[ir] > lat[ir - 1]
+    # and the strategy re-converges on the shifted workload
+    assert lat[-1] < lat[ir]
+    for v in lat[ir:]:
+        assert res.opt_time - 1e-6 <= v <= res.default_time + 1e-6
+    # phase-2 curve is monotone non-increasing (observations only improve)
+    assert all(b <= a + 1e-9 for a, b in zip(lat[ir:], lat[ir + 1 :]))
+
+
 def test_limeqo_plus_tcnn_mode_on_job_matrix():
     """Sim LimeQO+ with model='tcnn' (embeddings-only NumpyTCNN) keeps the
     reference invariants on the JOB matrix: curve bounded by [opt,
