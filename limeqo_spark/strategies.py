@@ -307,15 +307,24 @@ class LimeQOStrategy(Strategy):
 
     name = "limeqo"
 
-    def __init__(self, *args, rank: int = 5, iters: int = 50, lam: float = 0.2, **kw):
+    def __init__(
+        self, *args, rank: int = 5, iters: int = 50, lam: float = 0.2,
+        alpha: float = ALPHA, beta: float = BETA, use_censored: bool = True, **kw,
+    ):
         super().__init__(*args, **kw)
         self.rank, self.iters, self.lam = rank, iters, lam
+        #: timeout-tolerance multipliers (A30); sweepable for the
+        #: censoring-sensitivity study (reference draw/draw_censor.ipynb)
+        self.alpha, self.beta = alpha, beta
+        #: False = the "wocensored" ablation: cells still time out and pay
+        #: their tolerance, but the completer IGNORES the censoring bounds
+        self.use_censored = use_censored
         self.pred: np.ndarray | None = None
 
     def fit(self) -> None:
         st = self.state
         log_m = np.log1p(np.where(st.mask > 0, self.wl.matrix, 0.0))
-        log_cut = np.log1p(st.cutoffs)
+        log_cut = np.log1p(st.cutoffs) if self.use_censored else None
         done = als_complete(
             log_m, st.mask, self.rank, self.iters, self.lam,
             seed=int(self.rng.integers(2**31)), nonnegative=True, cutoffs=log_cut,
@@ -330,9 +339,9 @@ class LimeQOStrategy(Strategy):
             # prediction would otherwise censor the cell at a ~0 cutoff,
             # permanently blocking a potentially-good hint (observed on
             # degenerate matrices where the nonneg solver zeroes a factor)
-            cap = max(BETA * self.pred[i, j], 0.05 * base)
-            return float(min(ALPHA * base, cap))
-        return ALPHA * base
+            cap = max(self.beta * self.pred[i, j], 0.05 * base)
+            return float(min(self.alpha * base, cap))
+        return self.alpha * base
 
     def select(self) -> list[tuple[int, int]]:
         st, pred = self.state, self.pred

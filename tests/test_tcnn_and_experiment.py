@@ -168,6 +168,30 @@ def test_numpy_tcnn_censored_hinge_respects_cutoffs():
     assert ok.mean() > 0.9, f"only {ok.mean():.2f} of censored cells clear cutoff"
 
 
+def test_censoring_sensitivity_invariants():
+    """Censoring-sensitivity sweep (reference draw/draw_censor.ipynb): for
+    every (alpha, beta) tolerance setting and for the wocensored ablation,
+    curves stay monotone non-increasing and inside [opt, default]; the
+    censored-aware completer must not lose to the ablation by more than
+    noise (full grid artifact: docs/censor_sweep_r3.json)."""
+    wl = load_dataset("job")
+    finals = {}
+    for label, kw in {
+        "a0.5_b3": {"alpha": 0.5, "beta": 3.0},
+        "a2_b50": {"alpha": 2.0, "beta": 50.0},
+        "default": {},
+        "wocensored": {"use_censored": False},
+    }.items():
+        rec = LimeQOStrategy(
+            wl, k=8, seed=1, max_rounds=500, time_budget=90.0, **kw
+        ).run()
+        lat = [r["total_latency"] for r in rec]
+        assert all(b <= a + 1e-9 for a, b in zip(lat, lat[1:])), label
+        assert wl.opt_time - 1e-6 <= lat[-1] <= wl.default_time + 1e-6, label
+        finals[label] = lat[-1]
+    assert finals["default"] <= finals["wocensored"] * 1.15
+
+
 def test_datashift_newquery_reconverges():
     """Datashift golden (reference experiment/stack-datashift + the
     draw_newquery analysis): explore 80% of JOB, inject the held-out 20%
