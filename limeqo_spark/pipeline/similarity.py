@@ -86,7 +86,15 @@ def _hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> np.ndarray
 def _lsh_oracle_sql() -> str:
     """DuckDB oracle for the SRP-LSH path: the hyperplanes are fixed seeded
     literals, so the identical floats are embedded here and the signature,
-    banding, candidate join, and re-scoring are all value-checkable."""
+    banding, candidate join, and re-scoring are all value-checkable.
+
+    Cross-engine float caveat, measured rather than assumed: a summation-
+    order difference between Spark's aggregate(zip_with(...)) and DuckDB's
+    list_dot_product could flip a hyperplane sign only if some projection
+    were within float noise of 0. On the fixtures the smallest |dot(plane,
+    embedding)| is 3.5e-05 (sf0.1; 6.1e-04 at sf0.001) vs ~1e-13 worst-case
+    reassociation error for 64-dim O(1) vectors — nine orders of margin.
+    ``test_srp_lsh_projection_margins`` guards this property per fixture."""
     planes = _hyperplanes()
     rows = ",\n      ".join(
         f"({p}, CAST([{', '.join(repr(float(v)) for v in row)}] AS DOUBLE[]))"

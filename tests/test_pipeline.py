@@ -92,6 +92,32 @@ def test_two_phase_cc_matches_min_label_on_random_graph(spark):
     assert two == ml and len(two) > 0
 
 
+def test_srp_lsh_projection_margins(sf_dir):
+    """Guard for the SRP-LSH hash-parity contract: no embedding projects
+    within float-reassociation distance of any hyperplane (a near-zero dot
+    product could let Spark and DuckDB disagree on a signature bit). Also
+    checks no cosine lands on a ROUND(x,4) half-way boundary."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from limeqo_spark.pipeline.similarity import _hyperplanes
+
+    emb = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    planes = _hyperplanes()
+    dots = emb @ planes.T
+    assert np.abs(dots).min() > 1e-8, "a projection sits on a hyperplane"
+    # ROUND(cos, 4) boundary margin for the probe cosines
+    probes = emb[:10]
+    norms = np.linalg.norm(emb, axis=1)
+    cos = (probes @ emb.T) / (np.linalg.norm(probes, axis=1)[:, None] * norms[None, :])
+    np.fill_diagonal(cos[:, :10], 0.0)
+    frac = np.abs(cos * 1e4 - np.floor(cos * 1e4) - 0.5)
+    assert frac.min() > 1e-6, "a cosine sits on a 4-dp rounding boundary"
+
+
 def test_minhash_mllib_recalls_planted_pairs(spark, sf_dir):
     """The MLlib MinHashLSH reference path (engine-specific hashes, so
     prop-checked here rather than oracle-hashed like the registered
