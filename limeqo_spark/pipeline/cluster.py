@@ -53,10 +53,15 @@ _PAIRS_SQL = f"""
 """
 
 
-def connected_components_min_label(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components_min_label(
+    edges: DataFrame, max_iter: int = 25, strict: bool = True
+) -> DataFrame:
     """Connected components of an undirected edge list ``(a, b)``; returns
     ``(node, component)`` where component = the minimum node id reachable.
-    Deterministic; converges in O(diameter) rounds."""
+    Deterministic; converges in O(diameter) rounds. With ``strict`` (the
+    default) raises if the loop exhausts ``max_iter`` before convergence —
+    ``strict=False`` returns the partial labels (plan-inspection and
+    bounded-round use only)."""
     sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -90,10 +95,15 @@ def connected_components_min_label(edges: DataFrame, max_iter: int = 25) -> Data
     else:
         # falling through with changed > 0 would silently return labels of
         # PARTIAL components (propagation distance > max_iter)
-        raise RuntimeError(
-            f"min-label propagation did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter or use "
-            "connected_components_two_phase for long-chain graphs"
+        if strict:
+            raise RuntimeError(
+                f"min-label propagation did not converge in {max_iter} rounds "
+                "(component diameter exceeds max_iter); raise max_iter or use "
+                "connected_components_two_phase for long-chain graphs"
+            )
+        log.warning(
+            "min-label propagation stopped at max_iter=%d without converging; "
+            "returning partial labels (strict=False)", max_iter,
         )
     return labels.select("node", F.col("label").alias("component"))
 
