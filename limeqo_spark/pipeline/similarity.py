@@ -230,7 +230,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = e.orderBy("vec_id").limit(4096).select(
         array_to_vector(F.col("embedding")).alias("features")
     )
-    km = KMeans(k=nlist, seed=seed, maxIter=10, featuresCol="features")
+    # one k-means|| init step + 5 Lloyd iterations: the full default init
+    # costs 3x the wall for no recall gain at nlist=16 (the recall gate in
+    # the prop test is the arbiter)
+    km = KMeans(k=nlist, seed=seed, maxIter=5, initSteps=1, featuresCol="features")
     centers = np.asarray(km.fit(sample).clusterCenters())
     # Centroids become a literal array; nearest-cell assignment is then one
     # JVM-side expression per row (sort an array of (distance, cell) structs
