@@ -199,42 +199,59 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF geometry shared by the query and the partitioned-layout variant
+_IVF_NLIST, _IVF_NPROBE, _IVF_SEED = 16, 6, 42
+_IVF_CENTER_CACHE: dict[str, np.ndarray] = {}
+
+
+def _train_ivf_centers(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Coarse-quantizer centroids via DISTRIBUTED MLlib KMeans (seeded
+    k-means|| with one init step + 5 Lloyd iterations; the full default
+    init costs 3x the wall for no recall gain at nlist=16) on a
+    deterministic sample DataFrame — standard IVF practice: centroids need
+    the density shape, not every vector, so at 100 TB you fit on ~100k
+    sampled rows while the fit itself never collects vectors to the
+    driver; only the 16 trained centroids (model coefficients) come back.
+    orderBy before limit: a bare limit takes arbitrary rows (whatever
+    partition answers first), which would make the trained centroids — and
+    thus the query result — run-to-run nondeterministic. Memoized per
+    sf_dir so the query and layout variants share identical geometry."""
+    centers = _IVF_CENTER_CACHE.get(sf_dir)
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        e = table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        sample = e.orderBy("vec_id").limit(4096).select(
+            array_to_vector(F.col("embedding")).alias("features")
+        )
+        km = KMeans(
+            k=_IVF_NLIST, seed=_IVF_SEED, maxIter=5, initSteps=1, featuresCol="features"
+        )
+        centers = np.asarray(km.fit(sample).clusterCenters())
+        _IVF_CENTER_CACHE[sf_dir] = centers
+    return centers
+
+
 @query("ann_ivf_topk", oracle=None, check="prop")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN, IVF flavor: a distributed MLlib KMeans coarse
     quantizer partitions the corpus into nlist=16 cells; each probe scans
     only its nprobe=6 nearest cells and re-scores exactly. At 100 TB the
     corpus is written partitioned by cell_id, so a probe reads 6/16 of the
-    data with partition pruning doing the skipping, and the quantizer fit
-    itself is distributed (no vector collect — only the 16 trained
-    centroids reach the driver). PROP: recall >= 0.8 vs brute force
-    asserted in tests (the trained centroids are engine-local, so no
-    cross-engine oracle).
+    data with partition pruning doing the skipping (demonstrated for real
+    by `ann_ivf_partitioned`), and the quantizer fit itself is distributed
+    (no vector collect — only the 16 trained centroids reach the driver).
+    PROP: recall >= 0.8 vs brute force asserted in tests (the trained
+    centroids are engine-local, so no cross-engine oracle).
     """
-    nlist, nprobe, seed = 16, 6, 42
+    nlist, nprobe = _IVF_NLIST, _IVF_NPROBE
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # Train the coarse quantizer with DISTRIBUTED MLlib KMeans (k-means||
-    # init, seeded) on a deterministic sample DataFrame — standard IVF
-    # practice: centroids need the density shape, not every vector, so at
-    # 100 TB you fit on ~100k sampled rows while the fit itself never
-    # collects vectors to the driver; only the 16 trained centroids (model
-    # coefficients) come back.
-    # orderBy before limit: a bare limit takes arbitrary rows (whatever
-    # partition answers first), which would make the trained centroids —
-    # and thus the query result — run-to-run nondeterministic.
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    sample = e.orderBy("vec_id").limit(4096).select(
-        array_to_vector(F.col("embedding")).alias("features")
-    )
-    # one k-means|| init step + 5 Lloyd iterations: the full default init
-    # costs 3x the wall for no recall gain at nlist=16 (the recall gate in
-    # the prop test is the arbiter)
-    km = KMeans(k=nlist, seed=seed, maxIter=5, initSteps=1, featuresCol="features")
-    centers = np.asarray(km.fit(sample).clusterCenters())
+    centers = _train_ivf_centers(spark, sf_dir)
     # Centroids become a literal array; nearest-cell assignment is then one
     # JVM-side expression per row (sort an array of (distance, cell) structs
     # — struct ordering is field-order, so distance first) — NO crossJoin,
@@ -269,6 +286,93 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan only the selected cells (at scale: partition pruning on cell_id)
     cand = (
         assigned.join(F.broadcast(probe_cells), "cell_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", F.expr(_cosine_expr()))
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            F.round("cos", 4).alias("cos_sim"),
+        )
+        .orderBy("probe_id", "rn")
+    )
+
+
+_IVF_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def ivf_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """The corpus written out PARTITIONED BY its IVF cell assignment —
+    hive-style cell_id=N directories, the physical layout the IVF scale
+    story depends on. Memoized per sf_dir."""
+    import os
+    import tempfile
+
+    out = _IVF_LAYOUT_CACHE.get(sf_dir)
+    if out is None or not os.path.isdir(out):
+        centers = _train_ivf_centers(spark, sf_dir)
+        e = table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
+        ranked = (
+            f"sort_array(transform(sequence(0, {_IVF_NLIST - 1}), p -> struct("
+            "aggregate(zip_with(cents[p], embedding, (c, x) -> (x - c) * (x - c)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))[0].i"
+        )
+        assigned = (
+            e.withColumn("cents", cents_lit)
+            .withColumn("cell_id", F.expr(ranked))
+            .drop("cents")
+        )
+        out = tempfile.mkdtemp(prefix="limeqo_ivf_corpus_")
+        assigned.write.mode("overwrite").partitionBy("cell_id").parquet(out)
+        _IVF_LAYOUT_CACHE[sf_dir] = out
+    return out
+
+
+@query("ann_ivf_partitioned", oracle=None, check="prop")
+def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF 100 TB story demonstrated for real, not argued: the corpus
+    is physically written partitioned by cell_id (hive directories), the
+    probes' nprobe cells are computed from the tiny probe set (3 vectors x
+    16 centroids — driver math on the QUERY, not the data), and the scan
+    carries a literal ``cell_id IN (...)`` predicate that Spark turns into
+    STATIC partition pruning: only the selected cell directories are ever
+    read (`test_ivf_partitioned_scan_prunes` asserts PartitionFilters +
+    a pruned partition count in the physical plan). Results are identical
+    to `ann_ivf_topk` for the shared probes (same seeded centroids).
+    PROP: equality vs ann_ivf_topk asserted in tests."""
+    n_probes = 3  # fewer probes than ann_ivf_topk so the cell union stays
+    # well under nlist and the pruning is visible in PartitionCount
+    corpus = spark.read.parquet(ivf_partitioned_corpus(spark, sf_dir))
+    centers = _train_ivf_centers(spark, sf_dir)
+    probes = (
+        table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < n_probes)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .collect()
+    )
+    probe_cells: list[tuple[int, list[float], list[int]]] = []
+    union_cells: set[int] = set()
+    for r in probes:
+        d2 = ((np.asarray(r["embedding"]) - centers) ** 2).sum(axis=1)
+        cells = [int(c) for c in np.argsort(d2)[:_IVF_NPROBE]]
+        probe_cells.append((r["vec_id"], list(r["embedding"]), cells))
+        union_cells.update(cells)
+    # the literal IN list is what the scan prunes on
+    pruned = corpus.filter(F.col("cell_id").isin(*sorted(union_cells)))
+    probe_df = spark.createDataFrame(
+        [(pid, pe, c) for pid, pe, cells in probe_cells for c in cells],
+        "probe_id long, pe array<double>, cell_id int",
+    )
+    cand = (
+        pruned.join(F.broadcast(probe_df), "cell_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos", F.expr(_cosine_expr()))
     )

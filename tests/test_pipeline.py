@@ -192,6 +192,35 @@ def test_ann_ivf_agrees_with_brute_force(spark, sf_dir):
     assert len(ivf_sets) == len(brute_sets), "every probe must get candidates"
 
 
+def test_ivf_partitioned_matches_ivf_and_prunes(spark, sf_dir):
+    """The partitioned-layout IVF variant returns byte-identical results to
+    ann_ivf_topk for the shared probes (same seeded centroids), and its
+    physical plan proves STATIC partition pruning: the parquet scan carries
+    a cell_id partition filter and reads fewer than nlist partitions."""
+    from limeqo_spark.plans import explain_formatted
+
+    part_df = REGISTRY["ann_ivf_partitioned"].builder(spark, sf_dir)
+    part = part_df.collect()
+    full = REGISTRY["ann_ivf_topk"].builder(spark, sf_dir).collect()
+    shared_probes = {r["probe_id"] for r in part}
+    assert shared_probes == {0, 1, 2}
+    want = [
+        (r["probe_id"], r["vec_id"], r["rn"], r["cos_sim"])
+        for r in full
+        if r["probe_id"] in shared_probes
+    ]
+    got = [(r["probe_id"], r["vec_id"], r["rn"], r["cos_sim"]) for r in part]
+    assert got == want
+
+    plan = explain_formatted(part_df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", plan)
+    assert m, "scan carries no static cell_id partition filter"
+    n_cells = len(m.group(1).split(","))
+    assert n_cells < 16, f"IN-list covers all {n_cells} cells — nothing pruned"
+
+
 def test_corpus_shingle_df_under_cap(spark, sf_dir):
     """Guard for dedup_ngram_jaccard_capped's oracle contract: the capped
     variant shares the EXACT oracle, which is only sound while no shingle
