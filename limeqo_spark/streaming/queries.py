@@ -400,3 +400,118 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"), F.min("lag_us").alias("min_lag_us"))
         .orderBy("user_id")
     )
+
+
+def _has_protobuf() -> bool:
+    """transformWithState's Python state server speaks protobuf to the JVM;
+    the worker hard-imports google.protobuf. Not shipped in this container,
+    so the query registers only where the dependency exists (the builder
+    itself is always importable and unit-tested for its plan shape)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def _maybe_query(*args, **kw):
+    if _has_protobuf():
+        return query(*args, **kw)
+    return lambda fn: fn
+
+
+@_maybe_query(
+    "q66_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           ROUND(CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via the Spark 4 transformWithState
+    API (StatefulProcessor + typed state handles — the successor to
+    applyInPandasWithState used by q45): per-user distinct event types in
+    a MapState and the running max value in a ValueState, both persisted
+    in the RocksDB state store across >=2 real micro-batches. Exposes the
+    part of the new API the older one cannot express: multiple named,
+    individually-typed state variables per key. Monotone outputs (distinct
+    count and max only grow) make the final batch aggregate the fixture
+    truth, which is exactly what the oracle computes."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTypeMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.mx = handle.getValueState("mx", "micros bigint")
+            self.types = handle.getMapState("types", "t string", "one int")
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = self.mx.get()[0] if self.mx.exists() else None
+            for pdf in rows:
+                for t in pdf["event_type"].unique():
+                    self.types.updateValue((str(t),), (1,))
+                m = int(round(pdf["value"].astype("float64").mul(1_000_000).max()))
+                best = m if best is None else max(best, m)
+            self.mx.update((best,))
+            n_types = sum(1 for _ in self.types.keys())
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_types": [n_types], "max_micros": [best]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # private two-file stage so state genuinely crosses micro-batches
+    stage = tempfile.mkdtemp(prefix="limeqo_stream_tws_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "s0")
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "s1")
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _read_stream(spark, stage, one_file_per_batch=True)
+        updates = (
+            stream.select("user_id", "event_type", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserTypeMax(),
+                outputStructType="user_id bigint, n_types bigint, max_micros bigint",
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        emitted = _run_stream(updates, "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    # both outputs are monotone across batches: the max IS the final state
+    return (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_types").alias("n_types"),
+            F.round(F.max("max_micros") / 1_000_000, 2).alias("max_value"),
+        )
+        .orderBy("user_id")
+    )

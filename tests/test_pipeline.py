@@ -361,3 +361,27 @@ def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
     assert len(common) >= PLANT_N  # the planted pairs at minimum
     for k in common:
         assert abs(mh[k] - ex[k]) <= 0.25, f"pair {k}: est {mh[k]} vs exact {ex[k]}"
+
+
+def test_transform_with_state_gating(spark, sf_dir, ddb):
+    """q66 (Spark 4 transformWithState arbitrary-state API) registers only
+    where its hard dependency (google.protobuf, used by the Python state
+    server) exists; where present it must match the batch oracle. Either
+    way the builder stays importable — honest gating, no crashing manifest
+    entry."""
+    from limeqo_spark.manifest import REGISTRY as R
+    from limeqo_spark.streaming.queries import _has_protobuf, q66
+
+    assert callable(q66)
+    if not _has_protobuf():
+        assert "q66_transform_with_state" not in R
+        import pytest as _pytest
+
+        _pytest.skip("google.protobuf absent: transformWithState cannot run here")
+    spec = R["q66_transform_with_state"]
+    from limeqo_spark.testing import compare_frames
+
+    ok, msg = compare_frames(
+        spec.builder(spark, sf_dir).toPandas(), ddb.execute(spec.oracle).fetchdf()
+    )
+    assert ok, msg
