@@ -156,9 +156,15 @@ def main() -> None:
         default="oracle,random,greedy,qo_advisor,limeqo,limeqo_plus",
     )
     ap.add_argument("--live", action="store_true", help="steer real Spark executions")
+    ap.add_argument(
+        "--datashift", action="store_true",
+        help="sim mode: hold out 20%% of rows, inject them mid-exploration "
+        "(reference experiment/stack-datashift analog)",
+    )
+    ap.add_argument("--holdout-frac", type=float, default=0.2)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--model", default="als", choices=["als", "plan"])
+    ap.add_argument("--model", default="als", choices=["als", "plan", "tcnn"])
     ap.add_argument("--repeats", type=int, default=1,
                     help="live mode: median-of-N measurements per cell")
     ap.add_argument("--queries", default=None,
@@ -172,6 +178,31 @@ def main() -> None:
         print(json.dumps(summary, indent=2))
         return
     wl = load_dataset(args.dataset)
+    if args.datashift:
+        from limeqo_spark.datashift import run_datashift
+
+        os.makedirs(args.out, exist_ok=True)
+        budget = args.budget or wl.default_time * 0.5
+        out = {}
+        for rep in range(args.reps):
+            res = run_datashift(
+                wl, strategy="limeqo", holdout_frac=args.holdout_frac,
+                budget_before=budget / 2, budget_after=budget / 2,
+                seed=rep, k=args.k,
+            )
+            path = os.path.join(args.out, f"datashift_{rep}.json")
+            with open(path, "w") as f:
+                json.dump(
+                    {"records": res.records, "inject_round": res.inject_round,
+                     "holdout_rows": res.holdout_rows}, f, indent=2,
+                )
+            lat = [r["total_latency"] for r in res.records]
+            out[f"rep{rep}"] = {
+                "at_inject": lat[res.inject_round], "final": lat[-1],
+                "reconverged": lat[-1] < lat[res.inject_round],
+            }
+        print(json.dumps(out, indent=2))
+        return
     finals = run_suite(
         wl, args.out, args.strategies.split(","), args.reps, args.k, args.budget
     )

@@ -385,3 +385,22 @@ def test_transform_with_state_gating(spark, sf_dir, ddb):
         spec.builder(spark, sf_dir).toPandas(), ddb.execute(spec.oracle).fetchdf()
     )
     assert ok, msg
+
+
+def test_corpus_mix_quota_sample(spark, sf_dir, ddb):
+    """Deterministic md5-rank quota sampling: quotas land exactly, doc
+    selection matches the cross-engine oracle (same hashes), and re-running
+    reproduces itself without any seed."""
+    from limeqo_spark.pipeline.mix import MIX_QUOTAS
+    from limeqo_spark.testing import compare_frames
+
+    spec = REGISTRY["corpus_mix_quota_sample"]
+    rows = spec.builder(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert per_lang == MIX_QUOTAS
+    ok, msg = compare_frames(
+        spec.builder(spark, sf_dir).toPandas(), ddb.execute(spec.oracle).fetchdf()
+    )
+    assert ok, msg
