@@ -29,6 +29,7 @@ def test_hash_parity(spark, ddb, sf_dir, name):
 # minimum row counts at sf0.01 — a prop query silently returning an empty
 # frame must fail the gate, not slide past it (VERDICT r2 §wrong.2)
 PROP_MIN_ROWS = {
+    "ann_ivf_partitioned": 15,
     "ann_ivf_topk": 50,
     "q18_approx_count_distinct": 1,
     "q20_partial_agg_plan": 1,
