@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_cluster_canonical",  # connected components -> canonical keeper
     "ann_cosine_topk",
     "ann_ivf_topk",  # KMeans coarse quantizer scale path
+    "ann_ivf_partitioned",  # cell_id-partitioned layout, static pruning
+    "corpus_mix_quota_sample",  # deterministic training-mix curation
     "skew_salted_join",
     "text_quality_score",
     "text_fingerprint",
