@@ -70,6 +70,11 @@ _ROTATION_R3 = [
     "text_token_count_bpeish",
 ]
 
+# NOTE for round 4: once CORRECTNESS_r03 shows these aliases green (the
+# driver's 50-entry alphabetical window verifies them this round), DELETE
+# the alias block so the window returns to the canonical first-50 —
+# rotating coverage to entries the driver has not yet independently
+# checked (corpus_mix_quota_sample and anything added after it).
 for _name in _ROTATION_R3:
     _spec = REGISTRY[_name]
     _alias = ROTATION_ALIAS_PREFIX + _name

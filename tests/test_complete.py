@@ -58,3 +58,44 @@ def test_reference_matrix_loads_and_completes(ds):
     res = complete_log_space(wl.matrix, wl.mask, rank=5, iters=50)
     assert np.isfinite(res.completed).all()
     assert (res.completed >= 0).all()
+
+
+def test_mllib_als_complete_distributed_path(spark):
+    """The 100 TB completion path: MLlib ALS over a long-form observations
+    DataFrame. On a synthetic low-rank workload it must predict every
+    (query, hint) pair with held-out log-RMSE comparable to the driver
+    solver, without any driver-side matrix."""
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.complete import mllib_als_complete
+
+    wl = Workload.synthetic_low_rank(n_rows=120, n_cols=20, rank=3, seed=3, density=0.35)
+    rows = [
+        (int(i), int(j), float(wl.matrix[i, j]), bool(wl.mask[i, j] > 0))
+        for i in range(wl.matrix.shape[0])
+        for j in range(wl.matrix.shape[1])
+    ]
+    long_df = spark.createDataFrame(
+        rows, "query_idx int, hint_id int, latency double, observed boolean"
+    )
+    pred = mllib_als_complete(spark, long_df, rank=4, iters=15, seed=7)
+    got = {
+        (r["query_idx"], r["hint_id"]): r["pred_latency"] for r in pred.collect()
+    }
+    assert len(got) == wl.matrix.size, "every pair must receive a prediction"
+    held = [
+        (i, j)
+        for i in range(wl.matrix.shape[0])
+        for j in range(wl.matrix.shape[1])
+        if wl.mask[i, j] == 0
+    ]
+    import numpy as _np
+
+    errs = [
+        _np.log1p(max(got[(i, j)], 0.0)) - _np.log1p(wl.matrix[i, j])
+        for (i, j) in held
+        if got[(i, j)] == got[(i, j)]  # cold-start NaNs excluded
+    ]
+    assert len(errs) > 0.9 * len(held), "cold-start strategy dropped too many pairs"
+    rmse = float(_np.sqrt(_np.mean(_np.square(errs))))
+    assert rmse < 0.5, f"distributed completion log-RMSE {rmse:.3f}"
