@@ -68,3 +68,125 @@ def corpus_mix_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "rk")
         .orderBy("lang", "rk")
     )
+
+
+#: chunking geometry: window of 64 whitespace tokens, stride 48 (16-token
+#: overlap keeps context across chunk boundaries, the standard LLM recipe)
+CHUNK_W, CHUNK_S = 64, 48
+
+
+@query(
+    "corpus_chunk_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             UNNEST(generate_series(0,
+               CASE WHEN n <= {CHUNK_W} THEN 0
+                    ELSE CAST(CEIL(CAST(n - {CHUNK_W} AS DOUBLE) / {CHUNK_S}) AS BIGINT)
+               END)) AS c
+      FROM toks
+    )
+    SELECT ch.doc_id, CAST(ch.c AS BIGINT) AS chunk_id,
+           CAST(LEAST({CHUNK_W}, ch.n - ch.c * {CHUNK_S}) AS BIGINT) AS n_tokens,
+           MD5(array_to_string(t.t[ch.c * {CHUNK_S} + 1 :
+                                   ch.c * {CHUNK_S} + {CHUNK_W}], ' ')) AS chunk_md5
+    FROM chunks ch JOIN toks t USING (doc_id)
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking — the tokenize-and-window step that turns raw
+    documents into fixed-length training sequences: 64-token windows with
+    stride 48. Pure higher-order functions (sequence/transform/slice), so
+    chunk boundaries AND the chunk bytes (md5) hash-verify cross-engine.
+    Each chunk row carries its token count; the final (ragged) chunk is
+    kept, matching what a packing stage would pad or merge downstream."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    d = d.withColumn("n", F.size("t"))
+    n_last = (
+        f"CASE WHEN n <= {CHUNK_W} THEN 0 "
+        f"ELSE CAST(CEIL(CAST(n - {CHUNK_W} AS DOUBLE) / {CHUNK_S}) AS BIGINT) END"
+    )
+    chunks = d.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(F.expr(f"sequence(CAST(0 AS BIGINT), {n_last})")).alias("chunk_id"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.least(F.lit(CHUNK_W), F.col("n") - F.col("chunk_id") * CHUNK_S)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.md5(
+            F.expr(f"concat_ws(' ', slice(t, chunk_id * {CHUNK_S} + 1, {CHUNK_W}))")
+        ).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+#: packing budget: tokens per training sequence bin
+PACK_BUDGET = 512
+
+
+@query(
+    "corpus_pack_bins",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             MD5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT lang, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY lang, bin_id ORDER BY lang, bin_id
+    """,
+)
+def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — grouping shuffled documents into ~512-token
+    training bins: md5-shuffle each language stream, running token cumsum,
+    a document joins the bin its START falls in. Deterministic, seedless,
+    engine-portable (bin membership hash-verifies against DuckDB).
+
+    Scale note (100 TB): the window runs per LANGUAGE partition here; at
+    scale you first split each language into salted shards (hash(doc) %%
+    n_shards) and pack within shards — bins never cross shards, the window
+    never sees more than a shard, and bin ids get the shard as a prefix.
+    Same operator, one more partition column."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    packed = d.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, 0)) - F.col("n_tokens"))
+            / PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )

@@ -404,3 +404,55 @@ def test_corpus_mix_quota_sample(spark, sf_dir, ddb):
         spec.builder(spark, sf_dir).toPandas(), ddb.execute(spec.oracle).fetchdf()
     )
     assert ok, msg
+
+
+def test_chunk_windows_cover_documents(spark, sf_dir):
+    """Every document's chunks tile it: chunk count matches the stride
+    formula, the last chunk is ragged (<= W tokens), all others are full
+    W, and consecutive chunks overlap by W - S tokens."""
+    from limeqo_spark.pipeline.mix import CHUNK_S, CHUNK_W
+
+    rows = REGISTRY["corpus_chunk_windows"].builder(spark, sf_dir).collect()
+    import math
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_tokens"]))
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+        .collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        n = docs[doc_id]
+        want = 1 if n <= CHUNK_W else 1 + math.ceil((n - CHUNK_W) / CHUNK_S)
+        assert len(chunks) == want, f"doc {doc_id}: {len(chunks)} != {want}"
+        chunks.sort()
+        for cid, ntok in chunks[:-1]:
+            assert ntok == CHUNK_W
+        last_id, last_n = chunks[-1]
+        assert 0 < last_n <= CHUNK_W
+        assert last_id * CHUNK_S + last_n == n, "chunks must end at the doc end"
+
+
+def test_pack_bins_respect_budget_shape(spark, sf_dir):
+    """Start-offset packing: every bin holds >= 1 doc; within each lang,
+    bin ids are contiguous from 0 and all bins except the last carry at
+    least the budget minus one max-doc of tokens (a doc spanning the
+    boundary starts in the earlier bin)."""
+    from limeqo_spark.pipeline.mix import PACK_BUDGET
+
+    rows = REGISTRY["corpus_pack_bins"].builder(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["bin_id"], r["n_docs"], r["total_tokens"]))
+    assert by_lang, "packing produced no bins"
+    for lang, bins in by_lang.items():
+        bins.sort()
+        assert [b[0] for b in bins] == list(range(len(bins))), f"{lang}: bin gap"
+        for _, n_docs, total in bins:
+            assert n_docs >= 1 and total > 0
+        # all but the final bin must reach into the budget region
+        for _, _, total in bins[:-1]:
+            assert total >= PACK_BUDGET * 0.5, f"{lang}: suspiciously light bin"
