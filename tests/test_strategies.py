@@ -89,3 +89,43 @@ def test_censoring_accounting(job):
     if censored.any():
         # the simulator must not have leaked true values for censored cells
         assert (st.mask[censored] == 0).all()
+
+
+def test_rank_cells_properties_hypothesis():
+    """Property check of the selection core: chosen cells are always
+    unexplored, unique, at most k, ranked by positive improvement, and the
+    min_gain guard excludes every cell whose absolute predicted saving is
+    below the floor."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from limeqo_spark.strategies import rank_cells_by_improvement
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        q=st.integers(2, 12),
+        h=st.integers(2, 8),
+        seed=st.integers(0, 10_000),
+        k=st.integers(1, 6),
+        min_gain=st.sampled_from([0.0, 0.01, 0.5]),
+    )
+    def run(q, h, seed, k, min_gain):
+        rng = np.random.default_rng(seed)
+        pred = rng.uniform(0.001, 10.0, (q, h))
+        explored = (rng.random((q, h)) < 0.4).astype(float)
+        mo = np.where(
+            rng.random(q) < 0.9, rng.uniform(0.001, 10.0, q), np.inf
+        )
+        cells = rank_cells_by_improvement(pred, explored, mo, k, min_gain=min_gain)
+        assert len(cells) <= k
+        assert len(set(cells)) == len(cells)
+        for i, j in cells:
+            assert explored[i, j] == 0
+            cand = np.where(explored[i] > 0, np.inf, pred[i])
+            assert j == int(cand.argmin())
+            assert mo[i] - cand[j] > 0  # positive improvement
+            if min_gain > 0:
+                assert mo[i] - cand[j] >= min_gain
+
+    run()
