@@ -210,3 +210,20 @@ def test_cluster_label_step_is_equi_join(spark):
     plan = explain_formatted(comp)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_bins_window_is_lang_partitioned(spark):
+    """corpus_pack_bins' running-sum window must hash-partition by lang —
+    a SinglePartition window would serialize the whole corpus through one
+    task at scale (the salted-shard variant in the docstring is the next
+    step, not a fix for an already-degenerate plan)."""
+    from limeqo_spark.manifest import REGISTRY
+
+    plan = explain_formatted(REGISTRY["corpus_pack_bins"].builder(spark, SF))
+    assert "Window" in plan
+    assert "hashpartitioning(lang" in plan, "window exchange must key on lang"
+    # the only SinglePartition allowed is the final presentation ORDER BY
+    import re
+
+    win_region = plan.split("Window")[0]
+    assert "SinglePartition" not in win_region, "window runs on one partition"
