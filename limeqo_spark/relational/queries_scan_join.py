@@ -860,3 +860,133 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ea").alias("min_ea"),
         F.max("eb").alias("max_eb"),
     )
+
+
+@query(
+    "q67_tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, ROUND({REVENUE_SQL}, 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+         OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the fact joins
+    up to BOTH a supplier nation and a customer nation — the same dimension
+    table twice under different aliases — with a symmetric disjunctive
+    nation-pair filter and a per-year rollup. The two nation sides
+    broadcast; the disjunction stays above the joins (it references both
+    sides) and Catalyst still prunes each broadcast to the two names."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(6,2)")
+    ).cast("double")
+    pair = (
+        (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
+    ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(F.round(rev, 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q68_tpch_q12_priority_classes",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority classes per ship channel; the fixture has
+    no l_shipmode, so l_linestatus plays the channel): fact-fact join with
+    a cross-table predicate and conditional-count aggregation — the CASE
+    sums fold into one partial-aggregable pass, no per-class scans."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q69_tpch_q19_bracketed_disjunction",
+    oracle=f"""
+    SELECT ROUND({REVENUE_SQL}, 2) AS revenue, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (bracketed disjunction): three OR-ed conjunction
+    brackets mixing build-side (brand/size) and probe-side (quantity)
+    predicates — the classic optimizer test. Catalyst factors the common
+    join key and pushes the per-side residues: the part scan gets an
+    Or(brand/size) pushed filter and lineitem gets the quantity envelope,
+    so neither side scans unfiltered."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    b = lambda brand, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (1 - F.col("l_discount")).cast("decimal(6,2)")
+    ).cast("double")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(b("Brand#1", 1, 15, 1, 15) | b("Brand#2", 10, 30, 10, 25) | b("Brand#3", 20, 50, 20, 35))
+        .agg(F.round(rev, 2).alias("revenue"), F.count("*").cast("bigint").alias("n"))
+    )

@@ -227,3 +227,17 @@ def test_pack_bins_window_is_lang_partitioned(spark):
 
     win_region = plan.split("Window")[0]
     assert "SinglePartition" not in win_region, "window runs on one partition"
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """q69 (TPC-H Q19 shape): Catalyst must factor the OR-of-ANDs into
+    per-side residues and push them — the lineitem scan carries the
+    quantity envelope, the part scan the brand/size disjunction. An
+    unfiltered scan on either side means the classic Q19 optimization
+    regressed."""
+    plan = plan_of(spark, "q69_tpch_q19_bracketed_disjunction")
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    assert any("p_brand" in p and "p_size" in p and "Or(" in p for p in pushed), pushed
