@@ -145,6 +145,26 @@ class LiveSteeringSession:
             if other_hj != hj and fp == run.plan_hash and self.explored[qi, other_hj] == 0:
                 self._record(qi, other_hj, latency, run.censor_cutoff, fp, False)
 
+    def add_queries(self, queries: dict[str, Callable[[], DataFrame]]) -> None:
+        """Grow the workload mid-session — the live analog of the datashift
+        experiment (new queries arrive after exploration started;
+        reference `experiment/stack-datashift/`). New rows join with
+        nothing observed; the next :meth:`bootstrap` measures their default
+        plans and :meth:`explore` folds them into the model, which
+        extrapolates their unobserved cells from the hint factors it
+        already learned. Existing observations, plan caches, and explored
+        flags are untouched (old row indices are stable)."""
+        new = {k: v for k, v in queries.items() if k not in self.queries}
+        if not new:
+            return
+        self.queries.update(new)
+        self.query_ids.extend(new)
+        h = len(self.hint_sets)
+        grow = len(new)
+        self.matrix = np.vstack([self.matrix, np.full((grow, h), np.nan)])
+        self.cutoffs = np.vstack([self.cutoffs, np.zeros((grow, h))])
+        self.explored = np.vstack([self.explored, np.zeros((grow, h))])
+
     # --- the loop ---
     def bootstrap(self, timeout_s: float | None = None) -> None:
         """Measure hint 0 (optimizer default) for every query — the always-

@@ -189,6 +189,36 @@ def test_repeats_median_inherited_consistently(spark, monkeypatch):
     assert len(s.observations) == len(s.hint_sets)
 
 
+def test_add_queries_mid_session(spark):
+    """Live datashift: a query arriving after exploration started gets
+    bootstrapped and explored without disturbing prior observations."""
+    def dim_join():
+        n = table(spark, SF, "nation")
+        r = table(spark, SF, "region")
+        return n.join(r, n.n_regionkey == r.r_regionkey).groupBy("r_name").count()
+
+    def other():
+        return table(spark, SF, "region").groupBy("r_name").count()
+
+    s = LiveSteeringSession(spark, {"dim": dim_join}, iters=5, warmup=False)
+    s.bootstrap(timeout_s=None)
+    obs_before = list(s.observations)
+    matrix_row0 = s.matrix[0].copy()
+
+    s.add_queries({"other": other, "dim": dim_join})  # dup ignored
+    assert s.query_ids == ["dim", "other"]
+    assert s.matrix.shape[0] == 2 and np.isnan(s.matrix[1]).all()
+    assert s.observations == obs_before  # nothing disturbed
+    np.testing.assert_array_equal(np.nan_to_num(s.matrix[0]), np.nan_to_num(matrix_row0))
+
+    s.bootstrap(timeout_s=None)  # measures only the new row's default
+    assert s.explored[1, 0] == 1 and np.isfinite(s.min_observed()).all()
+    s.explore(rounds=1, k=2)
+    best = s.best_hints()
+    assert set(best) == {"dim", "other"}
+    assert all(lat > 0 for _, lat in best.values())
+
+
 def test_save_restore_roundtrip(spark, tmp_path):
     """Exploration state round-trips through the Parquet observations table:
     a fresh session restored from a saved log reproduces the matrix,
