@@ -241,3 +241,50 @@ def test_q19_disjunction_pushes_to_both_scans(spark):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
     assert any("p_brand" in p and "p_size" in p and "Or(" in p for p in pushed), pushed
+
+
+def test_q6_all_predicates_push_to_scan(spark):
+    """q71 (TPC-H Q6): the pure scan-agg — all three predicates must reach
+    the parquet scan as PushedFilters and the ReadSchema must carry only
+    the four referenced lineitem columns. This is the canary for pushdown
+    health across the whole battery."""
+    import re
+
+    plan = plan_of(spark, "q71_tpch_q6_forecast_revenue")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    scan_schema = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_extendedprice" in scan_schema
+    for col in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert col not in scan_schema, f"unpruned column {col}"
+
+
+def test_tpch_battery_dims_broadcast_no_nested_loop(spark):
+    """Every deep-join TPC-H shape must broadcast its dimension sides and
+    never fall back to a cartesian/BNLJ *between relations* — the only
+    BNLJ allowed is joining a 1-row scalar-aggregate threshold (Q11/Q15/
+    Q22 decorrelation), which is a broadcast of a single row."""
+    for q in (
+        "q70_tpch_q2_min_cost_supplier",
+        "q72_tpch_q8_market_share",
+        "q73_tpch_q9_product_profit",
+        "q76_tpch_q14_promo_revenue",
+        "q78_tpch_q16_supplier_part_counts",
+        "q79_tpch_q20_part_promotion",
+    ):
+        plan = plan_of(spark, q)
+        assert "BroadcastHashJoin" in plan, f"{q}: dims should broadcast"
+        assert "CartesianProduct" not in plan, f"{q}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{q}: BNLJ between relations"
+
+
+def test_q21_decorrelates_to_single_profile_aggregate(spark):
+    """q80 (TPC-H Q21): the double EXISTS/NOT-EXISTS must decorrelate into
+    the per-order profile aggregate — no nested-loop subplans, no
+    per-row subqueries surviving in the physical plan."""
+    plan = plan_of(spark, "q80_tpch_q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Subquery" not in plan
+    assert "LeftSemi" in plan  # qualifying-order semi join
