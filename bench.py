@@ -28,6 +28,9 @@ HEADLINE = [
     "q15_star_join",  # 5-table star
     "q16_tpch_q1_agg",  # TPC-H Q1 aggregate
     "q48_tpch_q5_local_volume",  # 6-table TPC-H Q5 shape
+    "q71_tpch_q6_forecast_revenue",  # pure pushdown scan-agg (Q6)
+    "q72_tpch_q8_market_share",  # deepest join tree (8 relations, nation x2)
+    "q80_tpch_q21_waiting_suppliers",  # double EXISTS -> per-order profile agg
     "q46_partition_pruned_scan",  # partitioned write + pruned read
     "q51_bucketed_colocated_join",  # ingest-time bucketing, shuffle-free join
     "q17_count_distinct",
