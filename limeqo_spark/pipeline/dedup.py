@@ -520,3 +520,112 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.95)
     )
     return pairs.select("a", "b", F.round("cos_raw", 4).alias("cos_sim")).orderBy("a", "b")
+
+
+#: line-level dedup window: 16-token non-overlapping segments stand in for
+#: "lines" (the fixture corpus is single-line word soup with no newlines)
+LINE_W = 16
+
+
+@query(
+    "dedup_chunk_reconstruct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n,
+             UNNEST(generate_series(0,
+               CAST(CEIL(CAST(n AS DOUBLE) / {LINE_W}) AS BIGINT) - 1)) AS c
+      FROM toks
+    ),
+    digests AS (
+      SELECT ch.doc_id, ch.c,
+             MD5(array_to_string(t.t[ch.c * {LINE_W} + 1 :
+                                     ch.c * {LINE_W} + {LINE_W}], ' ')) AS h
+      FROM chunks ch JOIN toks t USING (doc_id)
+    ),
+    keep AS (
+      SELECT doc_id, c FROM (
+        SELECT doc_id, c,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, c) AS rn
+        FROM digests) WHERE rn = 1
+    ),
+    rebuilt AS (
+      SELECT t.doc_id,
+             CAST(CEIL(CAST(t.n AS DOUBLE) / {LINE_W}) AS BIGINT) AS n_chunks,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             MD5(COALESCE(k.txt, '')) AS dedup_md5
+      FROM toks t LEFT JOIN (
+        SELECT keep.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               STRING_AGG(array_to_string(
+                   t2.t[keep.c * {LINE_W} + 1 : keep.c * {LINE_W} + {LINE_W}],
+                   ' '), ' ' ORDER BY keep.c) AS txt
+        FROM keep JOIN toks t2 USING (doc_id) GROUP BY keep.doc_id
+      ) k ON t.doc_id = k.doc_id
+    )
+    SELECT doc_id, n_chunks, n_kept, dedup_md5 FROM rebuilt ORDER BY doc_id
+    """,
+)
+def dedup_chunk_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup with document reconstruction (the CCNet-style
+    pipeline stage: drop every repeated line corpus-wide, keep the first
+    occurrence, re-emit the cleaned documents). The fixture corpus has no
+    newlines, so non-overlapping {LINE_W}-token windows stand in for lines.
+
+    Scale design — raw text NEVER shuffles:
+    1. each doc emits (doc_id, chunk_id, md5) — digests only;
+    2. the keeper per digest is MIN(struct(doc_id, chunk_id)), a
+       map-side-combinable aggregate on the 16-byte hash;
+    3. the kept (doc_id, chunk_id) int pairs — not the chunk text — come
+       back to the documents table via a groupBy(doc_id) + join, and each
+       surviving chunk is RE-SLICED from the original text in place.
+    The only data crossing the wire is digests and int pairs; the rebuild
+    is a single pass over the original partitioned corpus. Output carries
+    md5 of the reconstructed text so the oracle verifies the actual
+    rebuilt bytes."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    d = d.withColumn("n", F.size("t")).withColumn(
+        "n_chunks", F.ceil(F.col("n") / F.lit(float(LINE_W))).cast("bigint")
+    )
+    digests = d.select(
+        "doc_id",
+        F.explode(F.expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")).alias("c"),
+        "t",
+    ).select(
+        "doc_id",
+        "c",
+        F.md5(F.expr(f"concat_ws(' ', slice(t, c * {LINE_W} + 1, {LINE_W}))")).alias("h"),
+    )
+    keep = (
+        digests.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "c")).alias("k"))
+        .select(F.col("k.doc_id").alias("doc_id"), F.col("k.c").alias("c"))
+    )
+    kept_per_doc = keep.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sort_array(F.collect_list("c")).alias("kept"),
+    )
+    return (
+        d.join(kept_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.md5(
+                F.when(
+                    F.col("kept").isNotNull(),
+                    F.expr(
+                        "concat_ws(' ', flatten(transform(kept, "
+                        f"c -> slice(t, CAST(c * {LINE_W} + 1 AS INT), {LINE_W}))))"
+                    ),
+                ).otherwise(F.lit(""))
+            ).alias("dedup_md5"),
+        )
+        .orderBy("doc_id")
+    )

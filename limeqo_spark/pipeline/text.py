@@ -351,3 +351,69 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return red.select(
         "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("redacted_md5")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term, 1 AS one
+      FROM documents
+    ),
+    tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT doc_id, term, tf, df,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, df ASC, term ASC) AS rnk
+      FROM tfc JOIN dfc USING (term)
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           ROUND(tf * LN((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+    FROM ranked, n WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF distinctive terms (SURVEY §7 "tokenize/IDF" north star): the
+    top-3 most distinctive terms per document. TF is the per-(doc, term)
+    count, DF the number of documents containing the term, and the score
+    tf * ln((N+1)/(df+1)) (smoothed IDF). The RANKING is computed over the
+    integer triple (tf DESC, df ASC, term ASC) — monotone in tf*idf for
+    fixed tf and fully engine-exact, so a float ulp can never reorder the
+    top-k across engines; the float score is emitted (rounded) but never
+    compared. Scale shape: two partial-aggregable groupBys (doc x term,
+    then term), the DF side joined back by term (shuffle of (term, df)
+    pairs only — no text), and the top-k window partitioned by the
+    high-cardinality doc_id."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tfc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = tfc.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tfc.join(dfc, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rnk")
+    )
