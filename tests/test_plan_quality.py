@@ -288,3 +288,27 @@ def test_q21_decorrelates_to_single_profile_aggregate(spark):
     assert "CartesianProduct" not in plan
     assert "Subquery" not in plan
     assert "LeftSemi" in plan  # qualifying-order semi join
+
+
+def test_tfidf_topk_window_partitions_by_doc(spark):
+    """text_tfidf_top_terms' top-k window must hash-partition by the
+    high-cardinality doc_id — a SinglePartition window would serialize
+    the whole corpus' (doc, term) pairs through one task."""
+    plan = explain_formatted(REGISTRY["text_tfidf_top_terms"].builder(spark, SF))
+    assert "Window" in plan
+    assert "hashpartitioning(doc_id" in plan, "top-k window must key on doc_id"
+    win_region = plan.split("Window")[0]
+    assert "SinglePartition" not in win_region
+
+
+def test_chunk_dedup_keeper_is_aggregate_not_window(spark):
+    """dedup_chunk_reconstruct's keeper election must be the map-side
+    combinable MIN(struct) aggregate on the digest — not a row_number
+    window (which would shuffle every chunk row ranked) and never a
+    cartesian/BNLJ. Text stays out of every exchange by construction
+    (only digests and int pairs are grouped/joined)."""
+    plan = explain_formatted(REGISTRY["dedup_chunk_reconstruct"].builder(spark, SF))
+    assert "partial_min" in plan or "min(" in plan
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
