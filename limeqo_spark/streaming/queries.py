@@ -515,3 +515,43 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q82_stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE event_type IN ('purchase', 'click')
+    GROUP BY c_mktsegment, event_type
+    ORDER BY c_mktsegment, event_type
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming events source joined to
+    the STATIC customer dimension (the canonical streaming-ETL enrichment
+    shape — Spark re-plans the static side per micro-batch, so dimension
+    updates between batches are picked up without restarting the query).
+    The dimension side broadcasts into each micro-batch; the aggregate is
+    an unwindowed complete-mode group, so state is bounded by group
+    cardinality (segments x types), not stream length. The oracle is the
+    identical batch join."""
+    stage = _stage_events(spark, sf_dir)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev = _read_stream(spark, stage).filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    agg = (
+        ev.join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+    return (
+        _run_stream(agg, "complete")
+        .orderBy("c_mktsegment", "event_type")
+    )
