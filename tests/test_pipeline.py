@@ -456,3 +456,27 @@ def test_pack_bins_respect_budget_shape(spark, sf_dir):
         # all but the final bin must reach into the budget region
         for _, _, total in bins[:-1]:
             assert total >= PACK_BUDGET * 0.5, f"{lang}: suspiciously light bin"
+
+
+def test_tfidf_rounding_boundary_margin(sf_dir):
+    """Guard for text_tfidf_top_terms' hash-parity contract: the ranking is
+    integer-exact by construction, but the emitted ROUND(tfidf, 4) could
+    still diverge if a score sat on a half-way rounding boundary and the
+    engines' LN differed by an ulp. Verify every fixture score clears the
+    boundary by a wide margin."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    toks = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    n_docs = len(toks)
+    tf: dict[tuple[int, str], int] = {}
+    df_: dict[str, set] = {}
+    for doc_id, text in zip(toks["doc_id"], toks["text"]):
+        for term in str(text).split(" "):
+            tf[(doc_id, term)] = tf.get((doc_id, term), 0) + 1
+            df_.setdefault(term, set()).add(doc_id)
+    scores = np.array(
+        [t * np.log((n_docs + 1.0) / (len(df_[term]) + 1.0)) for (_, term), t in tf.items()]
+    )
+    frac = np.abs(scores * 1e4 - np.floor(scores * 1e4) - 0.5)
+    assert frac.min() > 1e-6, "a tf-idf score sits on a 4-dp rounding boundary"
