@@ -91,3 +91,48 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.round(F.col("value") * 100).cast("bigint").alias("last_value_cents"),
     ).orderBy("user_id")
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id,
+           epoch_ns(ts) // 1000 AS valid_from_us,
+           LEAD(epoch_ns(ts) // 1000) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+           ) AS valid_to_us,
+           CAST(ROUND("value" * 100) AS BIGINT) AS value_cents,
+           LEAD(epoch_ns(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+           ) IS NULL AS is_current
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, valid_from_us, value_cents
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: turn a keyed change stream (each purchase
+    sets the user's current value) into validity-interval rows — the other
+    half of the CDC story next to `cdc_upsert_latest` (snapshot = latest;
+    SCD2 = full history with [valid_from, valid_to) intervals and an
+    is_current flag). One LEAD window partitioned by the high-cardinality
+    key: each key's history sorts locally within its hash partition, no
+    global sort, no self-join (the naive formulation joins the stream to
+    itself on 'next change per key'). Timestamps leave as epoch
+    microseconds (fixture ts is TIMESTAMP_NTZ; `epoch_us` pins UTC)."""
+    from pyspark.sql import Window
+
+    from limeqo_spark.io import epoch_us
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(epoch_us("ts"), "event_id")
+    nxt = F.lead(epoch_us("ts")).over(w)
+    return (
+        ev.select(
+            "user_id",
+            epoch_us("ts").alias("valid_from_us"),
+            nxt.alias("valid_to_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us", "value_cents")
+    )
