@@ -453,3 +453,53 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "q83_time_range_window",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('purchase', 'click')
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(cents) OVER (
+             PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cents_1h,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_1h
+    FROM ev ORDER BY user_id, event_id
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame — the point-in-time-correct feature shape
+    for training pipelines: for every event, aggregate the same user's
+    trailing hour (RANGE over epoch seconds, not ROWS — simultaneous
+    events all enter each other's frame, which a row frame would split
+    nondeterministically). Money stays exact as integer cents. One window
+    shuffle keyed by the high-cardinality user_id; at 100 TB this is the
+    standard feature-backfill plan (and the streaming analog is q44b's
+    sliding window)."""
+    from limeqo_spark.io import epoch_us
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "event_id",
+            (epoch_us("ts") / F.lit(1_000_000)).cast("bigint").alias("ts_s"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).cast("bigint").alias("cents_1h"),
+        F.count("*").over(w).cast("bigint").alias("n_1h"),
+    ).orderBy("user_id", "event_id")
