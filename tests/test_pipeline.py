@@ -480,3 +480,30 @@ def test_tfidf_rounding_boundary_margin(sf_dir):
     )
     frac = np.abs(scores * 1e4 - np.floor(scores * 1e4) - 0.5)
     assert frac.min() > 1e-6, "a tf-idf score sits on a 4-dp rounding boundary"
+
+
+def test_chunk_dedup_reconstruction_roundtrip(spark, sf_dir):
+    """Invariant for dedup_chunk_reconstruct: a document none of whose
+    chunks was dropped (n_kept == n_chunks) must rebuild to EXACTLY its
+    original bytes — the slice/concat_ws reconstruction is lossless on the
+    single-spaced fixture corpus. Docs that did lose chunks must rebuild
+    to something shorter (fewer kept chunks)."""
+    import hashlib
+
+    from limeqo_spark.pipeline.dedup import dedup_chunk_reconstruct
+
+    out = {r["doc_id"]: r for r in dedup_chunk_reconstruct(spark, sf_dir).collect()}
+    originals = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    intact = dropped = 0
+    for doc_id, row in out.items():
+        md5_orig = hashlib.md5(originals[doc_id].encode()).hexdigest()
+        if row["n_kept"] == row["n_chunks"]:
+            intact += 1
+            assert row["dedup_md5"] == md5_orig, f"doc {doc_id} not lossless"
+        else:
+            dropped += 1
+            assert row["dedup_md5"] != md5_orig
+    assert intact > 0 and dropped > 0, (intact, dropped)
