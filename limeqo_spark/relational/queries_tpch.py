@@ -551,14 +551,16 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS / NOT-EXISTS — count, per supplier, the finished multi-supplier
     orders where THIS supplier shipped late (>60 days after the order
     date; the fixture has no receipt/commit dates) and no other supplier
-    did. Both correlated EXISTS decorrelate into ONE per-order aggregate
-    profile — (distinct suppliers, distinct late suppliers) — joined back
-    to the late lines, so the whole query is two shuffles on l_orderkey
-    plus the tiny supplier group-by, instead of two self-join subplans.
-    An order qualifies when n_supp > 1 AND n_late_supp == 1; numwait then
-    counts that supplier's late LINES in qualifying orders (reference Q21
-    counts l1 rows, not orders — a supplier late twice in one order
-    scores 2)."""
+    did. Both correlated EXISTS decorrelate into ONE per-order aggregate —
+    (distinct suppliers, distinct late suppliers, the late-supplier list
+    with multiplicity) — so the fact side is joined and shuffled exactly
+    once (a semi-join formulation would run the lineitem-orders join twice
+    with no exchange reuse; measured). The collected list is bounded by
+    lines-per-order, a small constant. An order qualifies when n_supp > 1
+    AND n_late_supp == 1; numwait then counts that supplier's late LINES
+    in qualifying orders (reference Q21 counts l1 rows, not orders — a
+    supplier late twice in one order scores 2), i.e. the exploded
+    late-list size."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = table(spark, sf_dir, "supplier")
@@ -572,17 +574,15 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int").alias("late"),
         )
     )
-    profile = lines.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
+    profile = lines.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
-    )
-    waiting = profile.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)).select(
-        "p_orderkey"
+        F.collect_list(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supps"),
     )
     return (
-        lines.filter(F.col("late") == 1)
-        .join(waiting, F.col("l_orderkey") == F.col("p_orderkey"), "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        profile.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .select(F.explode("late_supps").alias("late_supp"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

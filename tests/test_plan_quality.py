@@ -281,13 +281,15 @@ def test_tpch_battery_dims_broadcast_no_nested_loop(spark):
 
 def test_q21_decorrelates_to_single_profile_aggregate(spark):
     """q80 (TPC-H Q21): the double EXISTS/NOT-EXISTS must decorrelate into
-    the per-order profile aggregate — no nested-loop subplans, no
-    per-row subqueries surviving in the physical plan."""
+    the per-order profile aggregate — no nested-loop subplans, no per-row
+    subqueries surviving, and the lineitem fact scanned exactly ONCE (the
+    semi-join formulation scans and joins it twice with no exchange
+    reuse)."""
     plan = plan_of(spark, "q80_tpch_q21_waiting_suppliers")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Subquery" not in plan
-    assert "LeftSemi" in plan  # qualifying-order semi join
+    assert plan.count("lineitem.parquet") == 1, "fact must be scanned once"
 
 
 def test_tfidf_topk_window_partitions_by_doc(spark):
