@@ -990,3 +990,41 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(b("Brand#1", 1, 15, 1, 15) | b("Brand#2", 10, 30, 10, 25) | b("Brand#3", 20, 50, 20, 35))
         .agg(F.round(rev, 2).alias("revenue"), F.count("*").cast("bigint").alias("n"))
     )
+
+
+@query(
+    "q84_orc_sink_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink: write the filtered orders slice to ORC (Spark's
+    second native columnar format — same predicate-pushdown/column-pruning
+    machinery as parquet), re-read it, and aggregate. The oracle computes
+    the identical aggregate from the original table, so the roundtrip must
+    preserve every value bit-exactly. The aggregation happens on the
+    RE-READ side, proving scan-side correctness rather than sink-side
+    echo. Avro is not bundled in this build (external module since Spark
+    2.4), so ORC is the second-format coverage."""
+    out = tempfile.mkdtemp(prefix="limeqo_q84_")
+    (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return (
+        spark.read.orc(out)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
