@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_capped",  # df-capped blocking (100 TB path)
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_chunk_reconstruct",  # line-level dedup + doc rebuild, digest-only shuffles
     "dedup_cluster_canonical",  # connected components -> canonical keeper
     "ann_cosine_topk",
     "ann_ivf_topk",  # KMeans coarse quantizer scale path
@@ -53,6 +54,9 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "text_contamination_overlap",  # benchmark decontamination
+    "text_tfidf_top_terms",  # tokenize/IDF north star
+    "cdc_scd2_history",  # changelog -> validity intervals
+    "q83_time_range_window",  # trailing-hour point-in-time features
     "limeqo_wl_topk_improvement",  # the steering select step as one plan
     # streaming
     "q44a_stream_tumbling",
