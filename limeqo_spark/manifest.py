@@ -72,9 +72,13 @@ _ROTATION_R3 = [
 
 # NOTE for round 4: once CORRECTNESS_r03 shows these aliases green (the
 # driver's 50-entry alphabetical window verifies them this round), DELETE
-# the alias block so the window returns to the canonical first-50 —
-# rotating coverage to entries the driver has not yet independently
-# checked (corpus_mix_quota_sample and anything added after it).
+# the alias block and replace it with an ``a4_`` rotation for the entries
+# the driver has then never checked: the round-3 additions
+# (cdc_scd2_history, corpus_chunk_windows, corpus_mix_quota_sample,
+# corpus_pack_bins, dedup_chunk_reconstruct, text_tfidf_top_terms,
+# q70-q84, q82/q83, and q66 where registered) — they sort after the
+# canonical first-50, so without a rotation they would stay outside the
+# window indefinitely.
 for _name in _ROTATION_R3:
     _spec = REGISTRY[_name]
     _alias = ROTATION_ALIAS_PREFIX + _name
