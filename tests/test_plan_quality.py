@@ -314,3 +314,43 @@ def test_chunk_dedup_keeper_is_aggregate_not_window(spark):
     assert "row_number" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_skew_join_fires_on_hot_key(spark):
+    """The AQE half of the skew story (manual salting is `skew_salted_join`):
+    with a hot key and tuned thresholds, AdaptiveSparkPlan must split the
+    skewed partition at runtime — SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead. This documents that the engine leaves AQE on and sized
+    so the runtime lever actually fires; at 100 TB this is the first line
+    of defense before salting."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") < 200_000, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        df = left.join(right, "k").groupBy().agg(F.sum("v").alias("sv"), F.sum("w").alias("sw"))
+        [row] = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not mark the join skewed"
+        assert "skewed" in plan, "no skewed AQEShuffleRead in the executed plan"
+        # correctness under the split: hot key 0 joins w=0, rest join k*2
+        assert row["sw"] == sum(2 * k for k in range(1, 1000) for _ in (0,)) * 100 + 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
