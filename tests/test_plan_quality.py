@@ -354,3 +354,41 @@ def test_aqe_skew_join_fires_on_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injects_for_selective_dim(spark):
+    """Runtime-filter lever: a selective filter on the creation side of a
+    shuffle join must inject a bloom_filter_agg semijoin reduction into the
+    fact scan side (Spark's runtime bloom filter). The application-side
+    size threshold defaults to 10GB — correct at 100 TB, never met on the
+    fixture — so the test pins it to 0 to prove the machinery is live in
+    this engine's sessions."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = li.join(o, li.l_orderkey == o.o_orderkey).agg(F.sum("l_quantity"))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
