@@ -1028,3 +1028,52 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q85_schema_evolution_merge",
+    oracle="""
+    SELECT COALESCE(CASE WHEN o_orderstatus = 'F' THEN o_orderpriority END,
+                    '<pre-evolution>') AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+    GROUP BY prio ORDER BY prio
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on ingest: batch 1 lands with the original schema
+    (orderkey, totalprice); batch 2 arrives after a producer added
+    o_orderpriority. Reading the directory with mergeSchema=true must
+    surface the union schema with NULLs for pre-evolution rows — the
+    standard additive-column migration every long-lived ingest directory
+    goes through. The aggregate runs on the merged read; the oracle
+    recomputes it from the source table with the evolution boundary
+    expressed as a CASE."""
+    o = table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="limeqo_q85_")
+    (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(f"{out}/batch=1")
+    )
+    (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(f"{out}/batch=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out)
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("prio")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .alias("total"),
+        )
+        .orderBy("prio")
+    )
