@@ -37,7 +37,14 @@ def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
         )
     )
-    return d.unionByName(dup)
+    # The fixture parquet is 1-2 splits, so every downstream token
+    # explode + signature projection would run near-serial (measured: the
+    # SimHash vote stage ran on 2 of 32 cores). Spreading the small doc
+    # rows across the cluster's parallelism is a cheap shuffle that a real
+    # 100 TB corpus gets for free from its thousands of input splits.
+    return d.unionByName(dup).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def shingle_transform_sql(arr: str, n: int, item: str | None = None) -> str:
