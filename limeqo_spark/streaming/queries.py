@@ -555,3 +555,83 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         _run_stream(agg, "complete")
         .orderBy("c_mktsegment", "event_type")
     )
+
+
+@query(
+    "q86_stream_incremental_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text || ' zzzdup' FROM documents WHERE doc_id < 30
+      UNION ALL
+      -- wave-2 re-ingestion: the same 30 documents arrive again byte-identical
+      SELECT doc_id + 20000, text FROM documents WHERE doc_id < 30
+    )
+    SELECT MD5(text) AS h, MIN(doc_id) AS keep_doc
+    FROM corpus GROUP BY h ORDER BY h
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the production continuous-pipeline
+    pattern: documents arrive in micro-batches; each batch dedups within
+    itself (min doc_id per digest, an aggregate), anti-joins the digest
+    STORE accumulated from all prior batches, and appends only
+    never-seen digests. Raw text never enters the store — 16-byte digests
+    plus the keeper id. Batches are staged deterministically (originals
+    before planted clones), so the final store must equal the batch
+    keep-first dedup of the whole corpus, which is what the oracle
+    computes. At scale the store is a lakehouse table and the anti-join a
+    MERGE; the per-batch work is bounded by batch size x store lookup."""
+    from limeqo_spark.pipeline.corpus import planted_corpus
+
+    stage = tempfile.mkdtemp(prefix="limeqo_incdedup_src_")
+    store = tempfile.mkdtemp(prefix="limeqo_incdedup_store_")
+    corpus = planted_corpus(spark, sf_dir).select("doc_id", "text")
+    # two deterministic arrival waves: originals first; then the tail, the
+    # planted near-dup clones, AND a byte-identical re-ingestion of the
+    # first 30 docs (doc_id+20000) — the wave-2 re-arrivals are the rows
+    # the store anti-join must actually drop (keep_doc stays the wave-1
+    # id), so first-seen == global min doc_id
+    resent = (
+        corpus.filter(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    )
+    corpus.filter(F.col("doc_id") < 250).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "batch0")
+    )
+    corpus.filter(F.col("doc_id") >= 250).unionByName(resent).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "batch1"))
+    # seed an empty store so the first batch's anti-join has a schema
+    empty = spark.createDataFrame([], "h string, keep_doc bigint")
+    empty.write.mode("overwrite").parquet(store)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        seen = s.read.parquet(store).select("h")
+        fresh = (
+            batch_df.select(F.md5("text").alias("h"), F.col("doc_id"))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("keep_doc"))
+            .join(seen, "h", "left_anti")
+        )
+        fresh.write.mode("append").parquet(store)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(store).orderBy("h")
