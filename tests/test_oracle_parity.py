@@ -33,6 +33,7 @@ PROP_MIN_ROWS = {
     "ann_ivf_topk": 50,
     "q18_approx_count_distinct": 1,
     "q20_partial_agg_plan": 1,
+    "q87_compact_small_files": 1,
     "q36_seeded_sample": 1,
     "q44d_stream_dedup_watermark": 1,
     "q63_stratified_sample": 5,
