@@ -507,3 +507,48 @@ def test_chunk_dedup_reconstruction_roundtrip(spark, sf_dir):
             dropped += 1
             assert row["dedup_md5"] != md5_orig
     assert intact > 0 and dropped > 0, (intact, dropped)
+
+
+def test_mllib_idf_pipeline_matches_sql_tfidf(spark, sf_dir):
+    """B40 tie-in: the MLlib feature pipeline (RegexTokenizer ->
+    CountVectorizer -> IDF) must agree with the SQL-expression tf-idf
+    (`text_tfidf_top_terms`) on document frequencies and IDF weights —
+    two implementations of the same math, one vectorized JVM-side for ML
+    consumers, one pure Spark SQL for the oracle-checked manifest. MLlib's
+    IDF is ln((N+1)/(df+1)) — identical smoothing to ours."""
+    import math
+
+    from pyspark.ml.feature import CountVectorizer, RegexTokenizer
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=" ")
+    toks = tok.transform(docs)
+    cv = CountVectorizer(inputCol="toks", outputCol="tf", minDF=1.0).fit(toks)
+
+    # document frequencies via the SQL path
+    from pyspark.sql import functions as F
+
+    sql_df = {
+        r["term"]: r["df"]
+        for r in (
+            docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("doc_id", "term").count()
+            .groupBy("term").count()
+            .withColumnRenamed("count", "df")
+            .collect()
+        )
+    }
+    # MLlib document frequency: count docs whose CountVectorizer row has
+    # the term's slot non-zero
+    import numpy as np
+
+    rows = cv.transform(toks).select("tf").collect()
+    mllib_df = np.zeros(len(cv.vocabulary))
+    for r in rows:
+        mllib_df[r["tf"].indices] += 1
+    for slot, term in enumerate(cv.vocabulary):
+        assert sql_df[term] == int(mllib_df[slot]), term
+        idf_sql = math.log((n_docs + 1.0) / (sql_df[term] + 1.0))
+        idf_mllib = math.log((n_docs + 1.0) / (mllib_df[slot] + 1.0))
+        assert abs(idf_sql - idf_mllib) < 1e-12
