@@ -21,14 +21,19 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: Canonical names stay registered; local tests skip the aliases
 #: (identical spec) to avoid double-running.
 ROTATION_ALIAS_PREFIX = "a3_"
+#: every alias prefix in use this round (local tests skip all of them)
+ROTATION_ALIAS_PREFIXES = ("a3_", "a4_")
 _ROTATION_R3 = [
-    "q28_string_battery",
-    "q29_date_battery",
-    "q30_math_battery",
-    "q31_array_explode",
-    "q32_struct_battery",
-    "q33_json_extract",
-    "q34_conditional_null",
+    # q28-q34 were hash-green in the round-1 driver window (CORRECTNESS_r01)
+    # so they do NOT need a rotation slot; their seven slots go to round-2
+    # additions the driver has never seen (corpus_*, q67-q71) instead.
+    "corpus_chunk_windows",
+    "corpus_mix_quota_sample",
+    "q67_tpch_q7_volume_shipping",
+    "q68_tpch_q12_priority_classes",
+    "q69_tpch_q19_bracketed_disjunction",
+    "q70_tpch_q2_min_cost_supplier",
+    "q71_tpch_q6_forecast_revenue",
     "q35_percentiles",
     "q36_seeded_sample",
     "q37_dedup_exact",
@@ -70,18 +75,28 @@ _ROTATION_R3 = [
     "text_token_count_bpeish",
 ]
 
+#: Four more aliases (``a4_`` sorts between ``a3_`` and ``ann_``) fill the
+#: window's last four slots with round-2-addition queries the driver has
+#: never seen, instead of re-verifying the already-green ``ann_*`` rows.
+_ROTATION_R3_TAIL = [
+    "cdc_scd2_history",
+    "corpus_pack_bins",
+    "dedup_chunk_reconstruct",
+    "text_tfidf_top_terms",
+]
+
 # NOTE for round 4: once CORRECTNESS_r03 shows these aliases green (the
 # driver's 50-entry alphabetical window verifies them this round), DELETE
-# the alias block and replace it with an ``a4_`` rotation for the entries
-# the driver has then never checked: the round-3 additions
-# (cdc_scd2_history, corpus_chunk_windows, corpus_mix_quota_sample,
-# corpus_pack_bins, dedup_chunk_reconstruct, text_tfidf_top_terms,
-# q70-q84, q82/q83, and q66 where registered) — they sort after the
-# canonical first-50, so without a rotation they would stay outside the
-# window indefinitely.
-for _name in _ROTATION_R3:
+# both alias blocks and replace them with an ``a4_`` rotation for the
+# entries the driver has then never checked: ann_ivf_partitioned,
+# q72-q87, and any round-3 additions — they sort after the canonical
+# first-50, so without a rotation they would stay outside the window
+# indefinitely.
+for _name, _prefix in [(n, ROTATION_ALIAS_PREFIX) for n in _ROTATION_R3] + [
+    (n, "a4_") for n in _ROTATION_R3_TAIL
+]:
     _spec = REGISTRY[_name]
-    _alias = ROTATION_ALIAS_PREFIX + _name
+    _alias = _prefix + _name
     REGISTRY[_alias] = QuerySpec(
         _alias,
         _spec.builder,

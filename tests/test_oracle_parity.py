@@ -5,13 +5,15 @@ from __future__ import annotations
 
 import pytest
 
-from limeqo_spark.manifest import REGISTRY, ROTATION_ALIAS_PREFIX
+from limeqo_spark.manifest import REGISTRY, ROTATION_ALIAS_PREFIXES
 from limeqo_spark.testing import compare_frames
 
 # rotation aliases point at the same builder/oracle as their canonical
 # entry — running them locally would only double wall time
 _CANONICAL = {
-    n: s for n, s in REGISTRY.items() if not n.startswith(ROTATION_ALIAS_PREFIX)
+    n: s
+    for n, s in REGISTRY.items()
+    if not n.startswith(ROTATION_ALIAS_PREFIXES)
 }
 HASH_QUERIES = sorted(n for n, s in _CANONICAL.items() if s.oracle is not None)
 PROP_QUERIES = sorted(n for n, s in _CANONICAL.items() if s.oracle is None)
