@@ -235,6 +235,24 @@ def test_limeqo_plus_tcnn_mode_on_job_matrix():
     assert lat[-1] < wl.default_time  # made real progress
 
 
+def test_limeqo_plus_tcnn_pinned_init_is_deterministic():
+    """With ``net_seed`` pinned, the model='tcnn' run must be bitwise
+    deterministic across exploration seeds: the improvement ranking fills
+    every batch so the strategy rng never fires (the property the bench's
+    CEB LimeQO+ primary config relies on)."""
+    from limeqo_spark.strategies import LimeQOPlusStrategy
+
+    wl = load_dataset("job")
+    finals = []
+    for seed in (1, 2, 3):
+        rec = LimeQOPlusStrategy(
+            wl, seed=seed, max_rounds=12, time_budget=45.0,
+            model="tcnn", net_seed=3,
+        ).run()
+        finals.append(rec[-1]["total_latency"])
+    assert finals[0] == finals[1] == finals[2]
+
+
 @pytest.mark.skipif(not HAS_TORCH, reason="torch not in container")
 def test_torch_tcnn_forward():  # pragma: no cover
     import torch
