@@ -89,9 +89,10 @@ _ROTATION_R3_TAIL = [
 # driver's 50-entry alphabetical window verifies them this round), DELETE
 # both alias blocks and replace them with an ``a4_`` rotation for the
 # entries the driver has then never checked: ann_ivf_partitioned,
-# q72-q87, and any round-3 additions — they sort after the canonical
-# first-50, so without a rotation they would stay outside the window
-# indefinitely.
+# q72-q87, and the round-3 additions (corpus_split_train_holdout,
+# corpus_temperature_resample, corpus_shuffle_shards, corpus_stats_card,
+# ...) — they sort after the canonical first-50, so without a rotation
+# they would stay outside the window indefinitely.
 for _name, _prefix in [(n, ROTATION_ALIAS_PREFIX) for n in _ROTATION_R3] + [
     (n, "a4_") for n in _ROTATION_R3_TAIL
 ]:

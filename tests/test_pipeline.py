@@ -552,3 +552,77 @@ def test_mllib_idf_pipeline_matches_sql_tfidf(spark, sf_dir):
         idf_sql = math.log((n_docs + 1.0) / (sql_df[term] + 1.0))
         idf_mllib = math.log((n_docs + 1.0) / (mllib_df[slot] + 1.0))
         assert abs(idf_sql - idf_mllib) < 1e-12
+
+
+def test_split_train_holdout_fractions_and_determinism(spark, sf_dir):
+    """Hash split: every doc lands in exactly one split, fractions are
+    within binomial noise of 80/10/10, and membership is a pure function
+    of doc_id (two runs agree row-for-row without a seed)."""
+    spec = REGISTRY["corpus_split_train_holdout"]
+    rows = spec.builder(spark, sf_dir).collect()
+    n = len(rows)
+    docs = {r["doc_id"] for r in rows}
+    assert len(docs) == n  # one split per document
+    frac = {
+        s: sum(1 for r in rows if r["split"] == s) / n
+        for s in ("train", "val", "test")
+    }
+    assert abs(frac["train"] - 0.8) < 0.08
+    assert abs(frac["val"] - 0.1) < 0.06
+    assert abs(frac["test"] - 0.1) < 0.06
+    again = {(r["doc_id"], r["split"]) for r in spec.builder(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_temperature_resample_rebalances_toward_sqrt(spark, sf_dir):
+    """Square-root temperature sampling: realized per-language copy totals
+    hit the integer targets exactly (sum target//n + remainder docs), the
+    head language is down-sampled, low-resource languages are up-sampled,
+    and the grand total stays within n_langs of the document budget
+    (floor losses only)."""
+    import math
+
+    from limeqo_spark.io import table
+    from pyspark.sql import functions as F
+
+    spec = REGISTRY["corpus_temperature_resample"]
+    out = spec.builder(spark, sf_dir)
+    per_lang = {
+        r["lang"]: r["copies"]
+        for r in out.groupBy("lang").agg(F.sum("n_copies").alias("copies")).collect()
+    }
+    counts = {
+        r["lang"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    weights = {k: math.floor(math.sqrt(v) * 1000) for k, v in counts.items()}
+    wsum = sum(weights.values())
+    targets = {k: total * w // wsum for k, w in weights.items()}
+    assert per_lang == targets
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+    assert per_lang[head] < counts[head]  # head down-sampled
+    assert per_lang[tail] > counts[tail]  # tail up-sampled
+    assert total - len(counts) <= sum(per_lang.values()) <= total
+
+
+def test_shuffle_shards_cover_corpus_and_balance(spark, sf_dir):
+    """Hash-range sharding: shard stats cover every document exactly once,
+    shard ids are dense in [0, N_SHARDS), and the md5 split is roughly
+    balanced (uniform hash -> no shard above 2x the mean)."""
+    from limeqo_spark.io import table
+    from limeqo_spark.pipeline.curation import N_SHARDS
+
+    spec = REGISTRY["corpus_shuffle_shards"]
+    rows = spec.builder(spark, sf_dir).collect()
+    assert {r["shard_id"] for r in rows} == set(range(N_SHARDS))
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    mean = n_docs / N_SHARDS
+    assert max(r["n_docs"] for r in rows) < 2 * mean
+    # digests are per-shard order fingerprints: all distinct
+    assert len({r["order_digest"] for r in rows}) == N_SHARDS
