@@ -11,10 +11,16 @@ embeddings fixture.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
-from limeqo_spark.pipeline.corpus import CORPUS_SQL, planted_corpus, token_shingles
+from limeqo_spark.pipeline.corpus import (
+    CORPUS_SQL,
+    planted_corpus,
+    shingle_transform_sql,
+    token_shingles,
+)
 from limeqo_spark.relational.registry import query
 
 
@@ -628,4 +634,99 @@ def dedup_chunk_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dedup_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+#: substring-dedup gram width (tokens): spans shorter than this are noise
+SUBSTR_K = 8
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id, s - 1 AS pos,
+             md5(array_to_string(t[s : s + {SUBSTR_K} - 1], ' ')) AS gh
+      FROM toks, UNNEST(generate_series(1, GREATEST(n - {SUBSTR_K} + 1, 0))) AS u(s)
+    ),
+    dup AS (
+      SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    flagged AS (
+      SELECT g.doc_id, g.pos,
+             g.pos - ROW_NUMBER() OVER (
+               PARTITION BY g.doc_id ORDER BY g.pos
+             ) AS grp
+      FROM grams g JOIN dup USING (gh)
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_K} AS BIGINT) AS span_len_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM flagged GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup, the suffix-array method re-expressed as
+    dataflow (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": remove every substring that occurs >= 2 times in the
+    corpus). A substring duplicated across (or within) documents is
+    exactly a maximal run of consecutive duplicated {SUBSTR_K}-token
+    grams, so the operator is: gram+position per document -> global
+    occurrence count on the gram DIGEST -> flag positions whose gram
+    repeats -> gaps-and-islands merge of consecutive flagged positions
+    into spans. Output is the removal plan: (doc_id, span_start,
+    span_len_tokens) byte-range analogs, hash-verified against DuckDB on
+    the planted corpus (each planted clone shares its source's full text,
+    so both members report one whole-document span).
+
+    Scale (100 TB): no suffix array and no global sort — the corpus-wide
+    structure is ONE two-phase count on 16-byte gram digests (positions
+    and text never shuffle with it), the flag-back is a digest-keyed
+    semi-join, and the island merge is a per-document window. Trillions of
+    grams shuffle as (digest, count) partial aggregates; hot grams (boiler
+    plate) skew the count's reduce side only, where AQE skew-split or the
+    df-cap idiom from the Jaccard path applies. This is the engine's
+    answer to the reference method's O(total-bytes) suffix automaton,
+    which cannot shard without losing cross-shard duplicates."""
+    c = planted_corpus(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    grams = c.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                shingle_transform_sql(
+                    "t",
+                    SUBSTR_K,
+                    f"struct(i AS pos, md5(concat_ws(' ', slice(t, i + 1, {SUBSTR_K}))) AS gh)",
+                )
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    dup = grams.groupBy("gh").count().filter(F.col("count") >= 2).select("gh")
+    flagged = grams.join(dup, "gh", "left_semi")
+    grp = (
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))
+    )
+    return (
+        flagged.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + SUBSTR_K).cast("bigint").alias(
+                "span_len_tokens"
+            ),
+            F.count("*").cast("bigint").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_len_tokens", "n_grams")
+        .orderBy("doc_id", "span_start")
     )

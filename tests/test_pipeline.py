@@ -626,3 +626,39 @@ def test_shuffle_shards_cover_corpus_and_balance(spark, sf_dir):
     assert max(r["n_docs"] for r in rows) < 2 * mean
     # digests are per-shard order fingerprints: all distinct
     assert len({r["order_digest"] for r in rows}) == N_SHARDS
+
+
+def test_substring_spans_catch_planted_full_doc_dups(spark, sf_dir):
+    """Substring-span dedup: every planted (original, clone) pair shares
+    the original's full text, so both members must report a span starting
+    at token 0 whose length equals the original's token count (the clone's
+    appended token is not duplicated and stays outside the span); spans
+    within a document never overlap."""
+    from limeqo_spark.io import table
+    from limeqo_spark.pipeline.corpus import PLANT_N, PLANT_OFFSET
+    from limeqo_spark.pipeline.dedup import SUBSTR_K
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["dedup_substring_spans"].builder(spark, sf_dir).collect()
+    tok_counts = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .filter(F.col("doc_id") < PLANT_N)
+        .collect()
+    }
+    spans = {}
+    for r in rows:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_len_tokens"])
+        )
+    for doc_id, n in tok_counts.items():
+        if n < SUBSTR_K:
+            continue  # too short to form a gram
+        for member in (doc_id, doc_id + PLANT_OFFSET):
+            member_spans = spans.get(member, [])
+            assert (0, n) in member_spans, (member, n, member_spans)
+    for doc_spans in spans.values():
+        doc_spans.sort()
+        for (s1, l1), (s2, _) in zip(doc_spans, doc_spans[1:]):
+            assert s1 + l1 <= s2 + SUBSTR_K - 1  # islands: gap of >= 1 gram
