@@ -45,11 +45,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_chunk_reconstruct",  # line-level dedup + doc rebuild, digest-only shuffles
+    "dedup_substring_spans",  # suffix-array-method dedup as dataflow
     "dedup_cluster_canonical",  # connected components -> canonical keeper
     "ann_cosine_topk",
     "ann_ivf_topk",  # KMeans coarse quantizer scale path
     "ann_ivf_partitioned",  # cell_id-partitioned layout, static pruning
     "corpus_mix_quota_sample",  # deterministic training-mix curation
+    "corpus_shuffle_shards",  # trainer-facing shuffled shard layout
     "skew_salted_join",
     "text_quality_score",
     "text_fingerprint",
