@@ -32,6 +32,7 @@ def test_hash_parity(spark, ddb, sf_dir, name):
 # frame must fail the gate, not slide past it (VERDICT r2 §wrong.2)
 PROP_MIN_ROWS = {
     "ann_ivf_partitioned": 15,
+    "corpus_sketch_profile": 5,
     "ann_ivf_topk": 50,
     "q18_approx_count_distinct": 1,
     "q20_partial_agg_plan": 1,
@@ -54,10 +55,12 @@ def test_prop_queries_run(spark, sf_dir, name):
     df = REGISTRY[name].builder(spark, sf_dir)
     rows = df.collect()
     assert len(rows) >= PROP_MIN_ROWS[name] and df.columns
-    # generic convention: any boolean column named ok/consistent/two_phase
-    # on a prop query is an inline assertion — all must be true
+    # generic convention: any boolean column named ok/*_ok/consistent/
+    # two_phase/has_* on a prop query is an inline assertion — all true
     for row in rows:
         d = row.asDict()
-        for k in ("ok", "consistent", "two_phase", "has_agg", "has_exchange"):
-            if k in d and d[k] is not None:
-                assert d[k] is True, f"{name}: {k} is {d[k]}"
+        for k, v in d.items():
+            if v is None:
+                continue
+            if k in ("ok", "consistent", "two_phase", "has_agg", "has_exchange") or k.endswith("_ok"):
+                assert v is True, f"{name}: {k} is {v}"

@@ -662,3 +662,49 @@ def test_substring_spans_catch_planted_full_doc_dups(spark, sf_dir):
         doc_spans.sort()
         for (s1, l1), (s2, _) in zip(doc_spans, doc_spans[1:]):
             assert s1 + l1 <= s2 + SUBSTR_K - 1  # islands: gap of >= 1 gram
+
+
+def test_sketch_profile_estimates_within_tolerance(spark, sf_dir):
+    """HLL distinct-token and KLL doc-length estimates sit within their
+    published tolerances of the exact values for every language (the ok
+    flags the generic prop gate also asserts), and the estimates are
+    non-degenerate (positive, ordered p50 <= p90)."""
+    rows = REGISTRY["corpus_sketch_profile"].builder(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["hll_ok"] and r["kll_ok"], r
+        assert r["hll_distinct"] > 0
+        assert 0 < r["kll_p50"] <= r["kll_p90"]
+
+
+def test_count_min_sketch_bounds_token_frequencies(spark, sf_dir):
+    """Count-Min sketch over corpus tokens: the CMS estimate never
+    undercounts (structural guarantee) and overshoots by at most
+    eps * total_tokens for the most frequent tokens. The sketch binary is
+    built by the distributed ``count_min_sketch`` aggregate (mergeable
+    partials) and decoded via Spark's own CountMinSketch reader."""
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.io import table
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    eps, conf = 0.001, 0.99
+    row = toks.agg(
+        F.count_min_sketch(
+            "tok", F.lit(eps), F.lit(conf), F.lit(42)
+        ).alias("cms"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    total = row["n"]
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(row["cms"]))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    top = (
+        toks.groupBy("tok").count().orderBy(F.desc("count"), "tok").limit(20).collect()
+    )
+    for r in top:
+        est = cms.estimateCount(r["tok"])
+        assert est >= r["count"], (r["tok"], est, r["count"])
+        assert est <= r["count"] + eps * total, (r["tok"], est, r["count"])
