@@ -216,11 +216,17 @@ def main() -> None:
     except Exception:  # sim track must never sink the bench line
         pass
 
-    total = round(sum(timings.values()), 3)
+    # headline value = query-engine wall only; the sim_* rows are SOLVER
+    # overhead (the reference reports these separately too — BASELINE.md:
+    # ALS ~0.18 s/round, LimeQO+ ~2 h/run) and are summed on their own so
+    # adding solver robustness rows never reads as a query regression
+    total = round(sum(v for k, v in timings.items() if not k.startswith("sim_")), 3)
+    sim_total = round(sum(v for k, v in timings.items() if k.startswith("sim_")), 3)
     out = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
+        "sim_overhead_total": sim_total,
         "queries": timings,
         "queries_first_run": first_runs,
         "sf": SF_DIR,
