@@ -221,3 +221,60 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.expr(f"SQRT({sq})"), 4).alias("feat_norm"),
     ).orderBy("doc_id")
+
+
+#: how many fixture docs become standalone media files for the ingest test
+BINARYFILE_N = 40
+
+
+@query(
+    "mm_binaryfile_ingest",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < {BINARYFILE_N} ORDER BY doc_id
+    """,
+)
+def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-lake ingest via Spark's ``binaryFile`` source — the real
+    entry point for image/audio/video blobs: materialize the first
+    {BINARYFILE_N} documents as standalone ``<doc_id>.bin`` files, read
+    them back with ``format("binaryFile")`` (columns path /
+    modificationTime / length / content), recover the id from the path
+    and digest the raw bytes. Verifies the full blob round-trip: DuckDB
+    computes the same md5 from the source column, so a single flipped
+    byte anywhere in write→list→read fails the hash gate.
+
+    Scale (100 TB): binaryFile lists and splits files across executors
+    (one row per file, content never concatenated); pair it with
+    ``pathGlobFilter`` and partitioned directory layouts for pruning, and
+    keep per-file size under ``maxPartitionBytes`` — exactly how the
+    mapInPandas decode stages downstream expect their batches."""
+    import os
+    import tempfile
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARYFILE_N)
+        .select("doc_id", "text")
+        .collect()  # BINARYFILE_N tiny rows, fixture materialization only:
+        # a real lake already HAS the files; this step fakes the lake
+    )
+    out = tempfile.mkdtemp(prefix="limeqo_binf_")
+    for r in docs:
+        with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
