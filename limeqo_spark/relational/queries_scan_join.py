@@ -1077,3 +1077,61 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "q88_xml_source",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           md5(string_agg(n_name, ',' ORDER BY n_name)) AS names_md5
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (built-in since Spark 4): write ``nation`` as XML rows,
+    read it back with ``format('xml')`` + rowTag, and aggregate — the
+    digest of per-region name lists proves field-level fidelity through
+    the serialize/parse round-trip against DuckDB reading the parquet
+    original."""
+    out = tempfile.mkdtemp(prefix="limeqo_q88_")
+    (
+        table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(out)
+    )
+    back = spark.read.format("xml").option("rowTag", "nation").load(out)
+    names = F.expr("concat_ws(',', array_sort(collect_list(n_name)))")
+    return (
+        back.groupBy(F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.md5(names).alias("names_md5"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q89_text_source_lines",
+    oracle="""
+    SELECT md5(text) AS line_md5 FROM documents ORDER BY line_md5
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source: write every document as one line of a
+    ``spark.write.text`` file, read back with ``spark.read.text`` (one row
+    per line), digest each line. Order is not a text-source guarantee, so
+    the contract sorts by digest — content fidelity, not order, is the
+    claim (fixture docs contain no newlines; a real corpus would
+    escape or length-prefix)."""
+    out = tempfile.mkdtemp(prefix="limeqo_q89_")
+    table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
+    return (
+        spark.read.text(out)
+        .select(F.md5("value").alias("line_md5"))
+        .orderBy("line_md5")
+    )
