@@ -69,9 +69,10 @@ def corpus_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: temperature-sampling exponent: share ~ n_lang^ALPHA_MILLI/1000 (0.5 =
-#: square-root scaling, the common multilingual rebalancing recipe)
-ALPHA = 0.5
+# temperature-sampling exponent is pinned at 0.5 (SQRT in both engines):
+# square-root scaling, the common multilingual rebalancing recipe; a
+# general n^alpha would need POWER(), whose cross-engine bit-identity is
+# not guaranteed the way correctly-rounded SQRT is
 
 
 @query(
