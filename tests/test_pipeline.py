@@ -747,3 +747,58 @@ def test_e2e_curate_chain_consistency(spark, sf_dir):
         target = total * w[lang] // wsum
         assert row["n_copies"] == target, (lang, row["n_copies"], target)
         assert row["n_docs"] <= per_lang_n[lang]
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, sf_dir):
+    """Exactly-once across a restart: a stateful streaming dedup
+    (dropDuplicates on event_id) writes to a parquet sink with a
+    checkpoint; the stream is stopped, the source gains a second file
+    that OVERLAPS the first, and the restarted query — same checkpoint,
+    same sink — must neither reprocess file 1 nor re-emit the overlap
+    (the dedup state survives the restart). Sink rows therefore equal the
+    distinct event_ids across both files, with zero duplicate rows."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.io import table
+
+    root = tempfile.mkdtemp(prefix="limeqo_ckpt_")
+    src, sink, ck = (os.path.join(root, d) for d in ("src", "sink", "ck"))
+    os.makedirs(src)
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.filter(F.col("event_id") < 500).coalesce(1).write.parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    schema = ev.schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_phase1 = spark.read.parquet(sink).count()
+    assert n_phase1 == ev.filter(F.col("event_id") < 500).count()
+    # overlap 250-749: 250 already-seen ids + new ones
+    ev.filter(F.col("event_id").between(250, 749)).coalesce(1).write.parquet(
+        os.path.join(src, "b2.parquet")
+    )
+    run_once()
+    out = spark.read.parquet(sink)
+    expected = ev.filter(F.col("event_id") < 750).count()
+    assert out.count() == expected, "restart re-emitted or dropped rows"
+    assert out.select("event_id").distinct().count() == expected
