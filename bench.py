@@ -180,6 +180,15 @@ def main() -> None:
         sim["sim_ceb_limeqo_plus_final_latency_h"] = round(
             float(rec[-1]["total_latency"]) / 3600, 4
         )
+        # provenance, so the number is never read as seed-free: the init is
+        # the best of the published 5-point sweep (spread 1.31-1.59 h);
+        # the ALS row below is the init-free robustness comparison
+        sim["sim_ceb_limeqo_plus_config"] = (
+            "tcnn(net_seed=3): deterministic pinned init chosen from the "
+            "docs/tcnn_sim_study_r3.json init sweep (best of 5; spread "
+            "1.31-1.59 h across inits). Init-free ALS fallback reported "
+            "as sim_ceb_limeqo_plus_als_final_latency_h."
+        )
         t0 = time.perf_counter()
         # robustness row: the init-free restart-averaged censored-ALS
         # fallback (no pinned seeds anywhere; ~1.44-1.45 h across seeds)
@@ -219,14 +228,18 @@ def main() -> None:
     # headline value = query-engine wall only; the sim_* rows are SOLVER
     # overhead (the reference reports these separately too — BASELINE.md:
     # ALS ~0.18 s/round, LimeQO+ ~2 h/run) and are summed on their own so
-    # adding solver robustness rows never reads as a query regression
+    # adding solver robustness rows never reads as a query regression.
+    # The metric is RENAMED (was headline_total_wall = queries + sim) so
+    # cross-round dashboards can't silently compare the two definitions;
+    # legacy_total_wall carries the old sum for continuity.
     total = round(sum(v for k, v in timings.items() if not k.startswith("sim_")), 3)
     sim_total = round(sum(v for k, v in timings.items() if k.startswith("sim_")), 3)
     out = {
-        "metric": "headline_total_wall",
+        "metric": "headline_query_wall",
         "value": total,
         "unit": "sec",
         "sim_overhead_total": sim_total,
+        "legacy_total_wall": round(total + sim_total, 3),
         "queries": timings,
         "queries_first_run": first_runs,
         "sf": SF_DIR,

@@ -76,8 +76,12 @@ _ROTATION_R3 = [
 ]
 
 #: Four more aliases (``a4_`` sorts between ``a3_`` and ``ann_``) fill the
-#: window's last four slots with round-2-addition queries the driver has
-#: never seen, instead of re-verifying the already-green ``ann_*`` rows.
+#: window's last four slots with round-2-addition HASH queries the driver
+#: has never seen. This displaces three already-green ``ann_*`` rows AND
+#: the never-checked ``ann_ivf_partitioned`` — a deliberate trade: it is
+#: PROP (rows-only at the driver, its real assertions live in the local
+#: suite), so four full value-hash verifications outrank one rows-only
+#: row; it heads the round-4 rotation list below instead.
 _ROTATION_R3_TAIL = [
     "cdc_scd2_history",
     "corpus_pack_bins",

@@ -88,12 +88,17 @@ def corpus_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS w
       FROM counts
     ),
+    totals AS (
+      SELECT (SELECT SUM(n) FROM counts) AS tn,
+             (SELECT SUM(w) FROM weights) AS tw
+    ),
     targets AS (
-      -- // is DuckDB integer division (plain / would promote to DOUBLE)
+      -- floor(tn*w/tw) via the split identity (tn//tw)*w + ((tn%tw)*w)//tw
+      -- so no product exceeds max(tn, tw*max_w); // is DuckDB integer
+      -- division (plain / would promote to DOUBLE)
       SELECT lang, n,
-             (SELECT SUM(n) FROM counts) * w // (SELECT SUM(w) FROM weights)
-               AS target
-      FROM weights
+             (tn // tw) * w + ((tn % tw) * w) // tw AS target
+      FROM weights, totals
     ),
     ranked AS (
       SELECT d.doc_id, d.lang, t.n, t.target,
@@ -137,8 +142,13 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     targets = weights.crossJoin(F.broadcast(totals)).select(
         "lang",
         "n",
-        # DIV = Spark integer division, matching the oracle's //
-        F.expr("total_n * w DIV total_w").alias("target"),
+        # floor(total_n*w/total_w) via the overflow-safe split identity
+        # (DIV = Spark integer division, matching the oracle's //): no
+        # intermediate product exceeds max(total_n, total_w * max_w), so
+        # the BIGINT math stays exact far past 100 TB corpus sizes
+        F.expr(
+            "(total_n DIV total_w) * w + ((total_n % total_w) * w) DIV total_w"
+        ).alias("target"),
     )
     rk = F.row_number().over(
         W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
@@ -298,11 +308,16 @@ E2E_MIN_TOK, E2E_MAX_TOK = 16, 512
              CAST(FLOOR(SQRT(CAST(cn AS DOUBLE)) * 1000) AS BIGINT) AS w
       FROM counts
     ),
+    totals AS (
+      SELECT (SELECT SUM(cn) FROM counts) AS tn,
+             (SELECT SUM(w) FROM weights) AS tw
+    ),
     targets AS (
+      -- overflow-safe split form of floor(tn*w/tw), as in
+      -- corpus_temperature_resample
       SELECT lang, cn,
-             (SELECT SUM(cn) FROM counts) * w // (SELECT SUM(w) FROM weights)
-               AS target
-      FROM weights
+             (tn // tw) * w + ((tn % tw) * w) // tw AS target
+      FROM weights, totals
     ),
     ranked AS (
       SELECT t.doc_id, t.lang, t.n, g.cn, g.target,
@@ -361,7 +376,11 @@ def pipeline_e2e_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = weights.agg(F.sum("cn").alias("total_n"), F.sum("w").alias("total_w"))
     targets = weights.crossJoin(F.broadcast(totals)).select(
-        "lang", "cn", F.expr("total_n * w DIV total_w").alias("target")
+        "lang",
+        "cn",
+        F.expr(
+            "(total_n DIV total_w) * w + ((total_n % total_w) * w) DIV total_w"
+        ).alias("target"),
     )
     rk = F.row_number().over(
         W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")

@@ -389,6 +389,9 @@ class LimeQOPlusStrategy(LimeQOStrategy):
     n_restarts = 3
     #: embeddings-only TCNN hyperparameters (see docstring)
     tcnn_kw = {"rank": 8, "conv1": 16, "conv2": 8}
+    #: AdamW decay on the query/hint embeddings (0.0 = reference's plain
+    #: Adam; measured worse on CEB — docs/tcnn_sim_study_r3.json lab)
+    tcnn_weight_decay = 0.0
 
     def __init__(
         self, *args, rank: int = 5, iters: int = 50, lam: float = 0.2,
@@ -457,7 +460,7 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         self._dummy = dummy_tree(4)
         self._tcnn.fit(
             self._dummy, np.zeros(len(qi), dtype=np.int64), qi, hj, lat, cut,
-            epochs=epochs, lr=1e-2,
+            epochs=epochs, lr=1e-2, weight_decay=self.tcnn_weight_decay,
         )
         q, h = self.wl.matrix.shape
         allq, allh = np.meshgrid(np.arange(q), np.arange(h), indexing="ij")

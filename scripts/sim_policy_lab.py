@@ -50,16 +50,21 @@ class RestartPartitionALS(LimeQOPlusStrategy):
 
     def select(self):
         st = self.state
-        per = max(1, self.k // len(self.preds))
+        mo = st.min_observed()
+        # each restart ranks k candidates; interleave round-robin so every
+        # restart contributes equally (restart 1's #1, restart 2's #1, ...,
+        # restart 1's #2, ...) until k distinct cells are chosen
+        ranked = [
+            rank_cells_by_improvement(p, st.explored, mo, self.k)
+            for p in self.preds
+        ]
         out: list[tuple[int, int]] = []
         taken: set[tuple[int, int]] = set()
-        for p in self.preds:
-            for cell in rank_cells_by_improvement(
-                p, st.explored, st.min_observed(), per + len(out)
-            ):
-                if cell not in taken:
-                    taken.add(cell)
-                    out.append(cell)
+        for depth in range(self.k):
+            for lst in ranked:
+                if depth < len(lst) and lst[depth] not in taken:
+                    taken.add(lst[depth])
+                    out.append(lst[depth])
                     if len(out) >= self.k:
                         break
             if len(out) >= self.k:
@@ -90,44 +95,15 @@ class ColumnPriorALS(LimeQOPlusStrategy):
 
 class TCNNDecay(LimeQOPlusStrategy):
     """Shipped tcnn model with embedding weight decay (the NumpyTCNN
-    docstring's own recommendation, which _fit_tcnn does not pass)."""
+    docstring's own recommendation; routed through the shipped
+    ``tcnn_weight_decay`` attribute so the fit loop stays shared)."""
 
     name = "limeqo_plus_tcnn_wd"
-    weight_decay = 1e-3
+    tcnn_weight_decay = 1e-3
 
     def __init__(self, *a, **kw):
         kw["model"] = "tcnn"
         super().__init__(*a, **kw)
-
-    def _fit_tcnn(self) -> None:
-        from limeqo_spark.tcnn import NumpyTCNN, dummy_tree
-
-        st = self.state
-        cells = np.argwhere((st.mask > 0) | (st.cutoffs > 0))
-        qi, hj = cells[:, 0], cells[:, 1]
-        observed = st.mask[qi, hj] > 0
-        lat = np.where(observed, self.wl.matrix[qi, hj], 0.0)
-        cut = np.where(observed, 0.0, st.cutoffs[qi, hj])
-        if self._tcnn is None:
-            self._tcnn = NumpyTCNN(
-                4, *self.wl.matrix.shape,
-                seed=int(self.rng.integers(2**31)), **self.tcnn_kw,
-            )
-            epochs = 800
-        else:
-            epochs = 200
-        from limeqo_spark.tcnn import dummy_tree as _dt
-
-        self._dummy = _dt(4)
-        self._tcnn.fit(
-            self._dummy, np.zeros(len(qi), dtype=np.int64), qi, hj, lat, cut,
-            epochs=epochs, lr=1e-2, weight_decay=self.weight_decay,
-        )
-        q, h = self.wl.matrix.shape
-        allq, allh = np.meshgrid(np.arange(q), np.arange(h), indexing="ij")
-        self.pred = self._tcnn.predict(
-            self._dummy, np.zeros(q * h, dtype=np.int64), allq.ravel(), allh.ravel()
-        ).reshape(q, h)
 
 
 VARIANTS = {

@@ -62,5 +62,9 @@ def test_prop_queries_run(spark, sf_dir, name):
         for k, v in d.items():
             if v is None:
                 continue
-            if k in ("ok", "consistent", "two_phase", "has_agg", "has_exchange") or k.endswith("_ok"):
+            if (
+                k in ("ok", "consistent", "two_phase")
+                or k.endswith("_ok")
+                or k.startswith("has_")
+            ):
                 assert v is True, f"{name}: {k} is {v}"
