@@ -67,12 +67,18 @@ def run_dataset(ds: str, out_root: str, reps: int) -> dict:
     out_dir = os.path.join(out_root, ds)
     os.makedirs(out_dir, exist_ok=True)
 
-    # reference batch sizes: k=8 for random/greedy/limeqo, k=32 for limeqo+
+    # reference batch sizes: k=8 for random/greedy/limeqo, k=32 for limeqo+.
+    # LimeQO+ runs the SHIPPED per-dataset config (bench.py): CEB uses the
+    # pinned-init NumpyTCNN (deterministic -> 1 rep is the whole
+    # distribution); JOB/DSB keep the restart-averaged censored ALS (the
+    # TCNN regresses there - docs/tcnn_sim_study_r3.json job_dsb_robustness)
+    plus_kw = dict(model="tcnn", net_seed=3) if ds == "ceb" else dict()
+    plus_reps = 1 if ds == "ceb" else max(1, reps // 4)
     plans = [
         ("random", RandomStrategy, dict(k=8), reps),
         ("greedy", GreedyStrategy, dict(k=8), reps),  # random untried hint per worst query
         ("limeqo", LimeQOStrategy, dict(k=8), reps),
-        ("limeqo_plus", LimeQOPlusStrategy, dict(), max(1, reps // 4)),
+        ("limeqo_plus", LimeQOPlusStrategy, plus_kw, plus_reps),
     ]
     for name, cls, kw, n in plans:
         for rep in range(n):
