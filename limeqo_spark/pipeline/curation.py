@@ -75,6 +75,30 @@ def corpus_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not guaranteed the way correctly-rounded SQRT is
 
 
+def _sqrt_temperature_targets(counts: DataFrame, count_col: str) -> DataFrame:
+    """(lang, count_col, target) with target = floor(total_n * w / total_w),
+    w = floor(sqrt(count) * 1000). Weights are floored to integers first so
+    every later step is exact engine-identical BIGINT arithmetic; the
+    quotient uses the overflow-safe split identity
+    ``floor(a*b/c) = (a DIV c)*b + ((a mod c)*b) DIV c`` (matching the
+    oracles' ``//`` form), so no intermediate product exceeds
+    ``max(total_n, total_w * max_w)`` — exact far past 100 TB corpus
+    sizes. Shared by corpus_temperature_resample and pipeline_e2e_curate."""
+    weights = counts.withColumn(
+        "w", F.floor(F.sqrt(F.col(count_col).cast("double")) * 1000).cast("bigint")
+    )
+    totals = weights.agg(
+        F.sum(count_col).alias("total_n"), F.sum("w").alias("total_w")
+    )
+    return weights.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        count_col,
+        F.expr(
+            "(total_n DIV total_w) * w + ((total_n % total_w) * w) DIV total_w"
+        ).alias("target"),
+    )
+
+
 @query(
     "corpus_temperature_resample",
     oracle="""
@@ -133,23 +157,7 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-free — the same swap documented on corpus_mix_quota_sample."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = d.groupBy("lang").agg(F.count("*").alias("n"))
-    weights = counts.withColumn(
-        "w", F.floor(F.sqrt(F.col("n").cast("double")) * 1000).cast("bigint")
-    )
-    totals = weights.agg(
-        F.sum("n").alias("total_n"), F.sum("w").alias("total_w")
-    )
-    targets = weights.crossJoin(F.broadcast(totals)).select(
-        "lang",
-        "n",
-        # floor(total_n*w/total_w) via the overflow-safe split identity
-        # (DIV = Spark integer division, matching the oracle's //): no
-        # intermediate product exceeds max(total_n, total_w * max_w), so
-        # the BIGINT math stays exact far past 100 TB corpus sizes
-        F.expr(
-            "(total_n DIV total_w) * w + ((total_n % total_w) * w) DIV total_w"
-        ).alias("target"),
-    )
+    targets = _sqrt_temperature_targets(counts, "n")
     rk = F.row_number().over(
         W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
     )
@@ -371,17 +379,7 @@ def pipeline_e2e_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint") % 100
     train = deduped.filter(bucket < SPLIT_TRAIN)
     counts = train.groupBy("lang").agg(F.count("*").alias("cn"))
-    weights = counts.withColumn(
-        "w", F.floor(F.sqrt(F.col("cn").cast("double")) * 1000).cast("bigint")
-    )
-    totals = weights.agg(F.sum("cn").alias("total_n"), F.sum("w").alias("total_w"))
-    targets = weights.crossJoin(F.broadcast(totals)).select(
-        "lang",
-        "cn",
-        F.expr(
-            "(total_n DIV total_w) * w + ((total_n % total_w) * w) DIV total_w"
-        ).alias("target"),
-    )
+    targets = _sqrt_temperature_targets(counts, "cn")
     rk = F.row_number().over(
         W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
     )
