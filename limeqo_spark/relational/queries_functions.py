@@ -345,3 +345,47 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(len(frag_files), len(out_files), n_out, in_bytes, ok)],
         "files_before int, files_after int, target_files int, bytes_in bigint, ok boolean",
     )
+
+
+@query(
+    "q90_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice / NULLIF(l_quantity, 0) AS DOUBLE) IS NULL
+             AS div_nulled,
+           CAST(FLOOR(CAST(l_extendedprice / NULLIF(l_quantity, 0) AS DOUBLE)
+                      * 10000) AS BIGINT) AS unit_price_e4,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS line_as_int,
+           TRY_CAST(l_shipdate AS DATE) IS NOT NULL AS date_parses
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe function battery: sessions run Spark 4's ANSI
+    dialect (overflow/parse errors THROW), so production expressions use
+    the ``try_*`` family — ``try_divide`` yields NULL on zero divisors
+    where plain ``/`` would raise, ``try_cast`` yields NULL on malformed
+    input. DuckDB mirrors with NULLIF-guarded division and TRY_CAST."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    unit = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        unit.isNull().alias("div_nulled"),
+        # floor-scaled, not ROUND(double, 4): the IEEE quotient is
+        # bit-identical across engines but ROUND's tie handling is not
+        # (Spark rounds the shortest repr, DuckDB the binary value)
+        F.floor(unit.cast("double") * 10000).cast("bigint").alias("unit_price_e4"),
+        F.try_to_number(F.col("l_returnflag"), F.lit("999999")).cast("bigint").alias(
+            "flag_as_int"
+        ),
+        F.try_to_number(
+            F.col("l_linenumber").cast("string"), F.lit("999999")
+        ).cast("bigint").alias("line_as_int"),
+        F.try_to_date(F.col("l_shipdate").cast("string")).isNotNull().alias(
+            "date_parses"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")
