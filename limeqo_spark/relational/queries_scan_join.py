@@ -1135,3 +1135,57 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("value").alias("line_md5"))
         .orderBy("line_md5")
     )
+
+
+@query(
+    "q91_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+                 AS DOUBLE), 2) AS total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lake in-place partition rewrite:
+    seed a table partitioned by ``o_orderpriority``, then overwrite ONLY
+    the 1-URGENT partition with doubled prices under
+    ``partitionOverwriteMode=dynamic``. The final rollup proves the
+    semantics: had the second write run in static mode it would have
+    DROPPED every other partition and the other priorities' rows would
+    vanish from the oracle comparison.
+
+    Scale (100 TB): this is the idiomatic backfill/correction pattern —
+    rewrite one day/priority partition in place without touching (or even
+    listing) the others; pairs with q46's partition-pruned reads."""
+    out = tempfile.mkdtemp(prefix="limeqo_q91_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 2).cast(
+            o.schema["o_totalprice"].dataType.simpleString()
+        ),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        urgent.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
