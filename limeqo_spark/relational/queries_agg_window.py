@@ -503,3 +503,100 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("bigint").alias("cents_1h"),
         F.count("*").over(w).cast("bigint").alias("n_1h"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "q92_unpivot_melt",
+    oracle="""
+    WITH melted AS (
+      SELECT 'l_quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS val
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+    )
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(val) AS DOUBLE), 2) AS total
+    FROM melted GROUP BY metric ORDER BY metric
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — the wide-to-long reshape at the heart of the
+    reference's matrix ingestion (SURVEY A1: 49 hint columns ->
+    (hint_id, latency) long form via stack). ``DataFrame.unpivot``
+    compiles to a single Expand node: one scan, rows x4, no join — the
+    shape the oracle's UNION-ALL form would need four scans for."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    melted = li.select(
+        *[F.col(c).cast("decimal(18,2)").alias(c) for c in cols]
+    ).unpivot([], cols, "metric", "val")
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("val").cast("double"), 2).alias("total"),
+        )
+        .orderBy("metric")
+    )
+
+
+@query(
+    "q93_forward_fill",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id, event_id, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS v_filled
+      FROM gapped
+    )
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (v IS NULL) AS BIGINT) AS n_gaps,
+           CAST(COUNT(*) FILTER (v IS NULL AND v_filled IS NOT NULL) AS BIGINT)
+             AS n_filled,
+           CAST(FLOOR(SUM(v_filled) * 100) AS BIGINT) AS filled_sum_e2
+    FROM filled GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF) — the gap-filling pass of time-series feature
+    engineering: plant deterministic gaps (every 7th event), then carry
+    the last non-null observation forward per user with
+    ``last(..., ignorenulls=True)`` over an ordered running frame
+    (== ``LAST_VALUE(x IGNORE NULLS)``). A leading gap stays NULL —
+    counted, not invented. The checksum is floor-scaled: the window SUM
+    adds doubles in the same per-user event order in both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = ev.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("v").isNull(), 1)).cast("bigint").alias("n_gaps"),
+            F.count(F.when(F.col("v").isNull() & F.col("v_filled").isNotNull(), 1))
+            .cast("bigint")
+            .alias("n_filled"),
+            F.floor(F.sum("v_filled") * 100).cast("bigint").alias("filled_sum_e2"),
+        )
+        .orderBy("user_id")
+    )
