@@ -1189,3 +1189,44 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q94_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderkey < 4000
+    ),
+    r AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderkey < 4000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN l.k IS NULL THEN 1 END) AS BIGINT) AS null_pairs
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM — the predicate
+    Catalyst emits when decorrelating NOT IN subqueries): NULL keys match
+    EACH OTHER instead of vanishing, so the null×null block contributes
+    pairs a plain equi-join would silently drop. Planted NULLs on both
+    sides make that block non-empty; the pair counts verify both the
+    matching rule and that ``<=>`` still drives a HASH join (not BNLJ)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None).otherwise(F.col("o_custkey")).alias("k"),
+    )
+    right = o.select(
+        F.col("o_orderkey").alias("rk_id"),
+        F.when(F.col("o_orderkey") % 3 == 0, None).otherwise(F.col("o_custkey")).alias("rk"),
+    )
+    joined = left.join(right, F.col("k").eqNullSafe(F.col("rk")))
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("k").isNull(), 1)).cast("bigint").alias("null_pairs"),
+    )
