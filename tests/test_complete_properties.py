@@ -82,3 +82,27 @@ def test_selection_invariants(seed, k):
         improvements.append((min_obs[i] - cand[j]) / max(cand[j], 1e-9))
         assert improvements[-1] > 0  # only positive-improvement cells
     assert improvements == sorted(improvements, reverse=True)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=50)
+)
+def test_sqrt_temperature_target_arithmetic(counts):
+    """The curation targets' overflow-safe split identity holds for any
+    count vector: floor(total*w/total_w) == (total DIV tw)*w +
+    ((total MOD tw)*w) DIV tw, targets are nonnegative, and their sum
+    never exceeds the budget (floor losses only, at most one doc per
+    language)."""
+    import math
+
+    total = sum(counts)
+    ws = [math.floor(math.sqrt(c) * 1000) for c in counts]
+    tw = sum(ws)
+    targets = []
+    for w in ws:
+        split = (total // tw) * w + ((total % tw) * w) // tw
+        assert split == (total * w) // tw  # the identity the SQL relies on
+        targets.append(split)
+    assert all(t >= 0 for t in targets)
+    assert total - len(counts) < sum(targets) + len(counts)
+    assert sum(targets) <= total
