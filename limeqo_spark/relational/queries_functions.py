@@ -389,3 +389,51 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date_parses"
         ),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q95_map_battery",
+    oracle="""
+    WITH t AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS toks
+      FROM part WHERE p_partkey < 400
+    )
+    SELECT p_partkey,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS map_size,
+           CAST(LEN(toks[1]) AS BIGINT) AS first_len,
+           md5(array_to_string(list_sort(list_distinct(toks)), ',')) AS keys_md5,
+           CAST(list_sum(list_transform(list_distinct(toks), x -> LEN(x)))
+                AS BIGINT) AS values_sum
+    FROM t ORDER BY p_partkey
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function battery (SURVEY B32's map half): build a real MapType
+    column (token -> token length via ``map_from_arrays``; duplicate keys
+    pre-deduped — ANSI mode throws on them), then exercise ``size``,
+    ``element_at``, ``map_keys``, ``map_values``. DuckDB has no MAP parity
+    guarantee, so the oracle recomputes every emitted value from the
+    token array directly — the map is verified by its observable
+    contents."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    t = p.select(
+        "p_partkey",
+        F.array_distinct(F.split("p_name", " ")).alias("toks"),
+        F.split("p_name", " ").alias("raw"),
+    )
+    m = F.map_from_arrays("toks", F.expr("transform(toks, x -> length(x))"))
+    return (
+        t.withColumn("m", m)
+        .select(
+            "p_partkey",
+            F.size("m").cast("bigint").alias("map_size"),
+            F.length(F.expr("raw[0]")).cast("bigint").alias("first_len"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.map_keys("m")))
+            ).alias("keys_md5"),
+            F.expr("aggregate(map_values(m), 0L, (a, x) -> a + x)").alias(
+                "values_sum"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
