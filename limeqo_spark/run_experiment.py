@@ -50,15 +50,20 @@ def run_suite(
     reps: int = 5,
     k: int = 8,
     budget: float | None = None,
+    plus_kw: dict | None = None,
 ) -> dict[str, list[float]]:
     os.makedirs(out_dir, exist_ok=True)
     finals: dict[str, list[float]] = {}
     for name in strategies:
         cls = STRATEGIES[name]
         n_reps = 1 if name in ("oracle", "greedy", "qo_advisor") else reps
+        # the pinned-init TCNN is deterministic: one rep IS the distribution
+        if name == "limeqo_plus" and (plus_kw or {}).get("net_seed") is not None:
+            n_reps = 1
         finals[name] = []
         for rep in range(n_reps):
-            strat = cls(wl, k=k, seed=rep, time_budget=budget, max_rounds=2000)
+            kw = dict(plus_kw or {}) if name == "limeqo_plus" else {}
+            strat = cls(wl, k=k, seed=rep, time_budget=budget, max_rounds=2000, **kw)
             path = os.path.join(out_dir, f"{name}_{rep}.json")
             records = strat.run(output_path=path)
             with open(path, "w") as f:
@@ -165,6 +170,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--model", default="als", choices=["als", "plan", "tcnn"])
+    ap.add_argument("--plus-model", default="als", choices=["als", "tcnn"],
+                    help="sim mode: LimeQO+ cost model")
+    ap.add_argument("--net-seed", type=int, default=None,
+                    help="sim mode: pin the TCNN weight init (deterministic run)")
     ap.add_argument("--repeats", type=int, default=1,
                     help="live mode: median-of-N measurements per cell")
     ap.add_argument("--queries", default=None,
@@ -203,8 +212,12 @@ def main() -> None:
             }
         print(json.dumps(out, indent=2))
         return
+    plus_kw = {"model": args.plus_model}
+    if args.net_seed is not None:
+        plus_kw["net_seed"] = args.net_seed
     finals = run_suite(
-        wl, args.out, args.strategies.split(","), args.reps, args.k, args.budget
+        wl, args.out, args.strategies.split(","), args.reps, args.k, args.budget,
+        plus_kw=plus_kw,
     )
     print(json.dumps({k: float(np.mean(v)) for k, v in finals.items()}, indent=2))
 
