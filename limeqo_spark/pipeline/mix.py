@@ -190,3 +190,116 @@ def corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin_id")
     )
+
+
+#: shard fan-out for the shard-local packing variant (the 100 TB shape)
+PACK_SHARDS = 4
+
+
+@query(
+    "corpus_pack_bins_sharded",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+             MD5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    sharded AS (
+      SELECT *, ('0x' || substr(h, 1, 4))::BIGINT * {PACK_SHARDS} // 65536
+               AS shard
+      FROM toks
+    ),
+    packed AS (
+      SELECT lang, shard, doc_id, n_tokens,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                 PARTITION BY lang, shard ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM sharded
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY lang, shard, bin_id ORDER BY lang, shard, bin_id
+    """,
+)
+def corpus_pack_bins_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, shard-local — the EXECUTABLE form of the scale
+    swap corpus_pack_bins documents: each language stream is first split
+    into md5-range shards, the token-cumsum window runs per (lang, shard),
+    and bins carry the shard as a prefix so they never cross shards. No
+    window ever sees more than one shard of one language — the partition
+    count scales with data while per-window state stays bounded. Same
+    packing semantics, one more partition column, still hash-exact."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    shard = F.expr(
+        f"conv(substring(h, 1, 4), 16, 10) * {PACK_SHARDS} DIV 65536"
+    ).cast("bigint")
+    w = W.partitionBy("lang", "shard").orderBy("h", "doc_id")
+    packed = d.withColumn("shard", shard).withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, 0)) - F.col("n_tokens"))
+            / PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("lang", "shard", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang", "shard", "bin_id")
+    )
+
+
+@query("corpus_mix_quota_threshold", oracle=None, check="prop")
+def corpus_mix_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling, window-free — the EXECUTABLE form of the scale swap
+    corpus_mix_quota_sample documents: instead of ranking each language by
+    md5 (a per-language window), keep rows whose 64-bit hash prefix falls
+    under a per-language threshold equal to the quota quantile of the hash
+    space (``quota/n`` of 2^32 here). One scan, a 5-row broadcast of
+    thresholds, NO window — the plan the same operator runs at 100 TB.
+    Being a threshold on a uniform hash, the realized count is binomial
+    around the quota rather than exact; each row carries its language's
+    realized count, quota, and a 4-sigma ``ok`` bound the prop gate
+    asserts."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    quota = F.expr(_quota_case().replace("lang", "counts.lang"))
+    thresholds = counts.alias("counts").select(
+        "counts.lang",
+        "n",
+        quota.alias("quota"),
+        # threshold over the first 8 hex chars (32-bit space)
+        (quota * F.lit(2**32) / F.col("n")).cast("bigint").alias("t"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    kept = (
+        d.withColumn("h", h)
+        .join(F.broadcast(thresholds), "lang")
+        .filter(F.col("h") < F.col("t"))
+    )
+    per_lang = kept.groupBy("lang").agg(F.count("*").alias("realized"))
+    sigma = F.sqrt(F.col("quota").cast("double"))
+    return (
+        thresholds.join(per_lang, "lang", "left")
+        .select(
+            "lang",
+            "quota",
+            F.coalesce("realized", F.lit(0)).cast("bigint").alias("realized"),
+            (
+                F.abs(F.coalesce("realized", F.lit(0)) - F.col("quota"))
+                <= 4 * sigma + 1
+            ).alias("quota_ok"),
+        )
+        .orderBy("lang")
+    )

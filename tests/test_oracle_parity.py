@@ -33,6 +33,7 @@ def test_hash_parity(spark, ddb, sf_dir, name):
 PROP_MIN_ROWS = {
     "ann_ivf_partitioned": 15,
     "corpus_sketch_profile": 5,
+    "corpus_mix_quota_threshold": 5,
     "ann_ivf_topk": 50,
     "q18_approx_count_distinct": 1,
     "q20_partial_agg_plan": 1,

@@ -392,3 +392,19 @@ def test_runtime_bloom_filter_injects_for_selective_dim(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quota_threshold_variant_is_window_free(spark, sf_dir):
+    """The 100 TB form of quota sampling must contain NO Window node —
+    that is its entire reason to exist (the exact-rank form pays a
+    per-language window; the threshold form is one scan + a broadcast
+    of 5 thresholds)."""
+    from limeqo_spark.plans import explain_formatted
+    from limeqo_spark.relational.registry import REGISTRY
+
+    plan = explain_formatted(
+        REGISTRY["corpus_mix_quota_threshold"].builder(spark, sf_dir)
+    )
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "Window" not in body, "threshold variant regained a window"
+    assert "BroadcastHashJoin" in body or "BroadcastExchange" in body
