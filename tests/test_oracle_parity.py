@@ -69,3 +69,28 @@ def test_prop_queries_run(spark, sf_dir, name):
                 or k.startswith("has_")
             ):
                 assert v is True, f"{name}: {k} is {v}"
+
+
+def test_harness_detects_value_mutations(spark, ddb, sf_dir):
+    """Meta-guard: the comparison the whole gate rests on must actually
+    bite. A single mutated value, a dropped row, and a renamed column
+    each have to fail compare_frames against the true oracle."""
+    spec = REGISTRY["q16_tpch_q1_agg"]
+    good = spec.builder(spark, sf_dir).toPandas()
+    oracle = ddb.execute(spec.oracle).fetchdf()
+    ok, _ = compare_frames(good.copy(), oracle)
+    assert ok
+
+    mutated = good.copy()
+    num_cols = [c for c in mutated.columns if mutated[c].dtype.kind in "if"]
+    mutated.loc[mutated.index[0], num_cols[0]] += 1
+    ok, _ = compare_frames(mutated, oracle)
+    assert not ok, "value mutation slipped through the hash gate"
+
+    dropped = good.iloc[1:].copy()
+    ok, _ = compare_frames(dropped, oracle)
+    assert not ok, "dropped row slipped through"
+
+    renamed = good.rename(columns={good.columns[0]: "zz_renamed"})
+    ok, _ = compare_frames(renamed, oracle)
+    assert not ok, "schema drift slipped through"
