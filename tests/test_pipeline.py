@@ -802,3 +802,37 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, sf_dir):
     expected = ev.filter(F.col("event_id") < 750).count()
     assert out.count() == expected, "restart re-emitted or dropped rows"
     assert out.select("event_id").distinct().count() == expected
+
+
+def test_substring_spans_cover_every_duplicated_gram(spark, sf_dir):
+    """Completeness invariant of the suffix-array method: EVERY occurrence
+    of EVERY corpus-duplicated 8-gram must lie inside some reported span
+    (so removing the spans removes all duplicated substrings; no seam
+    artifacts because coverage is asserted on the original positions)."""
+    from collections import defaultdict
+
+    from limeqo_spark.pipeline.corpus import planted_corpus
+    from limeqo_spark.pipeline.dedup import SUBSTR_K
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in planted_corpus(spark, sf_dir).collect()
+    }
+    occurrences = defaultdict(list)
+    for doc_id, toks in docs.items():
+        for pos in range(len(toks) - SUBSTR_K + 1):
+            occurrences[" ".join(toks[pos : pos + SUBSTR_K])].append((doc_id, pos))
+    spans = defaultdict(list)
+    for r in REGISTRY["dedup_substring_spans"].builder(spark, sf_dir).collect():
+        spans[r["doc_id"]].append((r["span_start"], r["span_len_tokens"]))
+    uncovered = 0
+    for gram, occ in occurrences.items():
+        if len(occ) < 2:
+            continue
+        for doc_id, pos in occ:
+            inside = any(
+                s <= pos and pos + SUBSTR_K <= s + ln for s, ln in spans[doc_id]
+            )
+            if not inside:
+                uncovered += 1
+    assert uncovered == 0, f"{uncovered} duplicated-gram occurrences uncovered"
