@@ -635,3 +635,148 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(store).orderBy("h")
+
+
+def _stream_minhash_oracle() -> str:
+    """The batch MinHash-LSH oracle restricted to cross-wave pairs
+    (original a < PLANT_OFFSET <= clone b) — exactly the pairs the
+    streaming store-join can see when wave 0 lands before wave 1."""
+    from limeqo_spark.pipeline.corpus import PLANT_OFFSET
+    from limeqo_spark.pipeline.dedup import _minhash_oracle_sql
+
+    sql = _minhash_oracle_sql()
+    marker = "ORDER BY a, b"
+    assert marker in sql
+    return sql.replace(
+        marker,
+        f"AND a < {PLANT_OFFSET} AND b >= {PLANT_OFFSET} {marker}",
+        1,
+    )
+
+
+@query("q96_stream_neardup_minhash", oracle=_stream_minhash_oracle())
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate detection — incremental MinHash-LSH: each
+    micro-batch computes signatures for its documents, probes the durable
+    band-key store accumulated from all prior batches (band key -> owner
+    doc + its 16 signatures), verifies band hits with the full-signature
+    match count (>= 8/16, est Jaccard >= 0.5), logs verified near-dups,
+    and appends its own band keys to the store. Wave 0 = originals, wave
+    1 = planted clones, so the dup log must equal the BATCH MinHash-LSH
+    operator's output restricted to cross-wave pairs — the streaming
+    variant is hash-verified against the same portable-minhash oracle as
+    `dedup_minhash_lsh`, not just recall-tested.
+
+    Scale: the store holds (4 band keys + 16 ints) per ingested doc —
+    digests, never text; per batch the work is one signature groupBy over
+    the batch and one band-key join against the store (a lakehouse table
+    at scale; the join prunes to matching band hashes). State grows
+    linearly in documents, queries in O(batch)."""
+    from limeqo_spark.pipeline.corpus import PLANT_OFFSET, planted_corpus
+    from limeqo_spark.pipeline.dedup import (
+        _MH_AB,
+        _MH_BANDS,
+        _MH_K,
+        _MH_P,
+        _MH_ROWS,
+        token_shingles,
+    )
+
+    stage = tempfile.mkdtemp(prefix="limeqo_streammh_src_")
+    store = tempfile.mkdtemp(prefix="limeqo_streammh_store_")
+    log = tempfile.mkdtemp(prefix="limeqo_streammh_log_")
+    corpus = planted_corpus(spark, sf_dir).select("doc_id", "text")
+    corpus.filter(F.col("doc_id") < PLANT_OFFSET).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "batch0"))
+    corpus.filter(F.col("doc_id") >= PLANT_OFFSET).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "batch1"))
+    sig_names = [f"s{i}" for i in range(_MH_K)]
+    key_names = [f"k{r}" for r in range(_MH_ROWS)]
+    empty_store = spark.createDataFrame(
+        [],
+        "band int, "
+        + ", ".join(f"{k} bigint" for k in key_names)
+        + ", owner bigint, "
+        + ", ".join(f"o_{s} bigint" for s in sig_names),
+    )
+    empty_store.write.mode("overwrite").parquet(store)
+    spark.createDataFrame([], "a bigint, b bigint, est_jaccard double").write.mode(
+        "overwrite"
+    ).parquet(log)
+
+    def band_rows(docs: DataFrame) -> DataFrame:
+        hx = token_shingles(docs, 3).select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
+                % _MH_P
+            ).alias("x"),
+        )
+        sigs = hx.groupBy("doc_id").agg(
+            *[
+                F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"s{i}")
+                for i, (a, b) in enumerate(_MH_AB)
+            ]
+        )
+        return sigs.select(
+            "doc_id",
+            *sig_names,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("band"),
+                            *[
+                                F.col(f"s{_MH_ROWS * j + r}").alias(f"k{r}")
+                                for r in range(_MH_ROWS)
+                            ],
+                        )
+                        for j in range(_MH_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", *sig_names, "bk.*")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        bands = band_rows(batch_df)
+        seen = s.read.parquet(store)
+        hits = bands.join(seen, ["band"] + key_names).select(
+            F.col("owner").alias("a"),
+            F.col("doc_id").alias("b"),
+            *[F.col(f"o_{n}").alias(f"a_{n}") for n in sig_names],
+            *[F.col(n).alias(f"b_{n}") for n in sig_names],
+        ).distinct()
+        m = None
+        for n in sig_names:
+            t = (F.col(f"a_{n}") == F.col(f"b_{n}")).cast("int")
+            m = t if m is None else m + t
+        verified = (
+            hits.withColumn("m", m)
+            .filter(F.col("m") >= _MH_K // 2)
+            .select("a", "b", F.round(F.col("m") / float(_MH_K), 4).alias("est_jaccard"))
+        )
+        verified.write.mode("append").parquet(log)
+        bands.select(
+            "band",
+            *key_names,
+            F.col("doc_id").alias("owner"),
+            *[F.col(n).alias(f"o_{n}") for n in sig_names],
+        ).write.mode("append").parquet(store)
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(log).orderBy("a", "b")

@@ -836,3 +836,24 @@ def test_substring_spans_cover_every_duplicated_gram(spark, sf_dir):
             if not inside:
                 uncovered += 1
     assert uncovered == 0, f"{uncovered} duplicated-gram occurrences uncovered"
+
+
+def test_stream_neardup_recalls_planted_and_matches_batch(spark, sf_dir):
+    """The streaming MinHash dedup must (a) recall every planted
+    (original, clone) pair — clones arrive a micro-batch after their
+    originals — and (b) agree exactly with the batch LSH operator on
+    cross-wave pairs (same signatures, same banding, same verification)."""
+    from limeqo_spark.pipeline.corpus import PLANT_N, PLANT_OFFSET
+
+    stream_pairs = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in REGISTRY["q96_stream_neardup_minhash"].builder(spark, sf_dir).collect()
+    }
+    for i in range(PLANT_N):
+        assert (i, i + PLANT_OFFSET) in stream_pairs, f"planted pair {i} missed"
+    batch_cross = {
+        (r["a"], r["b"]): r["est_jaccard"]
+        for r in REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).collect()
+        if r["a"] < PLANT_OFFSET <= r["b"]
+    }
+    assert stream_pairs == batch_cross
