@@ -275,6 +275,42 @@ def _minhash_oracle_sql() -> str:
     """
 
 
+def minhash_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15, band, k0..k3): portable MinHash signatures (md5
+    shingle ids, fixed linear permutations mod 2^31-1) exploded to banded
+    keys — the ONE implementation behind both the batch LSH operator and
+    the streaming band-store (q96); the streaming/batch parity contract
+    depends on these being byte-identical."""
+    hx = token_shingles(docs, 3).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % _MH_P).alias("x"),
+    )
+    sigs = hx.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"s{i}")
+            for i, (a, b) in enumerate(_MH_AB)
+        ]
+    )
+    return sigs.select(
+        "doc_id",
+        *[f"s{i}" for i in range(_MH_K)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        *[
+                            F.col(f"s{_MH_ROWS * j + r}").alias(f"k{r}")
+                            for r in range(_MH_ROWS)
+                        ],
+                    )
+                    for j in range(_MH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", *[f"s{i}" for i in range(_MH_K)], "bk.*")
+
+
 @query("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection with *portable deterministic* hashing
@@ -291,33 +327,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode as a struct so no re-join against the signature table is needed.
     """
     c = planted_corpus(spark, sf_dir)
-    sh = token_shingles(c, 3)
-    hx = sh.select(
-        "doc_id",
-        (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % _MH_P).alias("x"),
-    )
-    sigs = hx.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"s{i}")
-            for i, (a, b) in enumerate(_MH_AB)
-        ]
-    )
     sig_struct = F.struct(*[F.col(f"s{i}") for i in range(_MH_K)]).alias("sig")
-    bands = sigs.select(
-        "doc_id",
-        sig_struct,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        *[F.col(f"s{_MH_ROWS * j + r}").alias(f"k{r}") for r in range(_MH_ROWS)],
-                    )
-                    for j in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sig", "bk.*")
+    bands = minhash_band_rows(c).select(
+        "doc_id", sig_struct, "band", *[f"k{r}" for r in range(_MH_ROWS)]
+    )
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(y, ["band"] + [f"k{r}" for r in range(_MH_ROWS)])

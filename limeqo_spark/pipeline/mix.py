@@ -272,9 +272,9 @@ def corpus_mix_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = d.groupBy("lang").agg(F.count("*").alias("n"))
-    quota = F.expr(_quota_case().replace("lang", "counts.lang"))
-    thresholds = counts.alias("counts").select(
-        "counts.lang",
+    quota = F.expr(_quota_case())
+    thresholds = counts.select(
+        "lang",
         "n",
         quota.alias("quota"),
         # threshold over the first 8 hex chars (32-bit space)

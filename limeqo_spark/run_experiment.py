@@ -58,7 +58,12 @@ def run_suite(
         cls = STRATEGIES[name]
         n_reps = 1 if name in ("oracle", "greedy", "qo_advisor") else reps
         # the pinned-init TCNN is deterministic: one rep IS the distribution
-        if name == "limeqo_plus" and (plus_kw or {}).get("net_seed") is not None:
+        # (net_seed is only consumed by the tcnn model — ALS keeps its reps)
+        if (
+            name == "limeqo_plus"
+            and (plus_kw or {}).get("model") == "tcnn"
+            and (plus_kw or {}).get("net_seed") is not None
+        ):
             n_reps = 1
         finals[name] = []
         for rep in range(n_reps):

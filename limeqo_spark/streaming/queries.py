@@ -34,6 +34,26 @@ SENTINEL_USER = -999
 _STAGE_CACHE: dict[tuple[str, bool], str] = {}
 
 
+def _stamp_batch_order(stage: str) -> None:
+    """Make micro-batch arrival order a CONTRACT, not a race:
+    FileStreamSource orders files by modification time (ties by listing),
+    so coarse-mtime filesystems or interleaved writes could reorder the
+    staged batches. Stamp every file under ``batch<i>`` with a strictly
+    increasing mtime per batch directory (sorted by name) so batch0's
+    files always precede batch1's regardless of write timing."""
+    base = 1_000_000_000  # fixed epoch well in the past; only order matters
+    for i, d in enumerate(
+        sorted(
+            e for e in os.listdir(stage)
+            if e.startswith("batch") and os.path.isdir(os.path.join(stage, e))
+        )
+    ):
+        t = base + i * 1000
+        for root, _dirs, files in os.walk(os.path.join(stage, d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = False) -> str:
     """Materialize events (ts normalized to a proper timestamp) into a fresh
     directory usable as a file-stream source; optionally add a far-future
@@ -63,6 +83,7 @@ def _stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = False)
             F.lit(None).cast("string").alias("props"),
         )
         far.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch1"))
+    _stamp_batch_order(stage)
     _STAGE_CACHE[key] = stage
     return stage
 
@@ -603,6 +624,7 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.filter(F.col("doc_id") >= 250).unionByName(resent).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(stage, "batch1"))
+    _stamp_batch_order(stage)
     # seed an empty store so the first batch's anti-join has a schema
     empty = spark.createDataFrame([], "h string, keep_doc bigint")
     empty.write.mode("overwrite").parquet(store)
@@ -673,14 +695,7 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale; the join prunes to matching band hashes). State grows
     linearly in documents, queries in O(batch)."""
     from limeqo_spark.pipeline.corpus import PLANT_OFFSET, planted_corpus
-    from limeqo_spark.pipeline.dedup import (
-        _MH_AB,
-        _MH_BANDS,
-        _MH_K,
-        _MH_P,
-        _MH_ROWS,
-        token_shingles,
-    )
+    from limeqo_spark.pipeline.dedup import _MH_K, _MH_ROWS, minhash_band_rows
 
     stage = tempfile.mkdtemp(prefix="limeqo_streammh_src_")
     store = tempfile.mkdtemp(prefix="limeqo_streammh_store_")
@@ -692,6 +707,7 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus.filter(F.col("doc_id") >= PLANT_OFFSET).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(stage, "batch1"))
+    _stamp_batch_order(stage)
     sig_names = [f"s{i}" for i in range(_MH_K)]
     key_names = [f"k{r}" for r in range(_MH_ROWS)]
     empty_store = spark.createDataFrame(
@@ -706,42 +722,12 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(log)
 
-    def band_rows(docs: DataFrame) -> DataFrame:
-        hx = token_shingles(docs, 3).select(
-            "doc_id",
-            (
-                F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long")
-                % _MH_P
-            ).alias("x"),
-        )
-        sigs = hx.groupBy("doc_id").agg(
-            *[
-                F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"s{i}")
-                for i, (a, b) in enumerate(_MH_AB)
-            ]
-        )
-        return sigs.select(
-            "doc_id",
-            *sig_names,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("band"),
-                            *[
-                                F.col(f"s{_MH_ROWS * j + r}").alias(f"k{r}")
-                                for r in range(_MH_ROWS)
-                            ],
-                        )
-                        for j in range(_MH_BANDS)
-                    ]
-                )
-            ).alias("bk"),
-        ).select("doc_id", *sig_names, "bk.*")
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        bands = band_rows(batch_df)
+        # shared with the batch operator (the parity contract depends on
+        # byte-identical signatures/keys); persisted because two actions
+        # consume it per batch (dup-log write + store append)
+        bands = minhash_band_rows(batch_df).persist()
         seen = s.read.parquet(store)
         hits = bands.join(seen, ["band"] + key_names).select(
             F.col("owner").alias("a"),
@@ -765,6 +751,7 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("owner"),
             *[F.col(n).alias(f"o_{n}") for n in sig_names],
         ).write.mode("append").parquet(store)
+        bands.unpersist()
 
     q = (
         spark.readStream.schema("doc_id bigint, text string")
