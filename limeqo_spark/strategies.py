@@ -502,3 +502,110 @@ STRATEGIES = {
         LimeQOPlusStrategy,
     )
 }
+
+
+class BaoStrategy(Strategy):
+    """Bao-style per-query online baseline (reference artifact parity:
+    ``experiment/{ds}/bao/bao_*.json`` — the reference ships Bao RESULT
+    curves only, no Bao source; this is the simulation analog built from
+    the published method: queries are processed ONE AT A TIME in arrival
+    order, a learned cost model picks each query's hint-arm, the chosen
+    arm's true latency is paid and observed, and the model retrains every
+    ``retrain_every`` processed queries — the record cadence matching the
+    reference's 67-record runs).
+
+    Model adaptation, documented: the reference's Bao trains a plan-tree
+    TCNN; no plan corpus ships with its matrices, so the transferable
+    stand-in is the same rank-5 censored-ALS completion the LimeQO
+    strategies use (an embeddings-only TCNN cannot transfer across unseen
+    arms at all — measured in docs/bao_baseline_r3.json).
+
+    ``guarded=True`` (default): a query tries the model's best UNOBSERVED
+    arm only when it predicts a >=10% win over the query's best observed
+    arm, else runs the best observed arm; the deployed policy is
+    best-observed (never worse than default). ``guarded=False`` is the
+    literal greedy argmin-of-model policy — kept because its measured
+    instability (policy latency oscillating 4-13 h on CEB) is the
+    quantitative version of the reference paper's motivation: without
+    plan features, Bao-style global argmin chases completion noise, which
+    is exactly why LimeQO explores selectively instead."""
+
+    name = "bao"
+
+    def __init__(
+        self, *args, retrain_every: int = 200, guarded: bool = True,
+        rank: int = 5, iters: int = 50, lam: float = 0.2, **kw,
+    ) -> None:
+        super().__init__(*args, **kw)
+        self.retrain_every = retrain_every
+        self.guarded = guarded
+        self.rank, self.iters, self.lam = rank, iters, lam
+
+    def _fit(self, obs_mask: np.ndarray, obs_m: np.ndarray) -> np.ndarray:
+        done = als_complete(
+            np.log1p(obs_m), obs_mask, self.rank, self.iters, self.lam,
+            seed=int(self.rng.integers(2**31)), nonnegative=True,
+        )
+        return np.expm1(done)
+
+    def run(self, output_path: str | None = None) -> list[dict]:
+        wl = self.wl
+        q, h = wl.matrix.shape
+        obs_mask = wl.mask.astype(np.float64).copy()
+        obs_m = np.where(obs_mask > 0, wl.matrix, 0.0)
+        pred = self._fit(obs_mask, obs_m)
+        records: list[dict] = []
+        exec_time = 0.0
+        processed = 0
+        train_t = 0.0
+        while processed < self.max_rounds * self.retrain_every:
+            i = processed % q
+            row_obs = np.where(obs_mask[i] > 0, wl.matrix[i], np.inf)
+            best_obs = int(row_obs.argmin())
+            cand_pred = np.where(obs_mask[i] > 0, np.inf, pred[i])
+            cand = int(cand_pred.argmin())
+            if self.guarded:
+                j = (
+                    cand
+                    if np.isfinite(cand_pred[cand])
+                    and cand_pred[cand] < 0.9 * row_obs[best_obs]
+                    else best_obs
+                )
+            else:
+                j = int(pred[i].argmin())
+            exec_time += float(wl.matrix[i, j])
+            obs_mask[i, j] = 1.0
+            obs_m[i, j] = wl.matrix[i, j]
+            processed += 1
+            if processed % self.retrain_every == 0:
+                t0 = time.perf_counter()
+                pred = self._fit(obs_mask, obs_m)
+                train_t = time.perf_counter() - t0
+                if self.guarded:
+                    mo = np.where(obs_mask > 0, wl.matrix, np.inf).min(axis=1)
+                    policy_lat = mo
+                else:
+                    policy = pred.argmin(axis=1)
+                    policy_lat = wl.matrix[np.arange(q), policy]
+                records.append(
+                    {
+                        "training_time": train_t,
+                        "inference_time": 0.0,
+                        "exec_time": exec_time,
+                        "total_latency": float(policy_lat.sum()),
+                        "p50": float(np.percentile(policy_lat, 50)),
+                        "p90": float(np.percentile(policy_lat, 90)),
+                        "p95": float(np.percentile(policy_lat, 95)),
+                        "p99": float(np.percentile(policy_lat, 99)),
+                        "explore_queries_cnt": processed,
+                    }
+                )
+                if self.time_budget is not None and exec_time >= self.time_budget:
+                    break
+        if output_path:
+            with open(output_path, "w") as f:
+                json.dump(records, f, indent=2)
+        return records
+
+
+STRATEGIES[BaoStrategy.name] = BaoStrategy

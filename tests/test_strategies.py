@@ -129,3 +129,23 @@ def test_rank_cells_properties_hypothesis():
                 assert mo[i] - cand[j] >= min_gain
 
     run()
+
+
+def test_bao_baseline_guarded_and_greedy(job):
+    """Bao-style analog: the guarded variant's deployed policy never
+    regresses past default and improves within budget; the literal
+    greedy-argmin variant runs (its instability is the documented
+    finding, so only sanity is asserted)."""
+    from limeqo_spark.strategies import BaoStrategy
+
+    rec = BaoStrategy(
+        job, seed=1, guarded=True, retrain_every=50, time_budget=600.0,
+    ).run()
+    lat = [r["total_latency"] for r in rec]
+    assert all(l <= job.default_time + 1e-6 for l in lat)
+    assert lat[-1] < job.default_time
+    assert rec[-1]["exec_time"] >= 600.0
+    rec2 = BaoStrategy(
+        job, seed=1, guarded=False, retrain_every=50, time_budget=120.0,
+    ).run()
+    assert len(rec2) >= 1 and rec2[-1]["explore_queries_cnt"] > 0
