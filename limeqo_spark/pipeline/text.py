@@ -417,3 +417,85 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+@query("text_quality_classifier", oracle=None, check="prop")
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering — the learned stage that follows
+    heuristic scoring in production pipelines (CCNet/fastText-style): a
+    third of the corpus is deterministically CORRUPTED (digit-noise and
+    token-repetition injection keyed on doc_id), an MLlib pipeline
+    (VectorAssembler -> LogisticRegression) trains on the md5-split train
+    fold to recognize corruption from the quality features alone, and the
+    held-out AUC must clear 0.9. Labels come from the plant, not from the
+    features, so the classifier has to genuinely discover the corruption
+    signature; the emitted coefficients row documents which features
+    carry it.
+
+    Scale (100 TB): featurization is the same one-pass projection as
+    text_quality; LogisticRegression is MLlib's distributed L-BFGS (one
+    tree-aggregated gradient per iteration — no per-row driver work);
+    scoring is a broadcast of the coefficient vector."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corrupted = F.col("doc_id") % 3 == 0
+    noisy = d.withColumn(
+        "text2",
+        F.when(
+            corrupted,
+            F.concat(
+                F.col("text"),
+                F.lit(" 404 404 404 "),
+                # token repetition: the doc's first 12 tokens, three times
+                F.array_join(
+                    F.flatten(
+                        F.array_repeat(F.slice(F.split("text", " "), 1, 12), 3)
+                    ),
+                    " ",
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    ).withColumn("label", corrupted.cast("double"))
+    toks = F.split("text2", " ")
+    feats = noisy.select(
+        "doc_id",
+        "label",
+        F.size(toks).cast("double").alias("n_tokens"),
+        (F.length("text2") / F.size(toks)).alias("avg_tok_len"),
+        (F.regexp_count("text2", F.lit("[0-9]")) / F.length("text2")).alias(
+            "digit_ratio"
+        ),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    train = feats.filter(bucket < 80)
+    test = feats.filter(bucket >= 80)
+    cols = ["n_tokens", "avg_tok_len", "digit_ratio", "distinct_ratio"]
+    asm = VectorAssembler(inputCols=cols, outputCol="features")
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
+    )
+    model = lr.fit(asm.transform(train))
+    scored = model.transform(asm.transform(test))
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", metricName="areaUnderROC"
+    ).evaluate(scored)
+    coef = {c: float(w) for c, w in zip(cols, model.coefficients)}
+    top_feature = max(coef, key=lambda c: abs(coef[c]))
+    return spark.createDataFrame(
+        [
+            (
+                int(train.count()),
+                int(test.count()),
+                round(float(auc), 4),
+                top_feature,
+                bool(auc >= 0.9),
+            )
+        ],
+        "n_train int, n_test int, auc double, top_feature string, auc_ok boolean",
+    )

@@ -34,6 +34,7 @@ PROP_MIN_ROWS = {
     "ann_ivf_partitioned": 15,
     "corpus_sketch_profile": 5,
     "corpus_mix_quota_threshold": 5,
+    "text_quality_classifier": 1,
     "ann_ivf_topk": 50,
     "q18_approx_count_distinct": 1,
     "q20_partial_agg_plan": 1,

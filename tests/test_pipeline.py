@@ -857,3 +857,16 @@ def test_stream_neardup_recalls_planted_and_matches_batch(spark, sf_dir):
         if r["a"] < PLANT_OFFSET <= r["b"]
     }
     assert stream_pairs == batch_cross
+
+
+def test_quality_classifier_discovers_corruption(spark, sf_dir):
+    """The learned quality filter must separate planted corruption on the
+    held-out fold (AUC >= 0.9) and attribute it to a corruption-bearing
+    feature — labels come from the plant, so this is genuine discovery,
+    not feature-label circularity."""
+    row = (
+        REGISTRY["text_quality_classifier"].builder(spark, sf_dir).collect()[0]
+    )
+    assert row["auc"] >= 0.9
+    assert row["top_feature"] in ("digit_ratio", "distinct_ratio")
+    assert row["n_train"] > row["n_test"] > 0
