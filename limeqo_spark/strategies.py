@@ -540,6 +540,11 @@ class BaoStrategy(Strategy):
         self.retrain_every = retrain_every
         self.guarded = guarded
         self.rank, self.iters, self.lam = rank, iters, lam
+        if self.time_budget is None:
+            # Bao never 'finishes' (no opt+slack crossing): without a
+            # budget the loop would grind through max_rounds*retrain_every
+            # queries — make the contract explicit
+            raise ValueError("BaoStrategy requires a time_budget")
 
     def _fit(self, obs_mask: np.ndarray, obs_m: np.ndarray) -> np.ndarray:
         done = als_complete(

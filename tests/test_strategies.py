@@ -37,7 +37,10 @@ def job() -> Workload:
     )
 
 
-@pytest.mark.parametrize("name", sorted(STRATEGIES))
+# bao is excluded here: it requires a time_budget by contract and reports
+# CURRENT-POLICY latency (not best-observed), so it has its own invariant
+# test (test_bao_baseline_guarded_and_greedy)
+@pytest.mark.parametrize("name", sorted(set(STRATEGIES) - {"bao"}))
 def test_strategy_invariants(job, name):
     strat = STRATEGIES[name](job, k=8, seed=1, max_rounds=12)
     records = strat.run()
