@@ -152,3 +152,26 @@ def test_bao_baseline_guarded_and_greedy(job):
         job, seed=1, guarded=False, retrain_every=50, time_budget=120.0,
     ).run()
     assert len(rec2) >= 1 and rec2[-1]["explore_queries_cnt"] > 0
+
+
+def test_limeqo_noise_robustness(job):
+    """Deployed-on-noisy-observations latency stays bounded and far below
+    default under 20% multiplicative measurement noise (the live-cluster
+    condition the reference's fixed-matrix sim abstracts away)."""
+    import numpy as np
+
+    true = job.matrix.copy()
+    rng = np.random.default_rng(7)
+    noisy = true * np.exp(rng.normal(0.0, 0.2, true.shape))
+    noisy[job.mask > 0] = true[job.mask > 0]
+    job.matrix = noisy
+    try:
+        strat = LimeQOStrategy(job, k=8, seed=1, max_rounds=100_000, time_budget=90.0)
+        strat.run()
+        obs = np.where(strat.state.mask > 0, noisy, np.inf)
+        choice = obs.argmin(axis=1)
+    finally:
+        job.matrix = true
+    deployed = float(true[np.arange(len(choice)), choice].sum())
+    assert job.opt_time - 1e-6 <= deployed <= job.default_time + 1e-6
+    assert deployed < 0.75 * job.default_time
