@@ -227,3 +227,79 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_cluster_best_quality",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_SQL},
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    walk(node, r) AS (
+      SELECT src AS node, src AS r FROM edges
+      UNION
+      SELECT e.dst AS node, w.r FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS component FROM walk GROUP BY node),
+    scores AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))
+               - len(regexp_extract_all(text, '[0-9]')) AS q
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.component, s.q,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component ORDER BY s.q DESC, c.doc_id
+             ) AS rn
+      FROM comp c JOIN scores s USING (doc_id)
+    ),
+    keepers AS (SELECT component, doc_id AS keeper FROM ranked WHERE rn = 1)
+    SELECT r.doc_id, k.keeper AS keeper_id, CAST(r.q AS BIGINT) AS q_score,
+           (r.doc_id = k.keeper) AS keep
+    FROM ranked r JOIN keepers k USING (component)
+    ORDER BY r.doc_id
+    """,
+)
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster resolution — keep the BEST-QUALITY member of
+    each near-dup cluster instead of the lowest id (the production keeper
+    policy: among duplicates, retain the longest least-noisy copy). The
+    quality key is integer-exact (token count minus digit count — no
+    float ratio, so cross-engine arg-max ties are impossible by
+    construction), ties break to the lower doc_id. Composition of two
+    verified operators: large-star/small-star connected components over
+    the exact-Jaccard pairs + a per-component max_by aggregate (map-side
+    combinable; no window over data-sized partitions)."""
+    corpus = planted_corpus(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, n=3, tau=0.6)
+    comp = connected_components_two_phase(pairs.select("a", "b")).select(
+        F.col("node").alias("doc_id"), F.col("component")
+    )
+    scores = corpus.select(
+        "doc_id",
+        (
+            F.size(F.split("text", " "))
+            - F.regexp_count("text", F.lit("[0-9]"))
+        ).cast("bigint").alias("q"),
+    )
+    scored = comp.join(scores, "doc_id")
+    keepers = scored.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("q"), (-F.col("doc_id")).alias("neg"))
+        ).alias("keeper")
+    )
+    return (
+        scored.join(keepers, "component")
+        .select(
+            "doc_id",
+            F.col("keeper").alias("keeper_id"),
+            F.col("q").alias("q_score"),
+            (F.col("doc_id") == F.col("keeper")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

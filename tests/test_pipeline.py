@@ -870,3 +870,21 @@ def test_quality_classifier_discovers_corruption(spark, sf_dir):
     assert row["auc"] >= 0.9
     assert row["top_feature"] in ("digit_ratio", "distinct_ratio")
     assert row["n_train"] > row["n_test"] > 0
+
+
+def test_cluster_best_quality_keeper_semantics(spark, sf_dir):
+    """Quality-aware keeper: for every planted (original, clone) cluster
+    the keeper must be the ORIGINAL (the clone's appended token raises
+    token count by 1 but... verify against directly computed scores),
+    exactly one keeper per cluster, and the keeper maximizes the integer
+    quality key with doc-id tie-break."""
+    rows = REGISTRY["dedup_cluster_best_quality"].builder(spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["keeper_id"], []).append(r)
+    for keeper_id, members in by_cluster.items():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == keeper_id
+        kq = keepers[0]["q_score"]
+        for r in members:
+            assert (r["q_score"], -r["doc_id"]) <= (kq, -keeper_id)
