@@ -91,14 +91,15 @@ _ROTATION_R3_TAIL = [
 
 # NOTE for round 4: once CORRECTNESS_r03 shows these aliases green (the
 # driver's 50-entry alphabetical window verifies them this round), DELETE
-# both alias blocks and replace them with a rotation covering the 37
+# both alias blocks and replace them with a rotation covering the 38
 # entries the driver has then never checked (they sort after the
 # canonical first-50, so without a rotation they stay outside the window
 # indefinitely): ann_ivf_partitioned, corpus_mix_quota_threshold,
 # corpus_pack_bins_sharded, corpus_shuffle_shards, corpus_sketch_profile,
 # corpus_split_train_holdout, corpus_stats_card,
 # corpus_temperature_resample, dedup_substring_spans, mm_binaryfile_ingest,
-# pipeline_e2e_curate, q72-q96, text_quality_classifier. 37 < 50, so one
+# pipeline_e2e_curate, q72-q96, text_quality_classifier,
+# dedup_cluster_best_quality. 38 < 50, so one
 # rotation round covers them all with slots to spare for round-4
 # additions.
 for _name, _prefix in [(n, ROTATION_ALIAS_PREFIX) for n in _ROTATION_R3] + [
