@@ -89,19 +89,20 @@ _ROTATION_R3_TAIL = [
     "text_tfidf_top_terms",
 ]
 
-# NOTE for round 4: once CORRECTNESS_r03 shows these aliases green (the
-# driver's 50-entry alphabetical window verifies them this round), DELETE
-# both alias blocks and replace them with a rotation covering the 38
-# entries the driver has then never checked (they sort after the
-# canonical first-50, so without a rotation they stay outside the window
-# indefinitely): ann_ivf_partitioned, corpus_mix_quota_threshold,
-# corpus_pack_bins_sharded, corpus_shuffle_shards, corpus_sketch_profile,
-# corpus_split_train_holdout, corpus_stats_card,
-# corpus_temperature_resample, dedup_substring_spans, mm_binaryfile_ingest,
-# pipeline_e2e_curate, q72-q96, text_quality_classifier,
-# dedup_cluster_best_quality. 38 < 50, so one
-# rotation round covers them all with slots to spare for round-4
-# additions.
+# NOTE for round 4 (window math computed against the live registry, not
+# guessed): once CORRECTNESS_r03 shows the aliases green, DELETE both
+# alias blocks. The alias-free canonical window (first 50 of 145 names,
+# ending at q12_left_join) then NATURALLY covers 12 never-checked
+# entries (ann_ivf_partitioned, the eight corpus_* rows,
+# dedup_cluster_best_quality, dedup_substring_spans, mm_binaryfile_ingest,
+# pipeline_e2e_curate — all verified in-window by the computation above;
+# RE-RUN it after any round-4 additions shift the boundary), so the
+# round-4 rotation only needs aliases for the 26 never-checked entries
+# that sort AFTER the window: q72-q96 and text_quality_classifier.
+# 26 + the ~12 naturally-covered < 50, leaving slots; fill any remainder
+# with the oldest-verified entries (q13+-range rows drift out of the
+# alias-free window, so their verification ages — rotating a few back in
+# each round keeps the whole manifest's evidence fresh).
 for _name, _prefix in [(n, ROTATION_ALIAS_PREFIX) for n in _ROTATION_R3] + [
     (n, "a4_") for n in _ROTATION_R3_TAIL
 ]:

@@ -31,27 +31,51 @@ CEB = (
 BUDGET = 0.75 * 3600
 
 
+def classwise_noise(
+    true: np.ndarray, sigma: float, rng, mask: np.ndarray | None = None
+) -> np.ndarray:
+    """One lognormal draw per (row, distinct value) — i.e. per measured
+    PLAN, not per cell. The sim's plan-equivalence dedup groups cells by
+    exact value equality (SimState.reveal_or_censor), mirroring the
+    reference's a-priori union-find over hint_list: equivalence comes
+    from EXPLAIN, which measurement noise does not touch. Per-cell
+    independent noise would silently split those classes and charge the
+    explorer for re-measuring plans it would never re-measure."""
+    noisy = np.empty_like(true)
+    for i in range(true.shape[0]):
+        row = true[i]
+        draws = {v: float(np.exp(rng.normal(0.0, sigma))) for v in np.unique(row)}
+        if mask is not None:
+            # plans already measured before exploration started (the init
+            # mask) keep their TRUE value for the WHOLE equivalence class —
+            # a per-class reset, or the class would split against its own
+            # pre-measured member
+            for v in np.unique(row[mask[i] > 0]):
+                draws[v] = 1.0
+        noisy[i] = [row[j] * draws[row[j]] for j in range(len(row))]
+    return noisy
+
+
 def main() -> None:
     sigmas = [float(x) for x in sys.argv[1:]] or [0.0, 0.1, 0.2, 0.4]
     wl = Workload.from_reference(*CEB)
     true = wl.matrix.copy()
     out = {
         "setup": "CEB, LimeQO k=8, 0.75 h budget, seeds 1-3; multiplicative "
-        "lognormal noise on every revealed runtime; 'deployed' = true cost "
-        "of each query's best-noisy-observation hint",
+        "lognormal noise per measured PLAN (one draw per row-distinct "
+        "value, preserving the sim's plan-equivalence classes); "
+        "'deployed' = true cost of each query's best-noisy-observation hint",
         "default_h": round(wl.default_time / 3600, 4),
     }
     for sigma in sigmas:
         finals = []
         for seed in (1, 2, 3):
             rng = np.random.default_rng(seed + 1000)
-            noise = (
-                np.exp(rng.normal(0.0, sigma, true.shape))
+            noisy = (
+                classwise_noise(true, sigma, rng, wl.mask)
                 if sigma
-                else np.ones_like(true)
+                else true.copy()
             )
-            noisy = true * noise
-            noisy[wl.mask > 0] = true[wl.mask > 0]
             wl.matrix = noisy
             try:
                 strat = LimeQOStrategy(

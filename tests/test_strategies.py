@@ -162,8 +162,15 @@ def test_limeqo_noise_robustness(job):
 
     true = job.matrix.copy()
     rng = np.random.default_rng(7)
-    noisy = true * np.exp(rng.normal(0.0, 0.2, true.shape))
-    noisy[job.mask > 0] = true[job.mask > 0]
+    # per-PLAN noise (one draw per row-distinct value): per-cell noise
+    # would split the sim's value-equality plan classes and measure
+    # plan-dedup loss instead of noise robustness
+    noisy = np.empty_like(true)
+    for i in range(true.shape[0]):
+        draws = {v: float(np.exp(rng.normal(0.0, 0.2))) for v in np.unique(true[i])}
+        for v in np.unique(true[i][job.mask[i] > 0]):
+            draws[v] = 1.0
+        noisy[i] = [true[i][j] * draws[true[i][j]] for j in range(true.shape[1])]
     job.matrix = noisy
     try:
         strat = LimeQOStrategy(job, k=8, seed=1, max_rounds=100_000, time_budget=90.0)
