@@ -28,6 +28,18 @@ from limeqo_spark.relational.registry import query
 SPLIT_TRAIN, SPLIT_VAL = 80, 90
 
 
+def md5_bucket(col, buckets: int = 100):
+    """Deterministic [0, buckets) bucket of a key column via the portable
+    md5-prefix idiom — THE split/bucketing primitive shared by
+    corpus_split_train_holdout, pipeline_e2e_curate, and
+    text_quality_classifier (change it here, the oracles' matching
+    ('0x'||substr(md5(..),1,8))::BIGINT %% form, and nowhere else)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
 @query(
     "corpus_split_train_holdout",
     oracle=f"""
@@ -54,9 +66,7 @@ def corpus_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the split column composes with partitioned writes
     (``partitionBy('split')``) so each set lands in its own prefix."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
+    bucket = md5_bucket(F.col("doc_id"))
     return (
         d.withColumn(
             "split",
@@ -374,9 +384,7 @@ def pipeline_e2e_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lenf = d.filter(F.col("n").between(E2E_MIN_TOK, E2E_MAX_TOK))
     keeper = lenf.groupBy("th").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     deduped = lenf.join(keeper, "doc_id", "left_semi").select("doc_id", "lang", "n")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 100
+    bucket = md5_bucket(F.col("doc_id"))
     train = deduped.filter(bucket < SPLIT_TRAIN)
     counts = train.groupBy("lang").agg(F.count("*").alias("cn"))
     targets = _sqrt_temperature_targets(counts, "cn")

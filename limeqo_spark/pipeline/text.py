@@ -470,28 +470,44 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.size(F.array_distinct(toks)) / F.size(toks)).alias("distinct_ratio"),
     )
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint") % 100
-    train = feats.filter(bucket < 80)
-    test = feats.filter(bucket >= 80)
-    cols = ["n_tokens", "avg_tok_len", "digit_ratio", "distinct_ratio"]
-    asm = VectorAssembler(inputCols=cols, outputCol="features")
-    lr = LogisticRegression(
-        featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
-    )
-    model = lr.fit(asm.transform(train))
-    scored = model.transform(asm.transform(test))
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", metricName="areaUnderROC"
-    ).evaluate(scored)
-    coef = {c: float(w) for c, w in zip(cols, model.coefficients)}
-    top_feature = max(coef, key=lambda c: abs(coef[c]))
+    from limeqo_spark.pipeline.curation import SPLIT_TRAIN, md5_bucket
+
+    feats = feats.withColumn("bucket", md5_bucket(F.col("doc_id"))).persist()
+    try:
+        train = feats.filter(F.col("bucket") < SPLIT_TRAIN)
+        test = feats.filter(F.col("bucket") >= SPLIT_TRAIN)
+        cols = ["n_tokens", "avg_tok_len", "digit_ratio", "distinct_ratio"]
+        asm = VectorAssembler(inputCols=cols, outputCol="features")
+        lr = LogisticRegression(
+            featuresCol="features", labelCol="label", maxIter=50, regParam=0.01
+        )
+        model = lr.fit(asm.transform(train))
+        scored = model.transform(asm.transform(test))
+        auc = BinaryClassificationEvaluator(
+            labelCol="label", metricName="areaUnderROC"
+        ).evaluate(scored)
+        # scale-corrected attribution: raw coefficients shrink with feature
+        # scale (n_tokens in the hundreds vs ratios in [0,1]), so compare
+        # coefficient x per-feature std — the standardized effect size
+        stds = train.agg(
+            *[F.stddev_samp(c).alias(c) for c in cols]
+        ).collect()[0]
+        coef = {
+            c: float(w) * float(stds[c] or 0.0)
+            for c, w in zip(cols, model.coefficients)
+        }
+        top_feature = max(coef, key=lambda c: abs(coef[c]))
+        counts = feats.agg(
+            F.count(F.when(F.col("bucket") < SPLIT_TRAIN, 1)).alias("ntr"),
+            F.count(F.when(F.col("bucket") >= SPLIT_TRAIN, 1)).alias("nte"),
+        ).collect()[0]
+    finally:
+        feats.unpersist()
     return spark.createDataFrame(
         [
             (
-                int(train.count()),
-                int(test.count()),
+                int(counts["ntr"]),
+                int(counts["nte"]),
                 round(float(auc), 4),
                 top_feature,
                 bool(auc >= 0.9),

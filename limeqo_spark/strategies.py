@@ -563,13 +563,14 @@ class BaoStrategy(Strategy):
         exec_time = 0.0
         processed = 0
         train_t = 0.0
-        while processed < self.max_rounds * self.retrain_every:
+        over_budget = False
+        while processed < self.max_rounds * self.retrain_every and not over_budget:
             i = processed % q
-            row_obs = np.where(obs_mask[i] > 0, wl.matrix[i], np.inf)
-            best_obs = int(row_obs.argmin())
-            cand_pred = np.where(obs_mask[i] > 0, np.inf, pred[i])
-            cand = int(cand_pred.argmin())
             if self.guarded:
+                row_obs = np.where(obs_mask[i] > 0, wl.matrix[i], np.inf)
+                best_obs = int(row_obs.argmin())
+                cand_pred = np.where(obs_mask[i] > 0, np.inf, pred[i])
+                cand = int(cand_pred.argmin())
                 j = (
                     cand
                     if np.isfinite(cand_pred[cand])
@@ -579,10 +580,14 @@ class BaoStrategy(Strategy):
             else:
                 j = int(pred[i].argmin())
             exec_time += float(wl.matrix[i, j])
+            # budget bites per QUERY (overshoot bounded by one execution),
+            # matching the other strategies' per-batch stop granularity;
+            # the retrain block below still emits the final partial record
+            over_budget = exec_time >= self.time_budget
             obs_mask[i, j] = 1.0
             obs_m[i, j] = wl.matrix[i, j]
             processed += 1
-            if processed % self.retrain_every == 0:
+            if processed % self.retrain_every == 0 or over_budget:
                 t0 = time.perf_counter()
                 pred = self._fit(obs_mask, obs_m)
                 train_t = time.perf_counter() - t0
@@ -605,7 +610,7 @@ class BaoStrategy(Strategy):
                         "explore_queries_cnt": processed,
                     }
                 )
-                if self.time_budget is not None and exec_time >= self.time_budget:
+                if over_budget:
                     break
         if output_path:
             with open(output_path, "w") as f:

@@ -873,18 +873,38 @@ def test_quality_classifier_discovers_corruption(spark, sf_dir):
 
 
 def test_cluster_best_quality_keeper_semantics(spark, sf_dir):
-    """Quality-aware keeper: for every planted (original, clone) cluster
-    the keeper must be the ORIGINAL (the clone's appended token raises
-    token count by 1 but... verify against directly computed scores),
-    exactly one keeper per cluster, and the keeper maximizes the integer
-    quality key with doc-id tie-break."""
+    """Quality-aware keeper, checked against INDEPENDENTLY recomputed
+    ground truth (not the query's own q_score output): quality is
+    recomputed from the raw planted-corpus text in Python, the expected
+    keeper of every cluster is the argmax of that recomputation, and —
+    because each planted clone carries one extra digit-free token
+    (' zzzdup') — the CLONE must beat its original wherever the pair is
+    a two-member cluster."""
+    from limeqo_spark.pipeline.corpus import PLANT_N, PLANT_OFFSET, planted_corpus
+
+    quality = {
+        r["doc_id"]: len(r["text"].split(" "))
+        - sum(ch.isdigit() for ch in r["text"])
+        for r in planted_corpus(spark, sf_dir).collect()
+    }
     rows = REGISTRY["dedup_cluster_best_quality"].builder(spark, sf_dir).collect()
     by_cluster = {}
     for r in rows:
+        # independently verify the emitted score before leaning on it
+        assert r["q_score"] == quality[r["doc_id"]], r
         by_cluster.setdefault(r["keeper_id"], []).append(r)
+    clustered = {r["doc_id"] for r in rows}
     for keeper_id, members in by_cluster.items():
         keepers = [r for r in members if r["keep"]]
         assert len(keepers) == 1 and keepers[0]["doc_id"] == keeper_id
-        kq = keepers[0]["q_score"]
-        for r in members:
-            assert (r["q_score"], -r["doc_id"]) <= (kq, -keeper_id)
+        expected = max(members, key=lambda r: (quality[r["doc_id"]], -r["doc_id"]))
+        assert keeper_id == expected["doc_id"]
+    for i in range(PLANT_N):
+        clone = i + PLANT_OFFSET
+        if i in clustered and clone in clustered:
+            pair = [r for r in rows if r["doc_id"] in (i, clone)]
+            if {r["keeper_id"] for r in pair} == {pair[0]["keeper_id"]} and len(
+                [r for r in rows if r["keeper_id"] == pair[0]["keeper_id"]]
+            ) == 2:
+                # two-member planted cluster: the clone's +1 token wins
+                assert pair[0]["keeper_id"] == clone
