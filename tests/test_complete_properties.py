@@ -35,12 +35,15 @@ def test_als_recovers_low_rank(seed):
     np.testing.assert_allclose(done[mask > 0], truth[mask > 0])
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=40, deadline=None)
 @given(seed=st.integers(0, 10_000))
 def test_censored_predictions_respect_cutoffs(seed):
-    """Censored cells (runtime known only to exceed a cutoff) must not be
-    predicted far below their cutoff — the hinge semantics of the
-    reference's clamp (matrix_factorization.py:58-59)."""
+    """Censored cells (runtime known only to exceed a cutoff) must never be
+    predicted below their cutoff — the semantics of the reference's clamp
+    (matrix_factorization.py:58-59). Exact invariant since the round-4
+    repair pass (complete.py): the solve's active-set hinge pulls factors
+    toward feasibility and the returned matrix floors censored cells at
+    their cutoffs (Hypothesis seed 5381 used to reach 0.39x cutoff)."""
     truth, mask = _low_rank_instance(seed, 30, 10, 2, 0.5)
     rng = np.random.default_rng(seed + 1)
     cutoffs = np.zeros_like(truth)
@@ -51,8 +54,9 @@ def test_censored_predictions_respect_cutoffs(seed):
     done = censored_als_complete(truth, mask, cutoffs, rank=4, iters=60, lam=0.01, seed=0)
     if cens.sum() == 0:
         return
-    frac_ok = np.mean(done[cens] >= 0.5 * cutoffs[cens])
-    assert frac_ok > 0.8, frac_ok
+    assert np.all(done[cens] >= cutoffs[cens] * (1 - 1e-9)), (
+        float(np.min(done[cens] / cutoffs[cens]))
+    )
 
 
 @settings(max_examples=25, deadline=None)
