@@ -12,102 +12,76 @@ except ImportError:  # pragma: no cover
 
 from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 
-#: Rotation aliases (round 3). The driver's CORRECTNESS gate verifies the
-#: first 50 manifest entries in alphabetical order; rounds 1–2 therefore
-#: never independently checked the 46 entries that sort after
-#: ``q27_intersect_except``. Each name below gets an ``a3_``-prefixed alias
-#: (sorts ahead of ``ann_*``) pointing at the *same* builder/oracle, so the
-#: round-3 driver window verifies exactly the queries it has never seen.
-#: Canonical names stay registered; local tests skip the aliases
-#: (identical spec) to avoid double-running.
-ROTATION_ALIAS_PREFIX = "a3_"
+#: Rotation aliases (round 4). The driver's CORRECTNESS gate verifies the
+#: first 50 manifest entries in alphabetical order; each name below gets an
+#: ``a4_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
+#: builder/oracle, so the round-4 window verifies exactly the entries the
+#: driver has never seen (34: q72-q96 and the post-window pipeline rows)
+#: plus the seven whose only evidence is the round-1 window (q28-q34,
+#: rotated back in to keep the manifest's evidence fresh). Window math is
+#: computed against the live registry by ``scripts/rotation_plan.py`` —
+#: 44 aliases + the first 6 canonicals (``ann_* cdc_*`` incl. the
+#: never-checked ``ann_ivf_partitioned``) fill the 50 slots with zero
+#: never-driver-checked hash entries remaining. Canonical names stay
+#: registered; local tests skip the aliases (identical spec) to avoid
+#: double-running. Round-3's ``a3_``/``a4_`` alias blocks are deleted —
+#: CORRECTNESS_r03 shows all 50 green (46 hash + 4 rows-only PROP).
+ROTATION_ALIAS_PREFIX = "a4_"
 #: every alias prefix in use this round (local tests skip all of them)
-ROTATION_ALIAS_PREFIXES = ("a3_", "a4_")
-_ROTATION_R3 = [
-    # q28-q34 were hash-green in the round-1 driver window (CORRECTNESS_r01)
-    # so they do NOT need a rotation slot; their seven slots go to round-2
-    # additions the driver has never seen (corpus_*, q67-q71) instead.
-    "corpus_chunk_windows",
-    "corpus_mix_quota_sample",
-    "q67_tpch_q7_volume_shipping",
-    "q68_tpch_q12_priority_classes",
-    "q69_tpch_q19_bracketed_disjunction",
-    "q70_tpch_q2_min_cost_supplier",
-    "q71_tpch_q6_forecast_revenue",
-    "q35_percentiles",
-    "q36_seeded_sample",
-    "q37_dedup_exact",
-    "q40_tokenize_counts",
-    "q41_scalar_udf",
-    "q42_grouped_pandas",
-    "q43_udtf_flatten",
-    "q44a_stream_tumbling",
-    "q44b_stream_sliding",
-    "q44c_stream_session",
-    "q44d_stream_dedup_watermark",
-    "q45_stateful_user_totals",
-    "q46_partition_pruned_scan",
-    "q47_tpch_q3_shipping",
-    "q48_tpch_q5_local_volume",
-    "q49_tpch_q10_returns",
-    "q50_foreachbatch_sink",
-    "q51_bucketed_colocated_join",
-    "q52_python_udtf_lateral",
-    "q53_variant_json",
-    "q54_stream_stream_join",
-    "q56_pivot",
-    "q57_cube_grouping",
-    "q58_string_agg",
-    "q59_tpch_q4_exists",
-    "q60_tpch_q18_in_subquery",
-    "q61_tpch_q17_scalar_subquery",
-    "q62_binned_range_join",
-    "q63_stratified_sample",
-    "q64_sized_file_sink",
-    "q65_iejoin_band",
-    "skew_salted_join",
-    "text_contamination_overlap",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_token_count_bpeish",
+ROTATION_ALIAS_PREFIXES = ("a4_",)
+_ROTATION_R4 = [
+    # never driver-checked: post-window pipeline rows
+    "corpus_mix_quota_threshold",
+    "corpus_pack_bins_sharded",
+    "corpus_shuffle_shards",
+    "corpus_sketch_profile",
+    "corpus_split_train_holdout",
+    "corpus_stats_card",
+    "corpus_temperature_resample",
+    "dedup_cluster_best_quality",
+    "dedup_substring_spans",
+    "mm_binaryfile_ingest",
+    "pipeline_e2e_curate",
+    "text_quality_classifier",
+    # r1-only evidence: rotate back in
+    "q28_string_battery",
+    "q29_date_battery",
+    "q30_math_battery",
+    "q31_array_explode",
+    "q32_struct_battery",
+    "q33_json_extract",
+    "q34_conditional_null",
+    # never driver-checked: q72-q96
+    "q72_tpch_q8_market_share",
+    "q73_tpch_q9_product_profit",
+    "q74_tpch_q11_important_stock",
+    "q75_tpch_q13_customer_distribution",
+    "q76_tpch_q14_promo_revenue",
+    "q77_tpch_q15_top_supplier",
+    "q78_tpch_q16_supplier_part_counts",
+    "q79_tpch_q20_part_promotion",
+    "q80_tpch_q21_waiting_suppliers",
+    "q81_tpch_q22_global_sales_opportunity",
+    "q82_stream_static_enrich",
+    "q83_time_range_window",
+    "q84_orc_sink_roundtrip",
+    "q85_schema_evolution_merge",
+    "q86_stream_incremental_dedup",
+    "q87_compact_small_files",
+    "q88_xml_source",
+    "q89_text_source_lines",
+    "q90_try_arithmetic",
+    "q91_dynamic_partition_overwrite",
+    "q92_unpivot_melt",
+    "q93_forward_fill",
+    "q94_null_safe_join",
+    "q95_map_battery",
+    "q96_stream_neardup_minhash",
 ]
 
-#: Four more aliases (``a4_`` sorts between ``a3_`` and ``ann_``) fill the
-#: window's last four slots with round-2-addition HASH queries the driver
-#: has never seen. This displaces three already-green ``ann_*`` rows AND
-#: the never-checked ``ann_ivf_partitioned`` — a deliberate trade: it is
-#: PROP (rows-only at the driver, its real assertions live in the local
-#: suite), so four full value-hash verifications outrank one rows-only
-#: row; it heads the round-4 rotation list below instead.
-_ROTATION_R3_TAIL = [
-    "cdc_scd2_history",
-    "corpus_pack_bins",
-    "dedup_chunk_reconstruct",
-    "text_tfidf_top_terms",
-]
-
-# NOTE for round 4 (window math computed against the live registry, not
-# guessed): once CORRECTNESS_r03 shows the aliases green, DELETE both
-# alias blocks. The alias-free canonical window (first 50 of 145 names,
-# ending at q12_left_join) then NATURALLY covers 12 never-checked
-# entries (ann_ivf_partitioned, the eight corpus_* rows,
-# dedup_cluster_best_quality, dedup_substring_spans, mm_binaryfile_ingest,
-# pipeline_e2e_curate — all verified in-window by the computation above;
-# RE-RUN it after any round-4 additions shift the boundary), so the
-# round-4 rotation only needs aliases for the 26 never-checked entries
-# that sort AFTER the window: q72-q96 and text_quality_classifier.
-# 26 + the ~12 naturally-covered < 50, leaving slots; fill any remainder
-# with the oldest-verified entries (q13+-range rows drift out of the
-# alias-free window, so their verification ages — rotating a few back in
-# each round keeps the whole manifest's evidence fresh).
-for _name, _prefix in [(n, ROTATION_ALIAS_PREFIX) for n in _ROTATION_R3] + [
-    (n, "a4_") for n in _ROTATION_R3_TAIL
-]:
+for _name in _ROTATION_R4:
     _spec = REGISTRY[_name]
-    _alias = _prefix + _name
+    _alias = ROTATION_ALIAS_PREFIX + _name
     REGISTRY[_alias] = QuerySpec(
         _alias,
         _spec.builder,
