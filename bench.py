@@ -85,14 +85,14 @@ def main() -> None:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        # min of 2 runs for the heavier queries: the first run pays one-time
-        # costs (codegen compile, ingest-time materialization for the
-        # bucketed/partitioned variants) and this box has noisy neighbors —
-        # the min is the steady-state per-query latency a warm cluster would
-        # see. Sub-1.5s queries keep their single measurement (already in
-        # the fixed-overhead regime; re-running only burns the wall budget).
-        # BOTH the first (cold) run and the min are recorded, so readers can
-        # see the warm-up effect instead of taking the min on faith.
+        # min of 2 runs for EVERY query (round-4 change; the r3 early-break
+        # left >1.5s queries' second runs racing another query's cache
+        # teardown): the first run pays one-time costs (codegen compile,
+        # ingest-time materialization for the bucketed/partitioned
+        # variants) and this box has noisy neighbors — the min is the
+        # steady-state per-query latency a warm cluster would see. BOTH the
+        # first (cold) run and the min are recorded, so readers can see the
+        # warm-up effect instead of taking the min on faith.
         best = float("inf")
         for attempt in range(2):
             t0 = time.perf_counter()
@@ -105,8 +105,6 @@ def main() -> None:
             # (the dedup suite caches shingle/signature relations) so later
             # queries aren't squeezed by leftover storage memory
             spark.catalog.clearCache()
-            if best <= 1.5:
-                break
         timings[name] = round(best, 3)
 
     # simulation-mode track (BASELINE.md track 1): LimeQO on the reference's
@@ -167,27 +165,27 @@ def main() -> None:
 
         t0 = time.perf_counter()
         # baseline CEB@0.75h: LimeQO 1.615 h, LimeQO+ 1.293 h. Primary
-        # config: the executed NumpyTCNN with the censored hinge loss and a
-        # pinned weight init (deterministic — the exploration rng never
-        # fires on this path; init chosen from the published sweep in
-        # docs/tcnn_sim_study_r3.json, the reference's own fixed-seed
-        # idiom). Lands ~1.31 h vs the 1.293 h plan-corpus baseline.
-        rec = LimeQOPlusStrategy(
-            wl_ceb, seed=1, max_rounds=100_000, time_budget=0.75 * 3600,
-            model="tcnn", net_seed=3,
-        ).run()
+        # config: the executed NumpyTCNN with the censored hinge loss.
+        # Round-4 change: the headline is the MEDIAN over five fixed,
+        # unselected weight inits (net_seed 0..4) — the r3 number pinned
+        # the best seed of a published sweep, which is mild
+        # eval-overfitting even when disclosed. All five per-init values
+        # ship in the full payload; the init-free ALS row below is the
+        # seed-free robustness comparison.
+        tcnn_by_init = {}
+        for net_seed in range(5):
+            rec = LimeQOPlusStrategy(
+                wl_ceb, seed=1, max_rounds=100_000, time_budget=0.75 * 3600,
+                model="tcnn", net_seed=net_seed,
+            ).run()
+            tcnn_by_init[net_seed] = round(float(rec[-1]["total_latency"]) / 3600, 4)
         timings["sim_ceb_limeqo_plus"] = round(time.perf_counter() - t0, 3)
-        sim["sim_ceb_limeqo_plus_final_latency_h"] = round(
-            float(rec[-1]["total_latency"]) / 3600, 4
-        )
-        # provenance, so the number is never read as seed-free: the init is
-        # the best of the published 5-point sweep (spread 1.31-1.59 h);
-        # the ALS row below is the init-free robustness comparison
+        vals = sorted(tcnn_by_init.values())
+        sim["sim_ceb_limeqo_plus_final_latency_h"] = vals[len(vals) // 2]
         sim["sim_ceb_limeqo_plus_config"] = (
-            "tcnn(net_seed=3): deterministic pinned init chosen from the "
-            "docs/tcnn_sim_study_r3.json init sweep (best of 5; spread "
-            "1.31-1.59 h across inits). Init-free ALS fallback reported "
-            "as sim_ceb_limeqo_plus_als_final_latency_h."
+            "tcnn: median over five fixed unselected inits (net_seed 0..4); "
+            f"per-init values {tcnn_by_init}. Init-free ALS fallback "
+            "reported as sim_ceb_limeqo_plus_als_final_latency_h."
         )
         t0 = time.perf_counter()
         # robustness row: the init-free restart-averaged censored-ALS
@@ -234,7 +232,7 @@ def main() -> None:
     # legacy_total_wall carries the old sum for continuity.
     total = round(sum(v for k, v in timings.items() if not k.startswith("sim_")), 3)
     sim_total = round(sum(v for k, v in timings.items() if k.startswith("sim_")), 3)
-    out = {
+    full = {
         "metric": "headline_query_wall",
         "value": total,
         "unit": "sec",
@@ -245,11 +243,11 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
     }
-    out.update(sim)
+    full.update(sim)
     if sim:
         # published reference checkpoints (BASELINE.md) next to our numbers,
         # same keys minus the prefix, so the comparison is self-contained
-        out["sim_baselines"] = {
+        full["sim_baselines"] = {
             "job_limeqo_at_90s": 112.4,
             "job_random_at_90s": 138.4,
             "job_greedy_at_90s": 120.4,
@@ -262,7 +260,26 @@ def main() -> None:
             "dsb_limeqo_plus_at_1.19h": 3.407,
             "dsb_default_h": 4.75,
         }
-    print(json.dumps(out))
+    # full payload to disk; the PRINTED line stays compact — the driver
+    # keeps only a tail window of stdout and r3's all-in-one line was
+    # truncated mid-dict ("parsed": null). Headline value + the sim
+    # checkpoint scalars fit comfortably; everything else is on disk.
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs"), exist_ok=True)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_full_r4.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    compact = {
+        "metric": "headline_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: v for k, v in timings.items() if not k.startswith("sim_")},
+        "sf": SF_DIR,
+        "full_payload": "docs/bench_full_r4.json",
+    }
+    compact.update({k: v for k, v in sim.items() if isinstance(v, (int, float))})
+    print(json.dumps(compact))
     sys.stdout.flush()
     spark.stop()
 

@@ -69,11 +69,13 @@ def run_dataset(ds: str, out_root: str, reps: int) -> dict:
 
     # reference batch sizes: k=8 for random/greedy/limeqo, k=32 for limeqo+.
     # LimeQO+ runs the SHIPPED per-dataset config (bench.py): CEB uses the
-    # pinned-init NumpyTCNN (deterministic -> 1 rep is the whole
-    # distribution); JOB/DSB keep the restart-averaged censored ALS (the
-    # TCNN regresses there - docs/tcnn_sim_study_r3.json job_dsb_robustness)
-    plus_kw = dict(model="tcnn", net_seed=3) if ds == "ceb" else dict()
-    plus_reps = 1 if ds == "ceb" else max(1, reps // 4)
+    # NumpyTCNN with stall-triggered re-init, init drawn from the rep's
+    # exploration rng (round 4: no pinned seed — the mean over 5 free
+    # inits is the reference's own 5-run aggregation); JOB/DSB keep the
+    # restart-averaged censored ALS (the TCNN regresses there —
+    # docs/tcnn_sim_study_r3.json job_dsb_robustness)
+    plus_kw = dict(model="tcnn") if ds == "ceb" else dict()
+    plus_reps = 5 if ds == "ceb" else max(1, reps // 4)
     plans = [
         ("random", RandomStrategy, dict(k=8), reps),
         ("greedy", GreedyStrategy, dict(k=8), reps),  # random untried hint per worst query
