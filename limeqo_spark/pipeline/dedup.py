@@ -512,26 +512,65 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= 0.95 over a corpus with planted
-    exact copies (fixture max cross-cosine is ~0.51, so the planted pairs
-    are exactly the expected output at cos 1.0 — bit-safe in both engines).
-    Built-in higher-order functions only (zip_with/aggregate — JVM-side).
-    The all-pairs form is fine at fixture scale; the 100 TB path is the
-    LSH-bucketed ANN in similarity.py."""
+    exact copies. Round 4: the all-pairs crossJoin is retired — candidates
+    now come from the SRP-LSH banding shared with ``ann_lsh_bucketed`` (16
+    seeded hyperplanes, 4 bands x 4 bits): only pairs agreeing on at least
+    one band are exactly re-scored, bounding pair generation to
+    within-bucket (~N^2/16 per band worst-case, vs N^2 — and in practice
+    bucket-sized). The ORACLE stays ground-truth all-pairs: at cos >= 0.95
+    the vectors' hyperplane sign patterns agree with overwhelming margin
+    (planted dups are exact copies, identical signatures by construction;
+    fixture max cross-cosine ~0.51 is far below threshold), so the driver
+    hash-match doubles as a recall-1.0 proof on the fixture. Built-in
+    higher-order functions only (zip_with/aggregate — JVM-side)."""
+    from limeqo_spark.pipeline.similarity import _hyperplanes
+
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     e = e.unionByName(
         e.filter(F.col("vec_id") < 20).select(
             (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
         )
     )
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    planes = _hyperplanes()
+    plane_lits = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in planes])
+    sig = (
+        "aggregate(sequence(0, 15), CAST(0 AS INT), (acc, p) -> acc + "
+        "CASE WHEN aggregate(zip_with(planes[p], embedding, (a, x) -> a * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0 THEN CAST(pow(2, p) AS INT) ELSE 0 END)"
+    )
+    signed = (
+        e.withColumn("planes", plane_lits).withColumn("sig", F.expr(sig)).drop("planes")
+    )
+    bands = signed.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * 4).bitwiseAND(F.lit(0xF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "band", "key"
+    )
+    right = bands.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "band", "key"
+    )
     dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     nrm = (
         "SQRT(aggregate({c}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
     )
     pairs = (
-        a.crossJoin(b)
+        left.join(right, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ea", "eb")
+        .distinct()
         .withColumn(
             "cos_raw",
             F.expr(f"{dot} / ({nrm.format(c='ea')} * {nrm.format(c='eb')})"),

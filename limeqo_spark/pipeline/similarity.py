@@ -289,15 +289,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos", F.expr(_cosine_expr()))
     )
+    return _topk_with_ok(cand)
+
+
+def _topk_with_ok(cand: DataFrame, k: int = 5) -> DataFrame:
+    """Shared IVF top-k tail with a self-asserting ``ok`` column: cosine in
+    [-1, 1] and non-increasing down each probe's ranking. The driver's
+    rows-only PROP check records the frame as-is, so a structural
+    regression (bad similarity math, broken ranking) shows up as
+    ``ok=false`` rows instead of silently-plausible output; the recall
+    bar vs brute force stays in the local suite."""
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        .withColumn(
+            "ok",
+            F.col("cos").between(-1.0 - 1e-9, 1.0 + 1e-9)
+            & (F.col("cos") <= F.lag("cos", 1, 1.0).over(w) + 1e-9),
+        )
+        .filter(F.col("rn") <= k)
         .select(
             "probe_id",
             "vec_id",
             F.col("rn").cast("bigint").alias("rn"),
             F.round("cos", 4).alias("cos_sim"),
+            "ok",
         )
         .orderBy("probe_id", "rn")
     )
@@ -376,15 +392,4 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos", F.expr(_cosine_expr()))
     )
-    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select(
-            "probe_id",
-            "vec_id",
-            F.col("rn").cast("bigint").alias("rn"),
-            F.round("cos", 4).alias("cos_sim"),
-        )
-        .orderBy("probe_id", "rn")
-    )
+    return _topk_with_ok(cand)

@@ -408,3 +408,14 @@ def test_quota_threshold_variant_is_window_free(spark, sf_dir):
     body = plan.split("== Physical Plan ==")[-1]
     assert "Window" not in body, "threshold variant regained a window"
     assert "BroadcastHashJoin" in body or "BroadcastExchange" in body
+
+
+def test_dedup_embedding_cosine_is_lsh_blocked(spark):
+    """Round 4: the embedding near-dup pair generator must be SRP-band
+    blocked, never all-pairs — no CartesianProduct / BroadcastNestedLoop
+    anywhere in the plan, and the candidate join is an equi-join on
+    (band, key). This was the last registered builder with a crossJoin."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
