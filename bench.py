@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_chunk_reconstruct",  # line-level dedup + doc rebuild, digest-only shuffles
     "dedup_substring_spans",  # suffix-array-method dedup as dataflow
     "dedup_cluster_canonical",  # connected components -> canonical keeper
+    "dedup_embedding_cosine",  # SRP-banded near-dup pairs (r4: crossJoin retired)
     "ann_cosine_topk",
     "ann_ivf_topk",  # KMeans coarse quantizer scale path
     "ann_ivf_partitioned",  # cell_id-partitioned layout, static pruning

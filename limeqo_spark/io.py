@@ -13,6 +13,28 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh scratch directory under ONE per-process root that is removed
+    at interpreter exit. Every operator that stages files (streaming
+    sources, sink roundtrips, partitioned layouts) allocates through here —
+    previously each call leaked a ``tempfile.mkdtemp`` dir, so repeated
+    bench/test runs accumulated unbounded /tmp litter (ADVICE round 3).
+    Memoized layouts (streaming _STAGE_CACHE, the IVF corpus) stay valid
+    for the process lifetime, which is exactly their cache scope."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None or not os.path.isdir(_SCRATCH_ROOT):
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="limeqo_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 TABLES = (
     "region",
     "nation",

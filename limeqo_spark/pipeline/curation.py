@@ -228,8 +228,12 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("hh"),
     )
+    # conv() returns STRING — cast to bigint BEFORE the multiply (as
+    # md5_bucket does) instead of riding the implicit string->double
+    # coercion, which is exact only while the prefix stays 16-bit
+    # (ADVICE round 3)
     shard = F.expr(
-        f"conv(substring(hh, 1, 4), 16, 10) * {N_SHARDS} DIV 65536"
+        f"CAST(conv(substring(hh, 1, 4), 16, 10) AS BIGINT) * {N_SHARDS} DIV 65536"
     ).cast("bigint")
     sharded = d.withColumn("shard_id", shard)
     ordered = F.expr("transform(array_sort(collect_list(struct(hh, doc_id))), s -> s.doc_id)")

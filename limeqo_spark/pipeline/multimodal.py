@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from limeqo_spark.io import table
+from limeqo_spark.io import scratch_dir, table
 from limeqo_spark.relational.registry import query
 
 
@@ -252,7 +252,6 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep per-file size under ``maxPartitionBytes`` — exactly how the
     mapInPandas decode stages downstream expect their batches."""
     import os
-    import tempfile
 
     docs = (
         table(spark, sf_dir, "documents")
@@ -261,7 +260,7 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # BINARYFILE_N tiny rows, fixture materialization only:
         # a real lake already HAS the files; this step fakes the lake
     )
-    out = tempfile.mkdtemp(prefix="limeqo_binf_")
+    out = scratch_dir(prefix="limeqo_binf_")
     for r in docs:
         with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
             f.write(r["text"].encode("utf-8"))

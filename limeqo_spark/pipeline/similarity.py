@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from limeqo_spark.io import table
+from limeqo_spark.io import scratch_dir, table
 from limeqo_spark.relational.registry import query
 
 N_PROBES = 10  # probe vectors: vec_id < N_PROBES
@@ -327,7 +327,6 @@ def ivf_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
     hive-style cell_id=N directories, the physical layout the IVF scale
     story depends on. Memoized per sf_dir."""
     import os
-    import tempfile
 
     out = _IVF_LAYOUT_CACHE.get(sf_dir)
     if out is None or not os.path.isdir(out):
@@ -346,7 +345,7 @@ def ivf_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
             .withColumn("cell_id", F.expr(ranked))
             .drop("cents")
         )
-        out = tempfile.mkdtemp(prefix="limeqo_ivf_corpus_")
+        out = scratch_dir(prefix="limeqo_ivf_corpus_")
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(out)
         _IVF_LAYOUT_CACHE[sf_dir] = out
     return out

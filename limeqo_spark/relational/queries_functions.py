@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from limeqo_spark.io import table
+from limeqo_spark.io import scratch_dir, table
 from limeqo_spark.relational.registry import query
 
 
@@ -270,7 +270,6 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     least ceil(rows/cap) files. Returns one row of the checked facts."""
     import glob
     import math
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -278,7 +277,7 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
-    out = tempfile.mkdtemp(prefix="limeqo_q64_")
+    out = scratch_dir(prefix="limeqo_q64_")
     li.write.mode("overwrite").option("maxRecordsPerFile", cap).parquet(out)
     files = glob.glob(f"{out}/*.parquet")
     per_file = [pq.ParquetFile(f).metadata.num_rows for f in files]
@@ -309,10 +308,9 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import math
     import os as _os
-    import tempfile
 
-    frag = tempfile.mkdtemp(prefix="limeqo_q87_frag_")
-    out = tempfile.mkdtemp(prefix="limeqo_q87_out_")
+    frag = scratch_dir(prefix="limeqo_q87_frag_")
+    out = scratch_dir(prefix="limeqo_q87_out_")
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     frag_files = glob.glob(f"{frag}/*.parquet")

@@ -11,12 +11,11 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from limeqo_spark.io import table
+from limeqo_spark.io import scratch_dir, table
 from limeqo_spark.relational.registry import query
 
 # --- helpers -----------------------------------------------------------------
@@ -67,7 +66,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 CSV source: re-export region to CSV with explicit schema, re-read, agg."""
-    out = tempfile.mkdtemp(prefix="limeqo_q02_")
+    out = scratch_dir(prefix="limeqo_q02_")
     table(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(out)
     df = spark.read.schema("r_regionkey int, r_name string").option("header", True).csv(out)
     return df.agg(
@@ -118,7 +117,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B4 sink: write Q16's result to parquet, re-read — must hash-equal Q16."""
     from limeqo_spark.relational.queries_agg_window import q16
 
-    out = tempfile.mkdtemp(prefix="limeqo_q04_")
+    out = scratch_dir(prefix="limeqo_q04_")
     q16(spark, sf_dir).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
@@ -540,7 +539,7 @@ def partitioned_events(spark: SparkSession, sf_dir: str):
     memoized per sf_dir — the layout a 100 TB event lake would use."""
     out = _PARTITIONED_CACHE.get(sf_dir)
     if out is None or not __import__("os").path.isdir(out):
-        out = tempfile.mkdtemp(prefix="limeqo_part_events_")
+        out = scratch_dir(prefix="limeqo_part_events_")
         ev = table(spark, sf_dir, "events").withColumn(
             "event_date", F.col("ts").cast("date").cast("string")
         )
@@ -1011,7 +1010,7 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE-READ side, proving scan-side correctness rather than sink-side
     echo. Avro is not bundled in this build (external module since Spark
     2.4), so ORC is the second-format coverage."""
-    out = tempfile.mkdtemp(prefix="limeqo_q84_")
+    out = scratch_dir(prefix="limeqo_q84_")
     (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1052,7 +1051,7 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes it from the source table with the evolution boundary
     expressed as a CASE."""
     o = table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="limeqo_q85_")
+    out = scratch_dir(prefix="limeqo_q85_")
     (
         o.filter(F.col("o_orderstatus") == "O")
         .select("o_orderkey", "o_totalprice")
@@ -1094,7 +1093,7 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest of per-region name lists proves field-level fidelity through
     the serialize/parse round-trip against DuckDB reading the parquet
     original."""
-    out = tempfile.mkdtemp(prefix="limeqo_q88_")
+    out = scratch_dir(prefix="limeqo_q88_")
     (
         table(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
@@ -1128,7 +1127,7 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contract sorts by digest — content fidelity, not order, is the
     claim (fixture docs contain no newlines; a real corpus would
     escape or length-prefix)."""
-    out = tempfile.mkdtemp(prefix="limeqo_q89_")
+    out = scratch_dir(prefix="limeqo_q89_")
     table(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
     return (
         spark.read.text(out)
@@ -1161,7 +1160,7 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): this is the idiomatic backfill/correction pattern —
     rewrite one day/priority partition in place without touching (or even
     listing) the others; pairs with q46's partition-pruned reads."""
-    out = tempfile.mkdtemp(prefix="limeqo_q91_")
+    out = scratch_dir(prefix="limeqo_q91_")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )

@@ -620,8 +620,13 @@ class BaoStrategy(Strategy):
                 pred = self._fit(obs_mask, obs_m)
                 train_t = time.perf_counter() - t0
                 if self.guarded:
+                    # a row with zero observed arms (possible under a sparse
+                    # init mask before its first turn) would put inf into
+                    # the serialized record (non-standard JSON) — the
+                    # deployed policy for such a row is the default hint,
+                    # so charge its latency (ADVICE round 3)
                     mo = np.where(obs_mask > 0, wl.matrix, np.inf).min(axis=1)
-                    policy_lat = mo
+                    policy_lat = np.where(np.isfinite(mo), mo, wl.matrix[:, 0])
                 else:
                     policy = pred.argmin(axis=1)
                     policy_lat = wl.matrix[np.arange(q), policy]

@@ -15,13 +15,12 @@ window; sentinel rows are filtered from results.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from limeqo_spark.io import table
+from limeqo_spark.io import scratch_dir, table
 from limeqo_spark.relational.registry import query
 
 EVENTS_SCHEMA = (
@@ -65,7 +64,7 @@ def _stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = False)
     cached = _STAGE_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    stage = tempfile.mkdtemp(prefix="limeqo_stream_")
+    stage = scratch_dir(prefix="limeqo_stream_")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -213,7 +212,7 @@ def q44d(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_ids (every id < 500 sent twice); dropDuplicatesWithinWatermark
     keeps exactly one row per id. Returns (n_input, n_survivors, n_expected,
     ok) — PROP: survivors == distinct ids."""
-    stage = tempfile.mkdtemp(prefix="limeqo_stream_dd_")
+    stage = scratch_dir(prefix="limeqo_stream_dd_")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -273,7 +272,7 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # private stage (never the shared memoized one): two files so the
     # stateful operator genuinely carries state across >=2 micro-batches
-    stage = tempfile.mkdtemp(prefix="limeqo_stream_state_")
+    stage = scratch_dir(prefix="limeqo_stream_state_")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -340,7 +339,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     result — match the batch oracle."""
     stage = _stage_events(spark, sf_dir)
     stream = _read_stream(spark, stage)
-    sink = tempfile.mkdtemp(prefix="limeqo_fb_sink_")
+    sink = scratch_dir(prefix="limeqo_fb_sink_")
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -490,7 +489,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
     # private two-file stage so state genuinely crosses micro-batches
-    stage = tempfile.mkdtemp(prefix="limeqo_stream_tws_")
+    stage = scratch_dir(prefix="limeqo_stream_tws_")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
@@ -606,8 +605,8 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE; the per-batch work is bounded by batch size x store lookup."""
     from limeqo_spark.pipeline.corpus import planted_corpus
 
-    stage = tempfile.mkdtemp(prefix="limeqo_incdedup_src_")
-    store = tempfile.mkdtemp(prefix="limeqo_incdedup_store_")
+    stage = scratch_dir(prefix="limeqo_incdedup_src_")
+    store = scratch_dir(prefix="limeqo_incdedup_store_")
     corpus = planted_corpus(spark, sf_dir).select("doc_id", "text")
     # two deterministic arrival waves: originals first; then the tail, the
     # planted near-dup clones, AND a byte-identical re-ingestion of the
@@ -697,9 +696,9 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     from limeqo_spark.pipeline.corpus import PLANT_OFFSET, planted_corpus
     from limeqo_spark.pipeline.dedup import _MH_K, _MH_ROWS, minhash_band_rows
 
-    stage = tempfile.mkdtemp(prefix="limeqo_streammh_src_")
-    store = tempfile.mkdtemp(prefix="limeqo_streammh_store_")
-    log = tempfile.mkdtemp(prefix="limeqo_streammh_log_")
+    stage = scratch_dir(prefix="limeqo_streammh_src_")
+    store = scratch_dir(prefix="limeqo_streammh_store_")
+    log = scratch_dir(prefix="limeqo_streammh_log_")
     corpus = planted_corpus(spark, sf_dir).select("doc_id", "text")
     corpus.filter(F.col("doc_id") < PLANT_OFFSET).coalesce(1).write.mode(
         "overwrite"
