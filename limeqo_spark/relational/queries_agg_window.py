@@ -564,7 +564,7 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (v IS NULL) AS BIGINT) AS n_gaps,
            CAST(COUNT(*) FILTER (v IS NULL AND v_filled IS NOT NULL) AS BIGINT)
              AS n_filled,
-           CAST(FLOOR(SUM(v_filled) * 100) AS BIGINT) AS filled_sum_e2
+           CAST(SUM(CAST(FLOOR(v_filled * 100) AS BIGINT)) AS BIGINT) AS filled_sum_e2
     FROM filled GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -574,8 +574,11 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last non-null observation forward per user with
     ``last(..., ignorenulls=True)`` over an ordered running frame
     (== ``LAST_VALUE(x IGNORE NULLS)``). A leading gap stays NULL —
-    counted, not invented. The checksum is floor-scaled: the window SUM
-    adds doubles in the same per-user event order in both engines."""
+    counted, not invented. The checksum floors each filled value to int
+    cents BEFORE summing: a double SUM's addition order varies with input
+    splits (found for real at sf0.1 — the groupBy partial aggregates drift
+    the last bit and flip the floor), while per-row floor + bigint sum is
+    exact and order-independent at any scale."""
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -596,7 +599,9 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("v").isNull() & F.col("v_filled").isNotNull(), 1))
             .cast("bigint")
             .alias("n_filled"),
-            F.floor(F.sum("v_filled") * 100).cast("bigint").alias("filled_sum_e2"),
+            F.sum(F.floor(F.col("v_filled") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("filled_sum_e2"),
         )
         .orderBy("user_id")
     )
