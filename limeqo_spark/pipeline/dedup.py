@@ -513,16 +513,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= 0.95 over a corpus with planted
     exact copies. Round 4: the all-pairs crossJoin is retired — candidates
-    now come from the SRP-LSH banding shared with ``ann_lsh_bucketed`` (16
-    seeded hyperplanes, 4 bands x 4 bits): only pairs agreeing on at least
-    one band are exactly re-scored, bounding pair generation to
-    within-bucket (~N^2/16 per band worst-case, vs N^2 — and in practice
-    bucket-sized). The ORACLE stays ground-truth all-pairs: at cos >= 0.95
-    the vectors' hyperplane sign patterns agree with overwhelming margin
-    (planted dups are exact copies, identical signatures by construction;
-    fixture max cross-cosine ~0.51 is far below threshold), so the driver
-    hash-match doubles as a recall-1.0 proof on the fixture. Built-in
-    higher-order functions only (zip_with/aggregate — JVM-side)."""
+    come from SRP-LSH banding with 64 seeded hyperplanes cut into 4 bands
+    x 16 bits: only pairs agreeing on at least one full band are exactly
+    re-scored. Band keys carry 16 bits (65536 buckets/band), so expected
+    bucket size is ~N/65536 on diverse data — candidate pairs stay
+    ~linear in N plus the semantic dup-group quadratic (the pairs you
+    actually want); the first cut of this used ``ann_lsh_bucketed``'s
+    4-bit bands (16 buckets/band), which is fine for 10 probes but
+    ~N^2/64 for all-pairs dedup — a hidden scale-killer the x4 replica
+    probe exposed at ratio 6.9. The ORACLE stays ground-truth all-pairs:
+    exact copies have identical sign patterns so recall is 1.0 by
+    construction on the planted pairs (fixture max cross-cosine ~0.51 is
+    far below threshold), and the driver hash-match doubles as that
+    recall proof. For genuinely near (not identical) pairs at the
+    threshold, per-band match probability is (1-theta/pi)^16 — the
+    standard LSH recall/bucket-size trade. Built-in higher-order
+    functions only (zip_with/aggregate — JVM-side)."""
     from limeqo_spark.pipeline.similarity import _hyperplanes
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -531,31 +537,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
         )
     )
-    planes = _hyperplanes()
+    n_planes, n_bands = 64, 4
+    bits = n_planes // n_bands
+    planes = _hyperplanes(n_planes=n_planes, seed=11)
     plane_lits = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in planes])
-    sig = (
-        "aggregate(sequence(0, 15), CAST(0 AS INT), (acc, p) -> acc + "
-        "CASE WHEN aggregate(zip_with(planes[p], embedding, (a, x) -> a * CAST(x AS DOUBLE)),"
-        " CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0 THEN CAST(pow(2, p) AS INT) ELSE 0 END)"
+    # one 16-bit key per band, each from its own 16 planes (bigint-safe)
+    def band_key(b: int) -> str:
+        return (
+            f"aggregate(sequence({b * bits}, {b * bits + bits - 1}), CAST(0 AS BIGINT),"
+            " (acc, p) -> acc + CASE WHEN aggregate(zip_with(planes[p], embedding,"
+            " (a, x) -> a * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0"
+            f" THEN CAST(pow(2, p - {b * bits}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    bands = (
+        e.withColumn("planes", plane_lits)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(band_key(b)).alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(
+            "vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
     )
-    signed = (
-        e.withColumn("planes", plane_lits).withColumn("sig", F.expr(sig)).drop("planes")
-    )
-    bands = signed.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("sig", i * 4).bitwiseAND(F.lit(0xF)).alias("key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     left = bands.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "band", "key"
     )
