@@ -81,6 +81,39 @@ def test_greedy_improves(job):
     assert rec[-1]["total_latency"] < rec[0]["total_latency"]
 
 
+def test_greedy_rounds_count_successes_not_attempts():
+    """Reference batch semantics (greedy.py:52-82): timeouts are charged
+    but do not consume a batch slot — a round keeps walking the worst-first
+    list until k SUCCESSFUL reveals. Construct a matrix where the worst
+    queries' unexplored hints all exceed min-observed (guaranteed timeouts):
+    one round must still land k successes on queries further down the
+    list, i.e. attempts > k and reveals == k."""
+    import numpy as np
+
+    from limeqo_spark.workload import Workload
+
+    n, h = 12, 5
+    m = np.full((n, h), 10.0)
+    m[:, 0] = 5.0  # default observed
+    # first 4 queries: every alternative is WORSE than default -> timeouts
+    m[:4, 1:] = 50.0
+    m[:4, 0] = 40.0  # worst-first puts them at the head of the walk
+    # remaining queries: alternatives are better -> reveals
+    m[4:, 1:] = 1.0
+    mask = np.zeros_like(m)
+    mask[:, 0] = 1.0
+    # distinct values per cell so value-equivalence classes stay singletons
+    m += np.arange(n)[:, None] * 1e-6 + np.arange(h)[None, :] * 1e-9
+    wl = Workload(m, mask)
+    g = GreedyStrategy(wl, k=8, seed=0, max_rounds=1)
+    g.run()
+    st = g.state
+    revealed = int((st.mask - mask > 0).sum(axis=1).astype(bool).sum())
+    censored = int((st.cutoffs > 0).any(axis=1).sum())
+    assert censored >= 4  # the worst head all timed out...
+    assert revealed == 8  # ...yet the round still delivered k reveals
+
+
 def test_censoring_accounting(job):
     """Timeout-as-censoring: spent time never exceeds revealed + tolerances,
     and censored cells never reveal their value."""
