@@ -568,15 +568,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bk"),
         )
         .select(
-            "vec_id", "embedding", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+            "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
+        .persist()  # NARROW (vec_id, band, key): the 64 plane dots per
+        # vector run ONCE — the self-join references this frame twice and
+        # an unpersisted plan recomputes the whole signature scan per side
+        # (measured 2x the query wall); embeddings rejoin only for the
+        # (tiny) candidate set below
     )
-    left = bands.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "band", "key"
-    )
-    right = bands.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "band", "key"
-    )
+    left = bands.select(F.col("vec_id").alias("a"), "band", "key")
+    right = bands.select(F.col("vec_id").alias("b"), "band", "key")
     dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     nrm = (
         "SQRT(aggregate({c}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
@@ -584,8 +585,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         left.join(right, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "ea", "eb")
+        .select("a", "b")
         .distinct()
+        .join(e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea")), "a")
+        .join(e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb")), "b")
         .withColumn(
             "cos_raw",
             F.expr(f"{dot} / ({nrm.format(c='ea')} * {nrm.format(c='eb')})"),
