@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_topk",  # KMeans coarse quantizer scale path
     "ann_ivf_partitioned",  # cell_id-partitioned layout, static pruning
+    "ann_pq_adc",  # product-quantization codes + ADC lookup-table scoring
     "corpus_mix_quota_sample",  # deterministic training-mix curation
     "corpus_shuffle_shards",  # trainer-facing shuffled shard layout
     "skew_salted_join",

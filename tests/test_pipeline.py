@@ -192,6 +192,56 @@ def test_ann_ivf_agrees_with_brute_force(spark, sf_dir):
     assert len(ivf_sets) == len(brute_sets), "every probe must get candidates"
 
 
+def test_ann_pq_agrees_with_brute_force(spark, sf_dir):
+    """PQ-ADC (16 subspaces x 16 centroids, top-100 shortlist, exact rescore)
+    must keep high top-5 recall vs brute force, and its compressed codes
+    must be valid 4-bit indices (the 64x-compression claim)."""
+    brute = REGISTRY["ann_cosine_topk"].builder(spark, sf_dir).collect()
+    pq = REGISTRY["ann_pq_adc"].builder(spark, sf_dir).collect()
+    brute_sets, pq_sets = {}, {}
+    for r in brute:
+        brute_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in pq:
+        pq_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        assert r["ok"], f"self-assertion failed on {r}"
+    hits = sum(len(brute_sets[p] & pq_sets.get(p, set())) for p in brute_sets)
+    total = sum(len(s) for s in brute_sets.values())
+    assert hits / total >= 0.8, f"PQ top-5 overlap only {hits}/{total}"
+    assert len(pq_sets) == len(brute_sets), "every probe must get candidates"
+
+
+def test_pq_codes_valid_and_match_reference_expression(spark, sf_dir):
+    """The Arrow-batch encoder agrees with the independent HOF-expression
+    reference formulation (argmin of ||c||^2 - 2<s,c> vs summed squared
+    differences), every code is a valid 4-bit index, and two runs are
+    identical."""
+    import pyspark.sql.functions as F
+
+    from limeqo_spark.io import table
+    from limeqo_spark.pipeline.similarity import (
+        _PQ_K,
+        _PQ_M,
+        _pq_codes_expr,
+        _pq_encode_udf,
+        _train_pq_codebooks,
+    )
+
+    cb = _train_pq_codebooks(spark, sf_dir)
+    cb_lit = F.array(
+        *[F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in sub]) for sub in cb]
+    )
+    e = table(spark, sf_dir, "embeddings").limit(200)
+    ref = e.withColumn("cb", cb_lit).select("vec_id", F.expr(_pq_codes_expr()).alias("codes"))
+    fast = e.select("vec_id", _pq_encode_udf(cb)(F.col("embedding")).alias("codes"))
+    ref_rows = {r["vec_id"]: list(r["codes"]) for r in ref.collect()}
+    fast_rows = {r["vec_id"]: list(r["codes"]) for r in fast.collect()}
+    assert fast_rows == ref_rows
+    assert fast_rows == {r["vec_id"]: list(r["codes"]) for r in fast.collect()}
+    for codes in fast_rows.values():
+        assert len(codes) == _PQ_M
+        assert all(0 <= c < _PQ_K for c in codes)
+
+
 def test_ivf_partitioned_matches_ivf_and_prunes(spark, sf_dir):
     """The partitioned-layout IVF variant returns byte-identical results to
     ann_ivf_topk for the shared probes (same seeded centroids), and its

@@ -112,6 +112,26 @@ def test_ivf_assignment_shuffle_free(spark):
     assert all(c.startswith("probe_id") for c in hash_exchanges), hash_exchanges
 
 
+def test_pq_adc_stays_expression_side(spark):
+    """PQ encode + ADC-LUT scoring are per-row JVM expressions: no
+    CartesianProduct between relations (the only nested-loop is the
+    broadcast of the tiny probe/LUT frame, same as brute force), the
+    shortlist and probe-vector joins broadcast, and every hash exchange is
+    the probe_id top-k windows — nothing repartitions the corpus."""
+    import re
+
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.plans import explain_formatted
+
+    text = explain_formatted(REGISTRY["ann_pq_adc"].builder(spark, SF))
+    assert "CartesianProduct" not in text
+    assert "BroadcastExchange" in text
+    hash_exchanges = re.findall(r"hashpartitioning\((\w+)", text)
+    assert hash_exchanges and all(
+        c.startswith("probe_id") for c in hash_exchanges
+    ), hash_exchanges
+
+
 def test_partition_pruning_reaches_directories(spark):
     """q46: the event_date equality filter must prune at the directory
     level (PartitionFilters in the scan), not post-filter all partitions."""
