@@ -242,6 +242,24 @@ def test_pq_codes_valid_and_match_reference_expression(spark, sf_dir):
         assert all(0 <= c < _PQ_K for c in codes)
 
 
+def test_ann_ivfpq_agrees_with_brute_force(spark, sf_dir):
+    """The IVFADC composition (pruned cells -> ADC over PQ codes -> exact
+    rescore of the shortlist) must keep top-5 recall >= 0.8 vs brute force
+    and self-assert its ranking."""
+    brute = REGISTRY["ann_cosine_topk"].builder(spark, sf_dir).collect()
+    ivfpq = REGISTRY["ann_ivfpq_partitioned"].builder(spark, sf_dir).collect()
+    brute_sets, got_sets = {}, {}
+    for r in brute:
+        brute_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    for r in ivfpq:
+        got_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        assert r["ok"], f"self-assertion failed on {r}"
+    hits = sum(len(brute_sets[p] & got_sets.get(p, set())) for p in brute_sets)
+    total = sum(len(s) for s in brute_sets.values())
+    assert hits / total >= 0.8, f"IVFPQ top-5 overlap only {hits}/{total}"
+    assert len(got_sets) == len(brute_sets), "every probe must get candidates"
+
+
 def test_ivf_partitioned_matches_ivf_and_prunes(spark, sf_dir):
     """The partitioned-layout IVF variant returns byte-identical results to
     ann_ivf_topk for the shared probes (same seeded centroids), and its

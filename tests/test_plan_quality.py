@@ -132,6 +132,31 @@ def test_pq_adc_stays_expression_side(spark):
     ), hash_exchanges
 
 
+def test_ivfpq_code_scan_prunes_and_stays_narrow(spark):
+    """IVFADC's scan discipline: the PQ-code scan carries a static cell_id
+    partition filter covering < nlist cells, reads ONLY (vec_id, codes) —
+    never raw embeddings — and the corpus is not repartitioned (hash
+    exchanges are the probe_id top-k windows only)."""
+    import re
+
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.plans import explain_formatted
+
+    text = explain_formatted(REGISTRY["ann_ivfpq_partitioned"].builder(spark, SF))
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", text)
+    assert m, "code scan carries no static cell_id partition filter"
+    assert len(m.group(1).split(",")) < 16, "IN-list covers all cells"
+    code_scan = next(
+        s for s in text.split("ReadSchema: ")[1:] if "codes" in s.splitlines()[0]
+    )
+    assert "embedding" not in code_scan.splitlines()[0], "code scan reads raw vectors"
+    assert "CartesianProduct" not in text
+    hash_exchanges = re.findall(r"hashpartitioning\((\w+)", text)
+    assert hash_exchanges and all(
+        c.startswith("probe_id") for c in hash_exchanges
+    ), hash_exchanges
+
+
 def test_partition_pruning_reaches_directories(spark):
     """q46: the event_date equality filter must prune at the directory
     level (PartitionFilters in the scan), not post-filter all partitions."""
