@@ -976,3 +976,18 @@ def test_cluster_best_quality_keeper_semantics(spark, sf_dir):
             ) == 2:
                 # two-member planted cluster: the clone's +1 token wins
                 assert pair[0]["keeper_id"] == clone
+
+
+def test_ann_recall_gate_all_methods_clear_their_bars(spark, sf_dir):
+    """The driver-visible gate must report every approximate path over its
+    bar, and the IVF/PQ family specifically over the suite's 0.8 recall
+    floor (the gate is only useful if its bars match the local invariants)."""
+    rows = REGISTRY["ann_recall_gate"].builder(spark, sf_dir).collect()
+    got = {r["method"]: r for r in rows}
+    assert set(got) == {
+        "lsh_bucketed", "ivf_topk", "ivf_partitioned", "pq_adc", "ivfpq_partitioned",
+    }
+    for m, r in got.items():
+        assert r["ok"], f"{m} recall {r['recall']} under bar {r['bar']}"
+    for m in ("ivf_topk", "ivf_partitioned", "pq_adc", "ivfpq_partitioned"):
+        assert got[m]["recall"] >= 0.8
