@@ -171,3 +171,48 @@ def wl_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_idx")
     )
+
+
+@query("limeqo_mllib_complete_agree", oracle=None, check="prop")
+def wl_mllib_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19's DISTRIBUTED completion path (MLlib ALS, `complete.
+    mllib_als_complete`) exercised end-to-end against the driver-numpy
+    solver the sims run on: both complete the same seeded low-rank workload
+    and the gate reports the overlap of their top-k exploration selections
+    (`rank_cells_by_improvement`, LimeQO's selection core). One row:
+    (k, overlap, bar, ok).
+
+    Deliberately runs on a SEEDED SYNTHETIC workload, not the sf tables —
+    the gate checks MODEL agreement between two solvers of the same
+    objective, which must be deterministic and scale-independent (measured
+    0.667 at every MLlib seed tried; bar 0.5 leaves margin for partitioning
+    -dependent ALS numerics). The distributed solver never materializes a
+    matrix: observations stay a DataFrame, factors stay distributed, and
+    predictions come back as a DataFrame join (complete.py:160-205) — the
+    shape that still works when the workload matrix has millions of rows.
+    """
+    import numpy as np
+
+    from limeqo_spark.complete import complete_log_space, mllib_als_complete
+    from limeqo_spark.strategies import rank_cells_by_improvement
+    from limeqo_spark.workload import Workload
+
+    k = 24
+    wl = Workload.synthetic_low_rank(n_rows=120, n_cols=16, rank=3, seed=11, density=0.25)
+    mo = np.where(wl.mask > 0, wl.matrix, np.inf).min(axis=1)
+    driver_pred = complete_log_space(wl.matrix, wl.mask, None, rank=5, iters=50, lam=0.2, seed=0).completed
+    pp = mllib_als_complete(
+        spark, wl.to_long_df(spark), rank=5, iters=15, lam=0.2, seed=0
+    ).toPandas()
+    pred = np.full(wl.matrix.shape, np.inf)
+    v = pp["pred_latency"].to_numpy()
+    fin = np.isfinite(v)
+    pred[pp["query_idx"].to_numpy()[fin], pp["hint_id"].to_numpy()[fin]] = v[fin]
+    a = set(rank_cells_by_improvement(driver_pred, wl.mask, mo, k))
+    b = set(rank_cells_by_improvement(pred, wl.mask, mo, k))
+    overlap = len(a & b) / max(len(a), 1)
+    bar = 0.5
+    return spark.createDataFrame(
+        [(k, round(overlap, 4), bar, overlap >= bar)],
+        "k int, overlap double, bar double, ok boolean",
+    )

@@ -547,6 +547,70 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         return achieved >= 0.95 * perfect
 
 
+class MLlibLimeQOStrategy(LimeQOStrategy):
+    """The stated 100 TB completion path exercised END-TO-END (VERDICT r4
+    next-round #6): the exploration loop is LimeQO's, but ``fit()`` runs the
+    DISTRIBUTED MLlib ALS completer (:func:`limeqo_spark.complete.
+    mllib_als_complete`) over the long-form observations instead of the
+    driver-numpy solver. For matrices that fit one machine the numpy solver
+    is strictly faster (no JVM round-trip per refit); this class is the
+    drop-in for workload matrices that would NOT fit a driver (millions of
+    queries), and the agreement test/gate pins that both solvers drive the
+    same exploration.
+
+    The MLlib path is uncensored by construction (= the reference's
+    "wocensored" ablation; ALS ratings carry no inequality targets), so
+    ``use_censored`` is forced False. Timeout guards still apply through
+    ``tolerance()``. Cold cells (a hint column with no observation anywhere)
+    predict NaN under ``coldStartStrategy="nan"``; they are mapped to +inf —
+    never ranked, left to ``random_fill`` — rather than a fake number.
+    """
+
+    name = "limeqo_mllib"
+
+    def __init__(self, *args, spark=None, **kw):
+        kw["use_censored"] = False
+        super().__init__(*args, **kw)
+        if spark is None:
+            raise ValueError("MLlibLimeQOStrategy requires a live SparkSession")
+        self.spark = spark
+
+    def fit(self) -> None:
+        import pandas as pd
+
+        from limeqo_spark.complete import mllib_als_complete
+
+        st = self.state
+        q, h = self.wl.matrix.shape
+        qi, hi = np.meshgrid(np.arange(q), np.arange(h), indexing="ij")
+        obs = st.mask.ravel() > 0
+        pdf = pd.DataFrame(
+            {
+                "query_idx": qi.ravel().astype(np.int64),
+                "hint_id": hi.ravel().astype(np.int32),
+                "latency": np.where(obs, self.wl.matrix.ravel(), 0.0),
+                "observed": obs,
+            }
+        )
+        long_df = self.spark.createDataFrame(pdf)
+        pred_pdf = mllib_als_complete(
+            self.spark,
+            long_df,
+            rank=self.rank,
+            iters=min(self.iters, 15),
+            lam=self.lam,
+            seed=int(self.rng.integers(2**31)),
+        ).toPandas()
+        pred = np.full((q, h), np.inf)
+        vals = pred_pdf["pred_latency"].to_numpy()
+        keep = np.isfinite(vals)
+        pred[
+            pred_pdf["query_idx"].to_numpy()[keep],
+            pred_pdf["hint_id"].to_numpy()[keep],
+        ] = vals[keep]
+        self.pred = pred
+
+
 STRATEGIES = {
     s.name: s
     for s in (
