@@ -12,74 +12,76 @@ except ImportError:  # pragma: no cover
 
 from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 
-#: Rotation aliases (round 4). The driver's CORRECTNESS gate verifies the
+#: Rotation aliases (round 5). The driver's CORRECTNESS gate verifies the
 #: first 50 manifest entries in alphabetical order; each name below gets an
-#: ``a4_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
-#: builder/oracle, so the round-4 window verifies exactly the entries the
-#: driver has never seen (34: q72-q96 and the post-window pipeline rows)
-#: plus the seven whose only evidence is the round-1 window (q28-q34,
-#: rotated back in to keep the manifest's evidence fresh). Window math is
-#: computed against the live registry by ``scripts/rotation_plan.py`` —
-#: 44 aliases + the first 6 canonicals (``ann_* cdc_*`` incl. the
-#: never-checked ``ann_ivf_partitioned``) fill the 50 slots with zero
-#: never-driver-checked hash entries remaining. Canonical names stay
-#: registered; local tests skip the aliases (identical spec) to avoid
-#: double-running. Round-3's ``a3_``/``a4_`` alias blocks are deleted —
-#: CORRECTNESS_r03 shows all 50 green (46 hash + 4 rows-only PROP).
-ROTATION_ALIAS_PREFIX = "a4_"
+#: ``a5_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
+#: builder/oracle. Window computed by ``scripts/rotation_plan.py`` against
+#: the live registry + git history (VERDICT r4 next-round #1/#4): round 4's
+#: 44 ``a4_`` aliases are RETIRED (all targets now have r4 driver rows), and
+#: the r5 window covers (a) the 2 never-checked new gates
+#: (``ann_recall_gate`` naturally, ``limeqo_mllib_complete_agree`` via
+#: alias), (b) every entry whose implementing file changed after its last
+#: driver check — the whole ``ann_*`` family (similarity.py grew the recall
+#: gate) lands in the natural window, and the r4-rebanded
+#: ``dedup_embedding_cosine`` + r3-refactored ``dedup_minhash_lsh`` /
+#: ``dedup_cluster_canonical`` get aliases — and (c) the oldest driver rows
+#: (r1/r2 evidence: the dedup/limeqo_wl/mm families and q01-q22). Five
+#: unchanged r2-checked entries (q23-q27) don't fit the 50-slot window this
+#: round and roll to r6. Canonical names stay registered; local tests skip
+#: the aliases (identical spec) to avoid double-running.
+ROTATION_ALIAS_PREFIX = "a5_"
 #: every alias prefix in use this round (local tests skip all of them)
-ROTATION_ALIAS_PREFIXES = ("a4_",)
-_ROTATION_R4 = [
-    # never driver-checked: post-window pipeline rows
-    "corpus_mix_quota_threshold",
-    "corpus_pack_bins_sharded",
-    "corpus_shuffle_shards",
-    "corpus_sketch_profile",
-    "corpus_split_train_holdout",
-    "corpus_stats_card",
-    "corpus_temperature_resample",
-    "dedup_cluster_best_quality",
-    "dedup_substring_spans",
-    "mm_binaryfile_ingest",
-    "pipeline_e2e_curate",
-    "text_quality_classifier",
-    # r1-only evidence: rotate back in
-    "q28_string_battery",
-    "q29_date_battery",
-    "q30_math_battery",
-    "q31_array_explode",
-    "q32_struct_battery",
-    "q33_json_extract",
-    "q34_conditional_null",
-    # never driver-checked: q72-q96
-    "q72_tpch_q8_market_share",
-    "q73_tpch_q9_product_profit",
-    "q74_tpch_q11_important_stock",
-    "q75_tpch_q13_customer_distribution",
-    "q76_tpch_q14_promo_revenue",
-    "q77_tpch_q15_top_supplier",
-    "q78_tpch_q16_supplier_part_counts",
-    "q79_tpch_q20_part_promotion",
-    "q80_tpch_q21_waiting_suppliers",
-    "q81_tpch_q22_global_sales_opportunity",
-    "q82_stream_static_enrich",
-    "q83_time_range_window",
-    "q84_orc_sink_roundtrip",
-    "q85_schema_evolution_merge",
-    "q86_stream_incremental_dedup",
-    "q87_compact_small_files",
-    "q88_xml_source",
-    "q89_text_source_lines",
-    "q90_try_arithmetic",
-    "q91_dynamic_partition_overwrite",
-    "q92_unpivot_melt",
-    "q93_forward_fill",
-    "q94_null_safe_join",
-    "q95_map_battery",
-    "q96_stream_neardup_minhash",
+ROTATION_ALIAS_PREFIXES = ("a5_",)
+_ROTATION_R5 = [
+    # never driver-checked (new this round)
+    "limeqo_mllib_complete_agree",
+    # changed after last driver row (r4 reband / r3 shared-minhash refactor)
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
+    # oldest driver rows (r1/r2 evidence)
+    "cdc_upsert_latest",
+    "dedup_exact_keep_first",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "limeqo_wl_argmin_per_query",
+    "limeqo_wl_default_vs_opt",
+    "limeqo_wl_equivalence_groups",
+    "limeqo_wl_min_observed",
+    "limeqo_wl_percentiles",
+    "limeqo_wl_topk_improvement",
+    "mm_binary_metadata",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize",
+    "q01_parquet_scan_checksum",
+    "q02_csv_roundtrip",
+    "q03_json_props",
+    "q04_parquet_sink_roundtrip",
+    "q05_projection_charge",
+    "q06_compound_filter",
+    "q07_broadcast_join",
+    "q08_sortmerge_join",
+    "q09_shufflehash_join",
+    "q10_cross_join",
+    "q11_nonequi_join",
+    "q12_left_join",
+    "q12b_right_join",
+    "q12c_full_join",
+    "q13_semi_anti_join",
+    "q14_asof_join",
+    "q15_star_join",
+    "q16_tpch_q1_agg",
+    "q17_count_distinct",
+    "q18_approx_count_distinct",
+    "q19_rollup",
+    "q20_partial_agg_plan",
+    "q21_sort_limit",
+    "q22_topk_by_spend",
 ]
 
-for _name in _ROTATION_R4:
+for _name in _ROTATION_R5:
     _spec = REGISTRY[_name]
     _alias = ROTATION_ALIAS_PREFIX + _name
     REGISTRY[_alias] = QuerySpec(

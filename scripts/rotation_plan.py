@@ -3,10 +3,22 @@
 
 The grading driver's CORRECTNESS gate verifies the FIRST 50 manifest
 entries in alphabetical order. This script computes, against the LIVE
-registry and the accumulated CORRECTNESS_r*.json history, which entries
-have never (or least recently) been driver-verified, and solves for the
-minimal alias set (prefix sorts ahead of every canonical name) that puts
-all of them inside the 50-slot window.
+registry, the accumulated CORRECTNESS_r*.json history, AND git history,
+which entries most need a fresh driver row, and solves for the minimal
+alias set (prefix sorts ahead of every canonical name) that puts all of
+them inside the 50-slot window.
+
+Freshness keys, in priority order (VERDICT r4 next-round #1):
+  1. never   — no driver row in any round;
+  2. changed — the entry's implementing file has a commit AFTER the
+     end-of-round snapshot of the round that last checked it (the code
+     the driver verified is not the code in the tree);
+  3. stale   — last driver row is >= 2 rounds old (evidence rot).
+
+"changed" is computed from git: each registered builder resolves to its
+source file (inspect), the file's last-touching commit is compared
+against the ``round N: end-of-round snapshot`` boundary commit of the
+entry's last-checked round with ``git merge-base --is-ancestor``.
 
 Run it whenever manifest entries are added/removed, and paste the emitted
 list into ``limeqo_spark.manifest._ROTATION_R<N>``.
@@ -18,11 +30,56 @@ from __future__ import annotations
 
 import argparse
 import glob
+import inspect
 import json
 import os
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=False
+    ).stdout.strip()
+
+
+def round_boundaries() -> dict[int, str]:
+    """Round -> the end-of-round snapshot commit the driver checked at."""
+    out: dict[int, str] = {}
+    log = _git("log", "--format=%H %s")
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        if subject.startswith("round ") and "end-of-round snapshot" in subject:
+            try:
+                rnd = int(subject.split()[1].rstrip(":"))
+            except ValueError:
+                continue
+            out.setdefault(rnd, sha)  # log is newest-first; keep the newest
+    return out
+
+
+def entry_source_file(spec) -> str | None:
+    try:
+        f = inspect.getsourcefile(spec.builder)
+        return os.path.relpath(f, REPO) if f else None
+    except TypeError:
+        return None
+
+
+def changed_after(sha_boundary: str, path: str) -> bool:
+    """True when ``path`` has a commit NOT reachable from the boundary."""
+    last = _git("log", "-1", "--format=%H", "--", path)
+    if not last:
+        return False  # untracked/new file: counted as never-checked instead
+    rc = subprocess.run(
+        ["git", "merge-base", "--is-ancestor", last, sha_boundary],
+        cwd=REPO,
+        capture_output=True,
+    ).returncode
+    return rc != 0
 
 
 def main() -> None:
@@ -35,7 +92,7 @@ def main() -> None:
 
     known_prefixes = tuple(sorted({f"a{i}_" for i in range(3, 10)}))
     checked_round: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         for key in json.load(open(path)):
             name = key
@@ -47,31 +104,56 @@ def main() -> None:
     canon = sorted(n for n in m.REGISTRY if not n.startswith(known_prefixes))
     never = [n for n in canon if n not in checked_round]
     latest = max(checked_round.values(), default=0)
-    stale = [n for n in canon if 0 < checked_round.get(n, 0) <= latest - 2]
 
-    want = set(never) | set(stale)
-    aliases: set[str] = set()
-    for _ in range(len(canon)):
-        natural = set(canon[: args.window - len(aliases)])
-        new = {n for n in want if n not in natural}
-        if new == aliases:
+    boundaries = round_boundaries()
+    changed: list[str] = []
+    for n in canon:
+        rnd = checked_round.get(n)
+        if not rnd:
+            continue
+        boundary = boundaries.get(rnd)
+        src = entry_source_file(m.REGISTRY[n])
+        if boundary and src and changed_after(boundary, src):
+            changed.append(n)
+
+    stale = [
+        n
+        for n in canon
+        if 0 < checked_round.get(n, 0) <= latest - 2 and n not in changed
+    ]
+
+    want: list[str] = list(never)
+    for group in (changed, stale):
+        for n in group:
+            if n not in want:
+                want.append(n)
+
+    # fit: aliases sort ahead of canon; the rest of the window is the canon
+    # prefix. Drop lowest-priority (stale tail) names if the window is tight.
+    while True:
+        aliases: set[str] = set()
+        for _ in range(len(canon) + 1):
+            natural = set(canon[: args.window - len(aliases)])
+            new = {n for n in want if n not in natural}
+            if new == aliases:
+                break
+            aliases = new
+        natural_list = canon[: args.window - len(aliases)]
+        uncovered = [n for n in want if n not in aliases and n not in natural_list]
+        if not uncovered:
             break
-        aliases = new
-    natural = canon[: args.window - len(aliases)]
-    uncovered = [n for n in want if n not in aliases and n not in natural]
+        dropped = want.pop()  # lowest-priority tail
+        print(f"note: window full, dropping stale '{dropped}'", file=sys.stderr)
 
     report = {
         "registry_size": len(canon),
         "never_checked": never,
-        "stale (last check <= r%d)" % (latest - 2): stale,
+        "changed_after_last_check": changed,
+        f"stale (last check <= r{latest - 2})": stale,
         "aliases_needed": sorted(aliases),
-        "natural_window": natural,
-        "uncovered": uncovered,
+        "natural_window": natural_list,
     }
     print(json.dumps(report, indent=2))
-    if uncovered:
-        print("ERROR: window cannot cover all targets; widen --window or drop stale", file=sys.stderr)
-        sys.exit(1)
 
 
 if __name__ == "__main__":
