@@ -513,15 +513,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= 0.95 over a corpus with planted
     exact copies. Round 4: the all-pairs crossJoin is retired — candidates
-    come from SRP-LSH banding with 64 seeded hyperplanes cut into 4 bands
-    x 16 bits: only pairs agreeing on at least one full band are exactly
-    re-scored. Band keys carry 16 bits (65536 buckets/band), so expected
-    bucket size is ~N/65536 on diverse data — candidate pairs stay
-    ~linear in N plus the semantic dup-group quadratic (the pairs you
-    actually want); the first cut of this used ``ann_lsh_bucketed``'s
-    4-bit bands (16 buckets/band), which is fine for 10 probes but
-    ~N^2/64 for all-pairs dedup — a hidden scale-killer the x4 replica
-    probe exposed at ratio 6.9. The ORACLE stays ground-truth all-pairs:
+    come from SRP-LSH banding (seeded hyperplanes, 4 bands): only pairs
+    agreeing on at least one full band are exactly re-scored. Round 5: the
+    band width ADAPTS to the corpus — bits = max(8, ceil(log2(4N))), i.e.
+    buckets/band >= 4N — keeping expected bucket occupancy <= 1/4 and the
+    random-collision candidate term O(N) at any scale (a fixed 16-bit key
+    is N^2/65536: the x16 replica probe measured wall ratio ~3.0 once N
+    outgrew the bucket count; the r4 4-bit first cut was ~N^2/64, ratio
+    6.9 at x4). The ORACLE stays ground-truth all-pairs:
     exact copies have identical sign patterns so recall is 1.0 by
     construction on the planted pairs (fixture max cross-cosine ~0.51 is
     far below threshold), and the driver hash-match doubles as that
@@ -529,16 +528,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, per-band match probability is (1-theta/pi)^16 — the
     standard LSH recall/bucket-size trade. Built-in higher-order
     functions only (zip_with/aggregate — JVM-side)."""
+    import math
+
     from limeqo_spark.pipeline.similarity import _hyperplanes
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    e = e.unionByName(
-        e.filter(F.col("vec_id") < 20).select(
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = base.unionByName(
+        base.filter(F.col("vec_id") < 20).select(
             (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
         )
     )
-    n_planes, n_bands = 64, 4
-    bits = n_planes // n_bands
+    # Band width SCALES WITH THE CORPUS (round 5; x16 replica probe): with a
+    # fixed 16-bit key the random-collision candidate term is N^2/65536 per
+    # band — "linear plus true dups" only while N << 65536 (the probe
+    # measured wall ratio ~3.0 at x16 even with clone copies perturbed out
+    # of the dup threshold). Sizing buckets to >= 4N keeps expected bucket
+    # occupancy <= 1/4, so random collisions stay O(N) at ANY corpus size —
+    # at 10^9 vectors this dials itself to 32-bit bands (128 planes), the
+    # same log2(N) rule FAISS-style LSH tables apply. Correctness is
+    # unaffected by the width: the oracle is all-pairs ground truth, exact
+    # copies share every sign pattern (recall 1.0 by construction), and the
+    # fixture's max natural cross-cosine ~0.51 is far below the 0.95
+    # threshold. The count() is one metadata-cheap scan of the dedup input.
+    n_rows = base.count() + 20
+    n_bands = 4
+    bits = max(8, math.ceil(math.log2(4 * n_rows)))
+    n_planes = n_bands * bits
     planes = _hyperplanes(n_planes=n_planes, seed=11)
     plane_lits = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in planes])
     # one 16-bit key per band, each from its own 16 planes (bigint-safe)

@@ -63,7 +63,34 @@ DEFAULT_QUERIES = [
 ]
 
 
-def build_replica(spark, out_dir: str, n: int) -> None:
+#: per-element pseudo-noise amplitude (x vector norm). With ~64 dims and
+#: E[sin^2] ~ 0.5 the noise norm is ~amp*sqrt(32) ~ 0.75 x the vector norm,
+#: putting original-vs-perturbed cosine near 1/sqrt(1+0.75^2) ~ 0.8 — far
+#: under the 0.95 near-dup threshold, and perturbed-vs-perturbed (independent
+#: per-replica noise) lower still.
+PERTURB_AMP = 0.1326
+
+
+def _perturb_embedding_expr(rep: int):
+    """Deterministic per-replica perturbation of the embedding array: each
+    replica's copy is pushed BELOW the near-dup cosine threshold, so a
+    perturbed replica probe measures candidate-generation/plan scaling
+    instead of the clone-group quadratic (exact replication makes every
+    row a true near-dup of its n copies — semantic output, not plan)."""
+    from pyspark.sql import functions as F
+
+    hash_arg = f"CAST((vec_id % 100000) * 131 + i * 17 + {rep} * 7919 AS DOUBLE)"
+    return F.expr(
+        "transform(embedding, (x, i) -> CAST("
+        f" CAST(x AS DOUBLE) + {PERTURB_AMP}"
+        " * sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        "        (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        f" * sin({hash_arg} * 12.9898)"
+        " AS FLOAT))"
+    )
+
+
+def build_replica(spark, out_dir: str, n: int, perturb_embeddings: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from limeqo_spark.io import table
@@ -78,6 +105,8 @@ def build_replica(spark, out_dir: str, n: int) -> None:
                 for col, step in OFFSETS[t].items():
                     if step:
                         p = p.withColumn(col, F.col(col) + F.lit(rep * step))
+                if t == "embeddings" and perturb_embeddings and rep > 0:
+                    p = p.withColumn("embedding", _perturb_embedding_expr(rep))
                 parts.append(p)
             out = parts[0]
             for p in parts[1:]:
@@ -102,18 +131,21 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    argv = [a for a in sys.argv[1:] if a != "--perturb-embeddings"]
+    perturb = "--perturb-embeddings" in sys.argv[1:]
+    n = int(argv[0]) if argv else 4
+    names = argv[1:] or DEFAULT_QUERIES
     from limeqo_spark.session import get_spark
 
     spark = get_spark("scale_probe", master=f"local[{os.cpu_count()}]")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up
     replica = f"/tmp/limeqo_scale/x{n}"
-    build_replica(spark, replica, n)
+    build_replica(spark, replica, n, perturb_embeddings=perturb)
     base = time_queries(spark, BASE, names)
     big = time_queries(spark, replica, names)
     report = {
         "replication": n,
+        "perturb_embeddings": perturb,
         "queries": {
             q: {
                 "x1_s": base[q],
