@@ -215,3 +215,29 @@ def test_limeqo_noise_robustness(job):
     deployed = float(true[np.arange(len(choice)), choice].sum())
     assert job.opt_time - 1e-6 <= deployed <= job.default_time + 1e-6
     assert deployed < 0.75 * job.default_time
+
+
+def test_tcnn_budget_rationality_cap(job):
+    """The TCNN explorer must never grant a single measurement more than
+    tolerance_budget_frac of the exploration budget (the r5 robustness fix:
+    docs/tcnn_rescue_r5.json); the ALS strategies keep the reference's
+    exact guard, and an unbudgeted TCNN run is uncapped."""
+    from limeqo_spark.strategies import LimeQOPlusStrategy
+
+    budget = 90.0
+    tcnn = LimeQOPlusStrategy(job, model="tcnn", net_seed=1, time_budget=budget)
+    tcnn.pred = np.full(job.matrix.shape, 1e9)  # absurd predictions
+    cap = tcnn.tolerance_budget_frac * budget
+    # a row whose current best alone exceeds the cap: the reference guard
+    # (alpha * base) would grant more than the cap there
+    base = np.where(job.mask > 0, job.matrix, np.inf).min(axis=1)
+    heavy = int(np.argmax(np.where(np.isfinite(base), base, -np.inf)))
+    assert base[heavy] > cap, "fixture sanity: JOB has a heavy row"
+    for i in (0, heavy):
+        assert tcnn.tolerance(i, 1) <= cap + 1e-9
+    als = LimeQOPlusStrategy(job, time_budget=budget)
+    als.pred = np.full(job.matrix.shape, 1e9)
+    assert als.tolerance(heavy, 1) > cap  # ALS path: reference guard untouched
+    free = LimeQOPlusStrategy(job, model="tcnn", net_seed=1)
+    free.pred = np.full(job.matrix.shape, 1e9)
+    assert free.tolerance(heavy, 1) > cap  # no budget, no cap
