@@ -405,6 +405,10 @@ class LimeQOPlusStrategy(LimeQOStrategy):
       the nine-unselected-init spread to median 1.346 h / mean 1.52 h.
       With ``net_seed`` pinned a run is deterministic (the improvement
       ranking fills every batch, so the exploration rng never fires).
+      Round-5 mitigation for the slow-divergence mode the stall trigger
+      misses: the per-measurement budget-rationality cap (see
+      :meth:`tolerance` and docs/tcnn_rescue_r5.json) — worst-of-5 fixed
+      inits 2.02 -> 1.50 h at CEB@0.75h, median 1.377 h.
       Also the live-mode model, where the TCNN gets REAL plan trees
       (:meth:`limeqo_spark.live.LiveSteeringSession.explore`).
     """
