@@ -45,6 +45,8 @@ PROP_MIN_ROWS = {
     "q44d_stream_dedup_watermark": 1,
     "q63_stratified_sample": 5,
     "q64_sized_file_sink": 1,
+    "ann_recall_gate": 5,
+    "limeqo_mllib_complete_agree": 1,
 }
 
 
