@@ -268,7 +268,7 @@ def main() -> None:
     # checkpoint scalars fit comfortably; everything else is on disk.
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs"), exist_ok=True)
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_full_r4.json"
+        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_full_r5.json"
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
@@ -278,7 +278,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: v for k, v in timings.items() if not k.startswith("sim_")},
         "sf": SF_DIR,
-        "full_payload": "docs/bench_full_r4.json",
+        "full_payload": "docs/bench_full_r5.json",
     }
     compact.update({k: v for k, v in sim.items() if isinstance(v, (int, float))})
     print(json.dumps(compact))
