@@ -1,0 +1,184 @@
+"""Scale-technique operators (beyond SURVEY §2B): the join/layout patterns
+that keep a 100 TB pipeline off the cluster's worst paths.
+
+Two techniques, each with an exact SQL oracle (the technique changes the
+PLAN, never the result):
+
+  - q97: runtime Bloom-filter semi-join pruning — when the dim side is too
+    big to broadcast, Spark's row-level runtime filtering builds a compact
+    Bloom filter from the creation side and pushes ``might_contain`` into
+    the fact scan, so the shuffle only carries rows that can possibly match.
+  - q99: Z-order (interleaved-bit) layout — multidimensional clustering so
+    a 2-D box predicate touches a small fraction of files/row groups.
+
+(The third classic lever, salting a hot join key, has been registered since
+round 2 as ``skew_salted_join`` via :func:`limeqo_spark.skew.salted_join`,
+with the AQE-runtime half pinned by ``test_aqe_skew_join_fires_on_hot_key``.)
+
+No reference counterpart (zixy17/LimeQO has no relational executor — its
+core is the workload matrix loop, ``src/strategies/*.py``); these extend the
+engine the way its 100 TB deployment would need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import scratch_dir, table
+from limeqo_spark.relational.queries_scan_join import dec_sum
+from limeqo_spark.relational.registry import query
+
+#: bits per dimension interleaved into the q99 Z-value; each dimension is
+#: min/max-normalized into [0, 2^Z_BITS) first, so any domain size works
+#: (raw custkey would overflow 16 bits past ~sf0.4). The Z-value stays
+#: < 2^32 and 65536 bins per dimension is far finer than any file split.
+Z_BITS = 16
+
+
+@query(
+    "q97_bloom_semijoin",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semi-join: lineitem ⋉ urgent orders with the
+    broadcast path disabled — the 100 TB case where BOTH sides are fact-
+    sized. Spark's runtime row-level filtering aggregates a Bloom filter
+    over the creation side (``bloom_filter_agg``) and injects
+    ``might_contain(xxhash64(l_orderkey))`` into the lineitem SCAN, so the
+    sort-merge shuffle moves only possibly-matching rows; the join itself
+    then removes the false positives, which is why the result is exactly
+    the plain semi-join and the oracle needs no Bloom semantics.
+
+    Scale (100 TB): the Bloom filter is a few MB regardless of fact size
+    (1M items / 8M bits here), vs shuffling the full fact table; this is
+    the declarative alternative to hand-building a filter with
+    ``df.stat.bloomFilter`` + a Python UDF (driver round-trip, slow path).
+    Plan-gated in tests: ``might_contain`` must appear in the lineitem
+    scan's pushed filter chain.
+
+    Conf isolation: the plan is OPTIMIZED lazily at action time, so a
+    set-then-restore around the builder would restore the defaults before
+    the Bloom rule ever runs. The builder instead returns a DataFrame bound
+    to a ``newSession()`` clone — same executors and catalog, independent
+    runtime conf — with the three knobs pinned for this query's lifetime."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    li = table(s, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    urgent = (
+        table(s, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pruned = li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+    return pruned.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum("l_extendedprice", alias="revenue"),
+    )
+
+
+def zvalue(x: F.Column, y: F.Column, bits: int = Z_BITS) -> F.Column:
+    """Interleave the low ``bits`` of two non-negative ints into a Z-curve
+    value (x in even bit positions, y in odd): a pure-expression Morton
+    code, JVM-side and codegen-friendly — no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def normalized(c: F.Column, lo: float, hi: float, bits: int = Z_BITS) -> F.Column:
+    """Min/max-bin a dimension into [0, 2^bits) — the range-binning step of
+    ZORDER clustering, making the interleave domain-size independent."""
+    span = max(float(hi) - float(lo), 1.0)
+    return F.least(
+        F.lit((1 << bits) - 1),
+        F.floor((c.cast("double") - F.lit(float(lo))) * ((1 << bits) - 1) / span),
+    ).cast("long")
+
+
+@query(
+    "q99_zorder_box_query",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS spend,
+           CAST(MIN(o_orderkey) AS BIGINT) AS mn,
+           CAST(MAX(o_orderkey) AS BIGINT) AS mx
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 400
+      AND CAST(o_orderdate AS DATE) BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + 2-D box query: rewrite orders clustered by the
+    Morton interleave of (o_custkey, day index), then answer a box
+    predicate over BOTH dimensions from the re-laid-out copy. A 1-D sort
+    can localize one dimension only; the Z-curve localizes both, so each
+    output file covers a narrow (custkey × date) rectangle and the box
+    query's pushed-down min/max stats skip most row groups. The layout
+    never changes row content, so the oracle is the box query on the
+    original table.
+
+    Both dimensions are min/max-binned into 16 bits first (one bounded
+    4-scalar aggregate — the range-binning step every ZORDER
+    implementation performs), then ``repartitionByRange(zval)`` samples
+    the Z-value distribution for balanced cuts (the same mechanism at
+    1000 executors), and ``sortWithinPartitions`` makes every parquet row
+    group's (custkey, date) stats tight. Pruning is asserted in tests
+    from the parquet footers: the fraction of z-laid-out files whose
+    stats intersect the box must be well under the natural layout's
+    (which is ~all files, custkey being independent of insert order).
+
+    Scale (100 TB): this is what OPTIMIZE ZORDER BY does in lakehouse
+    table formats; on plain parquet the same skipping happens per row
+    group via pushed filters. 32 output files here stand in for the
+    thousands a real table would split into."""
+    day0 = F.lit("1992-01-01").cast("date")
+    src = table(spark, sf_dir, "orders").withColumn(
+        "_day", F.datediff(F.col("o_orderdate").cast("date"), day0).cast("long")
+    )
+    b = src.agg(
+        F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
+        F.min("_day").alias("dl"), F.max("_day").alias("dh"),
+    ).first()
+    o = src.withColumn(
+        "zval",
+        zvalue(
+            normalized(F.col("o_custkey"), b["cl"], b["ch"]),
+            normalized(F.col("_day"), b["dl"], b["dh"]),
+        ),
+    ).drop("_day")
+    out = scratch_dir(prefix="limeqo_q99_")
+    o.repartitionByRange(32, "zval").sortWithinPartitions("zval").write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    box = back.filter(
+        (F.col("o_custkey").between(100, 400))
+        & (
+            F.col("o_orderdate")
+            .cast("date")
+            .between(F.lit("1997-01-01").cast("date"), F.lit("1997-12-31").cast("date"))
+        )
+    )
+    return box.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum("o_totalprice", alias="spend"),
+        F.min("o_orderkey").cast("bigint").alias("mn"),
+        F.max("o_orderkey").cast("bigint").alias("mx"),
+    )
