@@ -8,6 +8,7 @@ driver hash-compares against.
 
 from limeqo_spark.relational import (  # noqa: F401  (import for registration side-effect)
     queries_agg_window,
+    queries_events,
     queries_functions,
     queries_scale,
     queries_scan_join,

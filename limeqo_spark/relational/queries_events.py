@@ -1,0 +1,253 @@
+"""Batch event-analytics operators over the ``events`` table: gap
+sessionization, ordered funnel, cohort retention — the standard
+clickstream shapes a training-data pipeline runs before user-level
+filtering or weighting. (The streaming analogs are q44c's session window
+and q45's stateful totals; these are the backfill forms.)
+
+Determinism: timestamps never leave a query raw (FIXTURES.md §3) — event
+time becomes epoch seconds/microseconds via ``io.epoch_us`` on the Spark
+side and ``epoch_ns(ts)`` arithmetic in DuckDB; money becomes integer
+cents. Orderings always end on a unique key.
+
+No reference counterpart (zixy17/LimeQO's core is the workload-matrix
+loop); these extend the relational surface the way its deployment would
+need, like `queries_scale.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import epoch_us, table
+from limeqo_spark.relational.registry import query
+
+#: a silence longer than this starts a new session (the classic 30 min)
+SESSION_GAP_S = 1800
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (epoch_us("ts") / F.lit(1_000_000)).cast("bigint").alias("ts_s"),
+        epoch_us("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+
+@query(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    lagged AS (
+      SELECT *,
+             CASE WHEN LAG(ts_s) OVER w IS NULL
+                    OR ts_s - LAG(ts_s) OVER w > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM lagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts_s) AS BIGINT) AS start_s,
+           CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS dur_s,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM sess GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30 min silence starts a new session.
+    The lag-flag-cumsum idiom — one window shuffle keyed by user_id
+    (high-cardinality, so it spreads across 1000 executors), then a
+    groupBy on (user, session) that reuses the same partitioning, so
+    Catalyst plans a single Exchange for the whole chain. Session ids are
+    per-user ordinals (1, 2, ...), not global — global ids would need a
+    second, total-order shuffle that nothing downstream wants.
+
+    Scale (100 TB): this is THE clickstream building block; the
+    alternative people reach for — ``applyInPandas`` per user — moves
+    every byte through Arrow for logic that two window functions express
+    JVM-side. Streaming analog: q44c's native session window."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    new_s = (
+        F.when(
+            F.lag("ts_s").over(w).isNull()
+            | (F.col("ts_s") - F.lag("ts_s").over(w) > SESSION_GAP_S),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s")
+    )
+    sess = ev.select("user_id", "event_id", "ts_s", "cents", new_s).withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts_s").cast("bigint").alias("start_s"),
+            (F.max("ts_s") - F.min("ts_s")).cast("bigint").alias("dur_s"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .withColumn("session_idx", F.col("session_idx").cast("bigint"))
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@query(
+    "events_funnel_stages",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(epoch_ns(ts) // 1000) AS us
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts) // 1000) AS us
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) // 1000 > t1.us
+      GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts) // 1000) AS us
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > t2.us
+      GROUP BY 1
+    )
+    SELECT stage, users FROM (
+      SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM t1
+      UNION ALL
+      SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM t2
+      UNION ALL
+      SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM t3
+    ) ORDER BY stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user advances a stage
+    only with an event STRICTLY AFTER their previous stage's first event
+    (the part naive ``COUNT(DISTINCT user)``-per-type funnels get wrong —
+    a purchase before the first view must not count). Three chained
+    (filter → per-user min → join) hops; each per-user stage frame is at
+    most one row per user, so every join broadcasts and the event table
+    is scanned once per stage with the type filter pushed down.
+
+    Scale (100 TB): stage frames shrink monotonically (users, then
+    converting users, ...) — the joins get cheaper down the funnel; no
+    window over the full event stream is ever needed."""
+    ev = _ev(spark, sf_dir)
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("us1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter(F.col("ts_us") > F.col("us1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("us2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(F.col("ts_us") > F.col("us2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("us3"))
+    )
+    stages = [("1_view", t1), ("2_click", t2), ("3_purchase", t3)]
+    frames = [
+        t.agg(F.count("*").cast("bigint").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+        for name, t in stages
+    ]
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionAll(f_)
+    return out.orderBy("stage")
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) // 7
+               AS cohort_w
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT user_id,
+             DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS w
+      FROM events
+    ),
+    sizes AS (
+      SELECT cohort_w, CAST(COUNT(*) AS BIGINT) AS cohort_n
+      FROM firsts GROUP BY 1
+    )
+    SELECT f.cohort_w,
+           a.w - f.cohort_w AS offset_w,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+           CAST(FLOOR(10000.0 * COUNT(DISTINCT a.user_id)
+                      / CAST(MIN(s.cohort_n) AS DOUBLE)) AS BIGINT)
+             AS retention_bps
+    FROM activity a
+    JOIN firsts f USING (user_id)
+    JOIN sizes s ON s.cohort_w = f.cohort_w
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week (anchored at
+    the corpus epoch 2024-01-01), then for each (cohort, week-offset)
+    cell the share of the cohort still active. The per-user firsts frame
+    and the cohort-size frame are both tiny (≤ one row per user / per
+    week), so they broadcast onto the distinct (user, week) activity
+    set; the only full-data shuffles are the two user-keyed aggregates.
+
+    Scale (100 TB): the activity DISTINCT is the dominant shuffle and is
+    exactly one pass; a 52×52 retention triangle never needs the raw
+    events again once (user, week) is materialized."""
+    day0 = F.lit("2024-01-01").cast("date")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.datediff(F.col("ts").cast("date"), day0) / 7)
+        .cast("bigint")
+        .alias("w"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    activity = ev.distinct()
+    sizes = firsts.groupBy("cohort_w").agg(F.count("*").cast("bigint").alias("cohort_n"))
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .join(F.broadcast(sizes), "cohort_w")
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("offset_w"))
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("active_users"),
+            # basis points via FLOOR, not ROUND: Spark rounds doubles
+            # HALF_UP on the shortest repr, DuckDB on the true binary
+            # value — floor of the identical double is engine-independent
+            F.floor(
+                10000.0 * F.count_distinct("user_id") / F.min("cohort_n").cast("double")
+            )
+            .cast("bigint")
+            .alias("retention_bps"),
+        )
+        .orderBy("cohort_w", "offset_w")
+    )
