@@ -534,3 +534,18 @@ def test_q99_zorder_layout_prunes_box(spark, tmp_path):
     n_hit, n_tot = intersecting(ndir)
     assert n_hit >= 0.9 * n_tot, f"natural layout unexpectedly selective: {n_hit}/{n_tot}"
     assert z_hit <= 0.4 * z_tot, f"z-order layout failed to localize the box: {z_hit}/{z_tot}"
+
+
+def test_sessionize_single_hash_exchange(spark):
+    """events_sessionize_gap's claim: the lag window, the cumsum window and
+    the (user, session) rollup all reuse ONE user-keyed hash exchange —
+    Catalyst must not re-shuffle between them. (The trailing range
+    exchange is the final ORDER BY, not a data-sized shuffle.)"""
+    import re
+
+    df = REGISTRY["events_sessionize_gap"].builder(spark, SF)
+    df.collect()
+    # AdaptiveSparkPlan prints Final + Initial sections; count the final only
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
