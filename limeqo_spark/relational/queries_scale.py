@@ -111,6 +111,58 @@ def normalized(c: F.Column, lo: float, hi: float, bits: int = Z_BITS) -> F.Colum
     ).cast("long")
 
 
+def zorder_write_orders(
+    spark: SparkSession, sf_dir: str, out: str, files: int = 32
+) -> None:
+    """Write orders Z-ordered by (o_custkey, day index): min/max-bin both
+    dimensions (one bounded 4-scalar aggregate), Morton-interleave, range-
+    partition on the Z-value and sort within partitions so every row
+    group's stats are tight. Shared by q99 and the scale_pruning_gate."""
+    day0 = F.lit("1992-01-01").cast("date")
+    src = table(spark, sf_dir, "orders").withColumn(
+        "_day", F.datediff(F.col("o_orderdate").cast("date"), day0).cast("long")
+    )
+    b = src.agg(
+        F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
+        F.min("_day").alias("dl"), F.max("_day").alias("dh"),
+    ).first()
+    o = src.withColumn(
+        "zval",
+        zvalue(
+            normalized(F.col("o_custkey"), b["cl"], b["ch"]),
+            normalized(F.col("_day"), b["dl"], b["dh"]),
+        ),
+    ).drop("_day")
+    o.repartitionByRange(files, "zval").sortWithinPartitions("zval").write.mode(
+        "overwrite"
+    ).parquet(out)
+
+
+def box_intersect_fraction(layout_dir: str) -> tuple[int, int]:
+    """(intersecting, total) row groups whose (o_custkey, o_orderdate)
+    footer stats intersect the q99 box — driver-side parquet-metadata
+    inspection (bounded: one footer per file, no data read), the same
+    skipping decision a stats-aware reader makes."""
+    import datetime
+    import glob
+
+    import pyarrow.parquet as pq
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1997, 12, 31, 23, 59, 59)
+    hit = tot = 0
+    for f in glob.glob(f"{layout_dir}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci_c, ci_d = names.index("o_custkey"), names.index("o_orderdate")
+        for rg in range(md.num_row_groups):
+            tot += 1
+            sc = md.row_group(rg).column(ci_c).statistics
+            sd = md.row_group(rg).column(ci_d).statistics
+            hit += sc.min <= 400 and sc.max >= 100 and sd.min <= hi and sd.max >= lo
+    return hit, tot
+
+
 @query(
     "q99_zorder_box_query",
     oracle="""
@@ -148,25 +200,8 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     table formats; on plain parquet the same skipping happens per row
     group via pushed filters. 32 output files here stand in for the
     thousands a real table would split into."""
-    day0 = F.lit("1992-01-01").cast("date")
-    src = table(spark, sf_dir, "orders").withColumn(
-        "_day", F.datediff(F.col("o_orderdate").cast("date"), day0).cast("long")
-    )
-    b = src.agg(
-        F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
-        F.min("_day").alias("dl"), F.max("_day").alias("dh"),
-    ).first()
-    o = src.withColumn(
-        "zval",
-        zvalue(
-            normalized(F.col("o_custkey"), b["cl"], b["ch"]),
-            normalized(F.col("_day"), b["dl"], b["dh"]),
-        ),
-    ).drop("_day")
     out = scratch_dir(prefix="limeqo_q99_")
-    o.repartitionByRange(32, "zval").sortWithinPartitions("zval").write.mode(
-        "overwrite"
-    ).parquet(out)
+    zorder_write_orders(spark, sf_dir, out)
     back = spark.read.parquet(out)
     box = back.filter(
         (F.col("o_custkey").between(100, 400))
@@ -181,4 +216,40 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("o_totalprice", alias="spend"),
         F.min("o_orderkey").cast("bigint").alias("mn"),
         F.max("o_orderkey").cast("bigint").alias("mx"),
+    )
+
+
+@query("scale_pruning_gate", oracle=None, check="prop")
+def scale_pruning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible gate for the scan-pruning techniques (the pattern
+    ``ann_recall_gate`` set): one (technique, value, bar, ok) row each —
+
+    - ``bloom_semijoin_injected``: q97's optimized plan must contain the
+      runtime ``bloom_filter_agg`` reduction (value 1.0 = injected). Plan
+      inspection is driver-side and bounded, like ``bucketing.py``'s.
+    - ``zorder_box_intersect_ratio``: fraction of Z-laid-out row groups
+      whose footer stats intersect the q99 box, relative to the natural
+      layout's fraction — measured from the parquet footers the way a
+      stats-aware reader would. Must be <= 0.5 (measured ~0.16 at sf0.01).
+
+    A pruning regression (rule disabled, layout degraded, binning broken)
+    shows up as ``ok=false`` rows in the driver's rows-only PROP check
+    instead of living only in local tests."""
+    plan = q97(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+    bloom = 1.0 if "bloom_filter_agg" in plan else 0.0
+
+    zdir = scratch_dir(prefix="limeqo_gate_z_")
+    ndir = scratch_dir(prefix="limeqo_gate_n_")
+    zorder_write_orders(spark, sf_dir, zdir)
+    table(spark, sf_dir, "orders").repartition(32).write.mode("overwrite").parquet(ndir)
+    zh, zt = box_intersect_fraction(zdir)
+    nh, nt = box_intersect_fraction(ndir)
+    ratio = (zh / zt) / max(nh / nt, 1e-9)
+
+    rows = [
+        ("bloom_semijoin_injected", bloom, 1.0, bloom >= 1.0),
+        ("zorder_box_intersect_ratio", round(ratio, 4), 0.5, ratio <= 0.5),
+    ]
+    return spark.createDataFrame(
+        rows, "technique string, value double, bar double, ok boolean"
     )

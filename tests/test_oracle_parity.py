@@ -47,6 +47,7 @@ PROP_MIN_ROWS = {
     "q64_sized_file_sink": 1,
     "ann_recall_gate": 5,
     "limeqo_mllib_complete_agree": 1,
+    "scale_pruning_gate": 2,
 }
 
 

@@ -485,55 +485,23 @@ def test_q99_zorder_layout_prunes_box(spark, tmp_path):
     Z-order layout only a small fraction of row groups can intersect the
     2-D box (custkey 100-400 x year 1997), while the natural layout
     intersects with ~every row group (custkey is independent of insert
-    order). 32 row groups at sf0.01: measured 5/32 vs 32/32."""
-    import datetime
-    import glob
-
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-
-    from limeqo_spark.relational.queries_scale import normalized, zvalue
-
-    src = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").withColumn(
-        "_day",
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
-        ).cast("long"),
+    order). 32 row groups at sf0.01: measured 5/32 vs 32/32. Uses the
+    same zorder_write_orders / box_intersect_fraction the registered
+    q99 + scale_pruning_gate run."""
+    from limeqo_spark.relational.queries_scale import (
+        box_intersect_fraction,
+        zorder_write_orders,
     )
-    b = src.agg(
-        F.min("o_custkey").alias("cl"), F.max("o_custkey").alias("ch"),
-        F.min("_day").alias("dl"), F.max("_day").alias("dh"),
-    ).first()
-    oz = src.withColumn(
-        "zval",
-        zvalue(
-            normalized(F.col("o_custkey"), b["cl"], b["ch"]),
-            normalized(F.col("_day"), b["dl"], b["dh"]),
-        ),
-    ).drop("_day")
+
     zdir, ndir = str(tmp_path / "zord"), str(tmp_path / "natural")
-    oz.repartitionByRange(32, "zval").sortWithinPartitions("zval").write.parquet(zdir)
-    src.drop("_day").repartition(32).write.parquet(ndir)
-
-    def intersecting(d: str) -> tuple[int, int]:
-        lo = datetime.datetime(1997, 1, 1)
-        hi = datetime.datetime(1997, 12, 31, 23, 59, 59)
-        hit = tot = 0
-        for f in glob.glob(f"{d}/*.parquet"):
-            md = pq.ParquetFile(f).metadata
-            names = [md.schema.column(i).name for i in range(md.num_columns)]
-            ci_c, ci_d = names.index("o_custkey"), names.index("o_orderdate")
-            for rg in range(md.num_row_groups):
-                tot += 1
-                sc = md.row_group(rg).column(ci_c).statistics
-                sd = md.row_group(rg).column(ci_d).statistics
-                hit += sc.min <= 400 and sc.max >= 100 and sd.min <= hi and sd.max >= lo
-        return hit, tot
-
-    z_hit, z_tot = intersecting(zdir)
-    n_hit, n_tot = intersecting(ndir)
+    zorder_write_orders(spark, "/root/testdata/sf0.01", zdir)
+    spark.read.parquet("/root/testdata/sf0.01/orders.parquet").repartition(
+        32
+    ).write.parquet(ndir)
+    z_hit, z_tot = box_intersect_fraction(zdir)
+    n_hit, n_tot = box_intersect_fraction(ndir)
     assert n_hit >= 0.9 * n_tot, f"natural layout unexpectedly selective: {n_hit}/{n_tot}"
-    assert z_hit <= 0.4 * z_tot, f"z-order layout failed to localize the box: {z_hit}/{z_tot}"
+    assert z_hit <= 0.4 * z_tot, f"z-order failed to localize the box: {z_hit}/{z_tot}"
 
 
 def test_sessionize_single_hash_exchange(spark):
