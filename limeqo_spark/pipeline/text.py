@@ -524,3 +524,108 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _CLASSIFIER_CACHE[sf_dir] = row
     return spark.createDataFrame([row], schema)
+
+
+@query(
+    "text_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(LOWER(text), ' ') AS t FROM documents
+    ),
+    inst AS (
+      SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+      FROM (
+        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM toks
+      ) z
+    ),
+    bgc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM inst GROUP BY bg),
+    w1c AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1 FROM inst GROUP BY w1),
+    voc AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT UNNEST(t) AS tok FROM toks) u
+    ),
+    per_bg AS (
+      SELECT doc_id, w1, bg, CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM inst GROUP BY doc_id, w1, bg
+    ),
+    scored AS (
+      SELECT doc_id, n_i,
+             CAST(LENGTH(bin((c_w1 + v) // (c_bg + 1))) - 1 AS BIGINT) AS bits
+      FROM per_bg JOIN bgc USING (bg) JOIN w1c USING (w1), voc
+    )
+    SELECT doc_id,
+           CAST(SUM(n_i) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_i * bits) AS BIGINT) AS total_bits,
+           ROUND(CAST(SUM(n_i * bits) AS DOUBLE) / SUM(n_i), 4) AS bits_per_bigram
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality scoring (the CCNet stage, Wenzek et al. 2020,
+    public): train an add-one-smoothed bigram LM ON the corpus itself, then
+    score every document's mean surprisal under it — atypical documents
+    (spam, boilerplate, wrong-language) surface as high-bits outliers that
+    a downstream filter can cut.
+
+    Surprisal is computed in EXACT integer arithmetic so the cross-engine
+    hash can never drift: per bigram instance,
+    ``bits = floor(log2((c_w1 + V) / (c_bg + 1)))`` evaluated as
+    ``length(bin(den div num)) - 1`` — for any integer m >= 1,
+    ``floor(log2(x)) == floor(log2(floor(x)))`` (2^k <= x  <=>  2^k <=
+    floor(x), both sides integers), and ``length(bin(m)) - 1`` is the bit
+    length, exact in Spark and DuckDB alike. No float log, no float sum:
+    per-doc totals are BIGINT, the emitted mean is a ratio of two integers
+    rounded once. A production deployment would swap the bit-floor for a
+    float ``-log2 p`` (finer granularity); the dataflow is identical.
+
+    Scale shape (100 TB): instances are pre-aggregated per (doc_id, w1, bg)
+    — partial-aggregatable, so the shuffle carries one row per distinct
+    bigram per doc, not per token. Count tables are aggregate-sized (one
+    row per distinct bigram / prefix); joining them back keys on bg/w1,
+    where natural-language skew (common bigrams) is bounded by the
+    pre-aggregation (at most one row per document per key) and handled by
+    AQE skew-join splitting. The vocabulary size V is a 1-row broadcast.
+    No windows, no driver-side loops; everything is whole-stage-codegen
+    string/array built-ins."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    inst = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(shingle_transform_sql("t", 2, item="array(t[i], concat_ws(' ', slice(t, i + 1, 2)))"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p")[0].alias("w1"), F.col("p")[1].alias("bg"))
+    per_bg = inst.groupBy("doc_id", "w1", "bg").agg(
+        F.count("*").cast("bigint").alias("n_i")
+    )
+    bgc = inst.groupBy("bg").agg(F.count("*").cast("bigint").alias("c_bg"))
+    w1c = inst.groupBy("w1").agg(F.count("*").cast("bigint").alias("c_w1"))
+    voc = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    )
+    scored = (
+        per_bg.join(bgc, "bg")
+        .join(w1c, "w1")
+        .join(F.broadcast(voc))
+        .withColumn(
+            "bits",
+            (F.length(F.bin(F.expr("(c_w1 + v) div (c_bg + 1)"))) - 1).cast("bigint"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n_i").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n_i") * F.col("bits")).cast("bigint").alias("total_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            F.round(
+                F.col("total_bits").cast("double") / F.col("n_bigrams"), 4
+            ).alias("bits_per_bigram"),
+        )
+        .orderBy("doc_id")
+    )
