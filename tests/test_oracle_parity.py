@@ -48,6 +48,7 @@ PROP_MIN_ROWS = {
     "ann_recall_gate": 5,
     "limeqo_mllib_complete_agree": 1,
     "scale_pruning_gate": 2,
+    "prop_gates": 8,
 }
 
 
