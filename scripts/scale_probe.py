@@ -90,7 +90,29 @@ def _perturb_embedding_expr(rep: int):
     )
 
 
-def build_replica(spark, out_dir: str, n: int, perturb_embeddings: bool = False) -> None:
+def _perturb_document_expr(rep: int):
+    """Deterministic per-replica perturbation of document text: every token
+    gains a replica-specific suffix, so token md5s (hence SimHash votes)
+    are independent ACROSS replicas — no cross-replica near-dups — while
+    token equality WITHIN a replica is preserved, so each replica
+    reproduces the base corpus's internal near-dup structure. Output then
+    grows ~linearly with replication instead of ~N^2 per clone group,
+    isolating candidate-generation/plan scaling (same rationale as
+    _perturb_embedding_expr)."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"array_join(transform(split(text, ' '), t -> concat(t, 'r{rep}')), ' ')"
+    )
+
+
+def build_replica(
+    spark,
+    out_dir: str,
+    n: int,
+    perturb_embeddings: bool = False,
+    perturb_documents: bool = False,
+) -> None:
     from pyspark.sql import functions as F
 
     from limeqo_spark.io import table
@@ -107,6 +129,8 @@ def build_replica(spark, out_dir: str, n: int, perturb_embeddings: bool = False)
                         p = p.withColumn(col, F.col(col) + F.lit(rep * step))
                 if t == "embeddings" and perturb_embeddings and rep > 0:
                     p = p.withColumn("embedding", _perturb_embedding_expr(rep))
+                if t == "documents" and perturb_documents and rep > 0:
+                    p = p.withColumn("text", _perturb_document_expr(rep))
                 parts.append(p)
             out = parts[0]
             for p in parts[1:]:
@@ -131,8 +155,11 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--perturb-embeddings"]
+    flags = {"--perturb-embeddings", "--perturb-documents", "--keep"}
+    argv = [a for a in sys.argv[1:] if a not in flags]
+    keep = "--keep" in sys.argv[1:]
     perturb = "--perturb-embeddings" in sys.argv[1:]
+    perturb_docs = "--perturb-documents" in sys.argv[1:]
     n = int(argv[0]) if argv else 4
     names = argv[1:] or DEFAULT_QUERIES
     from limeqo_spark.session import get_spark
@@ -140,12 +167,15 @@ def main() -> None:
     spark = get_spark("scale_probe", master=f"local[{os.cpu_count()}]")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up
     replica = f"/tmp/limeqo_scale/x{n}"
-    build_replica(spark, replica, n, perturb_embeddings=perturb)
+    build_replica(
+        spark, replica, n, perturb_embeddings=perturb, perturb_documents=perturb_docs
+    )
     base = time_queries(spark, BASE, names)
     big = time_queries(spark, replica, names)
     report = {
         "replication": n,
         "perturb_embeddings": perturb,
+        "perturb_documents": perturb_docs,
         "queries": {
             q: {
                 "x1_s": base[q],
@@ -156,7 +186,8 @@ def main() -> None:
         },
     }
     print(json.dumps(report, indent=2))
-    shutil.rmtree(replica, ignore_errors=True)
+    if not keep:  # --keep leaves the replica for follow-up parity checks
+        shutil.rmtree(replica, ignore_errors=True)
 
 
 if __name__ == "__main__":
