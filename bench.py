@@ -17,6 +17,35 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+#: CPU-calibration reference (VERDICT r5 next-round #4): wall seconds of
+#: the fixed-work token below, measured on THIS box while idle (round 6,
+#: load1 ~0.3). The r5 bench's ~2x query-wall inflation was machine
+#: contention, not code (the byte-identical pure-numpy sim slowed 4.2x in
+#: the same run); the token makes that condition measurable so a contended
+#: artifact annotates itself instead of reading as a regression.
+CAL_REF_S = 0.62
+#: drift ratio above which the headline is flagged contended
+CAL_CONTENDED_RATIO = 1.3
+
+
+def cpu_calibration_token(reps: int = 3) -> float:
+    """Fixed-work CPU token: best-of-``reps`` wall time of 40 seeded
+    512x512 matmuls. Tracks per-core throughput under whatever load the
+    box is carrying; compared against :data:`CAL_REF_S`."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((512, 512))
+    b = rng.standard_normal((512, 512))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = a
+        for _ in range(40):
+            acc = a @ b
+        best = min(best, time.perf_counter() - t0)
+    return best
+
 #: headline subset: one per operator family, heaviest variants
 HEADLINE = [
     "q01_parquet_scan_checksum",  # scan + agg
@@ -76,6 +105,11 @@ def materialize(df) -> int:
 def main() -> None:
     from limeqo_spark.manifest import REGISTRY
     from limeqo_spark.session import get_spark
+
+    # machine-contention calibration BEFORE any Spark work (r5's bench wall
+    # numbers were ~2x inflated by noisy neighbors; see CAL_REF_S)
+    load_start = os.getloadavg()
+    cal_start = cpu_calibration_token()
 
     spark = get_spark("limeqo_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     # warm the JVM/codegen path so per-query times measure the queries
@@ -222,6 +256,41 @@ def main() -> None:
         sim["sim_dsb_limeqo_plus_final_latency_h"] = round(
             float(rec[-1]["total_latency"]) / 3600, 4
         )
+
+        # distributed-completer drop-in proof on a SECOND reference matrix
+        # (VERDICT r5 next-round #8): the MLlib-ALS exploration loop runs
+        # the full DSB@1.19h budget end-to-end; its final latency must land
+        # within 10% of the numpy loop's, and the one-fit top-k=32
+        # selection overlap on the init mask quantifies solver agreement.
+        import numpy as np
+
+        from limeqo_spark.complete import complete_log_space
+        from limeqo_spark.strategies import (
+            MLlibLimeQOStrategy,
+            rank_cells_by_improvement,
+        )
+
+        t0 = time.perf_counter()
+        rec = MLlibLimeQOStrategy(
+            wl_dsb, spark=spark, seed=1, max_rounds=100_000,
+            time_budget=1.19 * 3600,
+        ).run()
+        timings["sim_dsb_mllib_limeqo"] = round(time.perf_counter() - t0, 3)
+        sim["sim_dsb_mllib_final_latency_h"] = round(
+            float(rec[-1]["total_latency"]) / 3600, 4
+        )
+        mo = np.where(wl_dsb.mask > 0, wl_dsb.matrix, np.inf).min(axis=1)
+        npy_pred = complete_log_space(
+            wl_dsb.matrix, wl_dsb.mask, None, rank=5, iters=50, lam=0.2, seed=0
+        ).completed
+        mll = MLlibLimeQOStrategy(
+            wl_dsb, spark=spark, seed=0, max_rounds=1, time_budget=None
+        )
+        mll.fit()  # one fit on the untouched init mask (state = fresh copy)
+        k = 32
+        a = set(rank_cells_by_improvement(npy_pred, wl_dsb.mask, mo, k))
+        b = set(rank_cells_by_improvement(mll.pred, wl_dsb.mask, mo, k))
+        sim["sim_dsb_mllib_agreement_k32"] = round(len(a & b) / max(len(a), 1), 4)
     except Exception:  # sim track must never sink the bench line
         pass
 
@@ -234,6 +303,19 @@ def main() -> None:
     # legacy_total_wall carries the old sum for continuity.
     total = round(sum(v for k, v in timings.items() if not k.startswith("sim_")), 3)
     sim_total = round(sum(v for k, v in timings.items() if k.startswith("sim_")), 3)
+    # close-out calibration: the worst of the start/end tokens decides the
+    # contended flag (contention arriving mid-run still shows up)
+    cal_end = cpu_calibration_token()
+    cal_ratio = round(max(cal_start, cal_end) / CAL_REF_S, 3)
+    calibration = {
+        "cal_token_start_s": round(cal_start, 4),
+        "cal_token_end_s": round(cal_end, 4),
+        "cal_ref_s": CAL_REF_S,
+        "cal_ratio": cal_ratio,
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "contended": cal_ratio > CAL_CONTENDED_RATIO,
+    }
     full = {
         "metric": "headline_query_wall",
         "value": total,
@@ -242,6 +324,7 @@ def main() -> None:
         "legacy_total_wall": round(total + sim_total, 3),
         "queries": timings,
         "queries_first_run": first_runs,
+        "calibration": calibration,
         "sf": SF_DIR,
         "cpus": CPUS,
     }
@@ -268,7 +351,7 @@ def main() -> None:
     # checkpoint scalars fit comfortably; everything else is on disk.
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs"), exist_ok=True)
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_full_r5.json"
+        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_full_r6.json"
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
@@ -276,9 +359,11 @@ def main() -> None:
         "metric": "headline_query_wall",
         "value": total,
         "unit": "sec",
+        "cal_ratio": cal_ratio,
+        "contended": calibration["contended"],
         "queries": {k: v for k, v in timings.items() if not k.startswith("sim_")},
         "sf": SF_DIR,
-        "full_payload": "docs/bench_full_r5.json",
+        "full_payload": "docs/bench_full_r6.json",
     }
     compact.update({k: v for k, v in sim.items() if isinstance(v, (int, float))})
     print(json.dumps(compact))

@@ -554,11 +554,20 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(LENGTH(bin((c_w1 + v) // (c_bg + 1))) - 1 AS BIGINT) AS bits
       FROM per_bg JOIN bgc USING (bg) JOIN w1c USING (w1), voc
     )
-    SELECT doc_id,
-           CAST(SUM(n_i) AS BIGINT) AS n_bigrams,
-           CAST(SUM(n_i * bits) AS BIGINT) AS total_bits,
-           ROUND(CAST(SUM(n_i * bits) AS DOUBLE) / SUM(n_i), 4) AS bits_per_bigram
-    FROM scored GROUP BY doc_id ORDER BY doc_id
+    ,
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(n_i) AS BIGINT) AS n_bigrams,
+             CAST(SUM(n_i * bits) AS BIGINT) AS total_bits,
+             ROUND(CAST(SUM(n_i * bits) AS DOUBLE) / SUM(n_i), 4) AS bits_per_bigram
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.total_bits, 0) AS total_bits,
+           a.bits_per_bigram
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id
     """,
 )
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,7 +596,13 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregation (at most one row per document per key) and handled by
     AQE skew-join splitting. The vocabulary size V is a 1-row broadcast.
     No windows, no driver-side loops; everything is whole-stage-codegen
-    string/array built-ins."""
+    string/array built-ins.
+
+    Short-doc semantics (ADVICE r5 #2): documents with fewer than 2 tokens
+    produce no bigram instances, but they do NOT vanish — the per-doc
+    aggregate is left-joined back to ``documents`` so unscoreable docs
+    emit ``(n_bigrams=0, total_bits=0, bits_per_bigram=NULL)`` and a
+    downstream filter can cut or keep them explicitly."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
     inst = toks.select(
@@ -613,7 +628,7 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length(F.bin(F.expr("(c_w1 + v) div (c_bg + 1)"))) - 1).cast("bigint"),
         )
     )
-    return (
+    agg = (
         scored.groupBy("doc_id")
         .agg(
             F.sum("n_i").cast("bigint").alias("n_bigrams"),
@@ -626,6 +641,18 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("total_bits").cast("double") / F.col("n_bigrams"), 4
             ).alias("bits_per_bigram"),
+        )
+    )
+    # short docs (<2 tokens) have no bigrams but must not vanish: emit
+    # n_bigrams=0 with NULL bits_per_bigram so downstream filters decide
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0).cast("bigint")).alias("n_bigrams"),
+            F.coalesce("total_bits", F.lit(0).cast("bigint")).alias("total_bits"),
+            "bits_per_bigram",
         )
         .orderBy("doc_id")
     )

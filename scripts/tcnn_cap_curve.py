@@ -1,16 +1,20 @@
 #!/usr/bin/env python
-"""Round-5 TCNN-rescue design 6, full-curve measurement: the SPENT-SCALED
-budget-rationality cap (``tol <= 2% x max(spent, 300 s)``) vs the shipped
-budget-frac cap (``tol <= 2% x time_budget``) on the CEB matrix at the full
-12 h exploration budget, five FIXED weight inits (net_seed 0-4, exploration
-seed 1 — the rescue study's protocol, docs/tcnn_rescue_r5.json), reported
-at the published checkpoint grid (0.75/1.5/3/6/12 h).
+"""TCNN budget-rationality cap, full-curve measurement: the SPENT-SCALED
+cap (``tol <= 2% x max(spent, 300 s)``; LANDED in LimeQOPlusStrategy in
+round 6) vs round 5's budget-frac cap (``tol <= 2% x time_budget``) on the
+CEB matrix at the full 12 h exploration budget, five FIXED weight inits
+(net_seed 0-4, exploration seed 1 — the rescue study's protocol,
+docs/tcnn_rescue_r5.json), reported at the published checkpoint grid
+(0.75/1.5/3/6/12 h).
 
-The @3h parity miss (ratio 1.11, docs/baseline_parity_ceb_r5.json) is one
-bad-init rep whose mid-run probes the shipped cap (2% x 12 h = 864 s) is
-too loose to discipline; the spent-scaled cap is tight early (start 6 s,
-reaching 864 s only once 12 h is actually spent) and budget-free, so it
-also applies to unbounded runs.
+The r5 @3h parity miss (ratio 1.11, docs/baseline_parity_ceb_r5.json) was
+one bad-init rep whose mid-run probes the budget cap (2% x 12 h = 864 s)
+is too loose to discipline; the spent-scaled cap is tight early (start
+6 s, reaching 864 s only once 12 h is actually spent) and budget-free, so
+it also applies to unbounded runs. ``--cap shipped`` now reproduces the
+RETIRED r5 budget cap via the BudgetCapStrategy subclass below (the main
+class carries the spent cap); historical run artifacts in docs/capcurve_r5
+keep their original labels.
 
 Usage:
   python scripts/tcnn_cap_curve.py run --cap {shipped,spent} --net-seed N
@@ -43,28 +47,23 @@ OUT_DIR = "docs/capcurve_r5"
 BASELINE = [1.293, 1.193, 1.145, 1.100, 1.060]
 
 
-class SpentScaledCapStrategy(LimeQOPlusStrategy):
-    """Design 6: per-measurement cap scales with exploration ALREADY spent
-    instead of the total budget — probes must be cheap until exploration
-    has earned bigger ones."""
+class BudgetCapStrategy(LimeQOPlusStrategy):
+    """Round 5's RETIRED budget-anchored cap (tol <= 2% x time_budget),
+    kept runnable for comparison; the main class now carries the
+    spent-scaled cap."""
 
-    name = "limeqo_plus_spentcap"
-    spent_floor_s = 300.0
+    name = "limeqo_plus_budgetcap"
 
     def tolerance(self, i: int, j: int) -> float:
         tol = LimeQOStrategy.tolerance(self, i, j)
-        if self.model == "tcnn":
-            tol = min(
-                tol,
-                self.tolerance_budget_frac
-                * max(self.state.spent, self.spent_floor_s),
-            )
+        if self.model == "tcnn" and self.time_budget:
+            tol = min(tol, self.tolerance_budget_frac * self.time_budget)
         return tol
 
 
 def run_one(cap: str, net_seed: int) -> str:
     wl = Workload.from_reference(*CEB)
-    cls = SpentScaledCapStrategy if cap == "spent" else LimeQOPlusStrategy
+    cls = LimeQOPlusStrategy if cap == "spent" else BudgetCapStrategy
     strat = cls(
         wl,
         seed=1,
@@ -117,6 +116,8 @@ def main() -> None:
     ap.add_argument("--cap", choices=["shipped", "spent"])
     ap.add_argument("--net-seed", type=int)
     args = ap.parse_args()
+    if args.mode == "run" and (args.cap is None or args.net_seed is None):
+        ap.error("run requires --cap and --net-seed")  # ADVICE r5 #1
     if args.mode == "run":
         path = run_one(args.cap, args.net_seed)
         print(json.dumps({"done": path}))

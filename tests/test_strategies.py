@@ -219,25 +219,33 @@ def test_limeqo_noise_robustness(job):
 
 def test_tcnn_budget_rationality_cap(job):
     """The TCNN explorer must never grant a single measurement more than
-    tolerance_budget_frac of the exploration budget (the r5 robustness fix:
-    docs/tcnn_rescue_r5.json); the ALS strategies keep the reference's
-    exact guard, and an unbudgeted TCNN run is uncapped."""
+    tolerance_budget_frac x max(spent, 300 s) — the r6 SPENT-SCALED cap
+    (docs/tcnn_rescue_r5.json design 6 + docs/tcnn_cap_r6.json): tight
+    while exploration has spent little, loosening as spend accrues, and
+    budget-FREE (unbounded runs are disciplined too). The ALS strategies
+    keep the reference's exact guard."""
     from limeqo_spark.strategies import LimeQOPlusStrategy
 
     budget = 90.0
     tcnn = LimeQOPlusStrategy(job, model="tcnn", net_seed=1, time_budget=budget)
     tcnn.pred = np.full(job.matrix.shape, 1e9)  # absurd predictions
-    cap = tcnn.tolerance_budget_frac * budget
+    floor_cap = tcnn.tolerance_budget_frac * tcnn.tolerance_spent_floor
     # a row whose current best alone exceeds the cap: the reference guard
     # (alpha * base) would grant more than the cap there
     base = np.where(job.mask > 0, job.matrix, np.inf).min(axis=1)
     heavy = int(np.argmax(np.where(np.isfinite(base), base, -np.inf)))
-    assert base[heavy] > cap, "fixture sanity: JOB has a heavy row"
+    assert base[heavy] > floor_cap, "fixture sanity: JOB has a heavy row"
+    # fresh run (spent=0): capped at the 300 s floor anchor
     for i in (0, heavy):
-        assert tcnn.tolerance(i, 1) <= cap + 1e-9
+        assert tcnn.tolerance(i, 1) <= floor_cap + 1e-9
+    # spend loosens the cap proportionally, never beyond the reference guard
+    tcnn.state.spent = 3600.0
+    loosened = tcnn.tolerance_budget_frac * 3600.0
+    assert floor_cap < tcnn.tolerance(heavy, 1) <= loosened + 1e-9
     als = LimeQOPlusStrategy(job, time_budget=budget)
     als.pred = np.full(job.matrix.shape, 1e9)
-    assert als.tolerance(heavy, 1) > cap  # ALS path: reference guard untouched
+    assert als.tolerance(heavy, 1) > floor_cap  # ALS: reference guard untouched
+    # budget-free TCNN runs are capped too (the r5 budget cap was not)
     free = LimeQOPlusStrategy(job, model="tcnn", net_seed=1)
     free.pred = np.full(job.matrix.shape, 1e9)
-    assert free.tolerance(heavy, 1) > cap  # no budget, no cap
+    assert free.tolerance(heavy, 1) <= floor_cap + 1e-9
