@@ -23,7 +23,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 #: contention, not code (the byte-identical pure-numpy sim slowed 4.2x in
 #: the same run); the token makes that condition measurable so a contended
 #: artifact annotates itself instead of reading as a regression.
-CAL_REF_S = 0.62
+CAL_REF_S = 0.033
 #: drift ratio above which the headline is flagged contended
 CAL_CONTENDED_RATIO = 1.3
 
