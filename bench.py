@@ -37,6 +37,8 @@ def cpu_calibration_token(reps: int = 3) -> float:
     rng = np.random.default_rng(42)
     a = rng.standard_normal((512, 512))
     b = rng.standard_normal((512, 512))
+    a @ b  # BLAS thread-pool warm-up: a cold process's first matmul reads
+    # ~1.5x slow and would false-flag 'contended' at run start
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -88,3 +88,20 @@ def test_workload_long_form_roundtrip(spark):
     np.testing.assert_allclose(
         back.matrix * back.mask, (wl.matrix * wl.mask)[order], rtol=1e-12
     )
+
+
+def test_bench_cpu_calibration_token():
+    """The bench contention token must be positive, repeatable within the
+    tolerance the contended flag assumes, and fixed-work (two calls measure
+    the same computation, so their ratio stays well under the 1.3x
+    contention threshold on a box in a steady state)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import CAL_CONTENDED_RATIO, cpu_calibration_token
+
+    cpu_calibration_token(reps=1)  # BLAS thread-pool warm-up (first call slow)
+    a = cpu_calibration_token(reps=2)
+    b = cpu_calibration_token(reps=2)
+    assert a > 0 and b > 0
+    assert max(a, b) / min(a, b) < CAL_CONTENDED_RATIO
