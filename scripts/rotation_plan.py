@@ -116,11 +116,17 @@ def main() -> None:
         if boundary and src and changed_after(boundary, src):
             changed.append(n)
 
-    stale = [
-        n
-        for n in canon
-        if 0 < checked_round.get(n, 0) <= latest - 2 and n not in changed
-    ]
+    stale = sorted(
+        (
+            n
+            for n in canon
+            if 0 < checked_round.get(n, 0) <= latest - 2 and n not in changed
+        ),
+        # Stalest first: when the window overflows, the tail-pop below must
+        # discard the LEAST stale (r6 bug: alphabetical order dropped the
+        # r3-checked text_* family while keeping r4-checked entries).
+        key=lambda n: (checked_round[n], n),
+    )
 
     want: list[str] = list(never)
     for group in (changed, stale):
