@@ -23,9 +23,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 #: contention, not code (the byte-identical pure-numpy sim slowed 4.2x in
 #: the same run); the token makes that condition measurable so a contended
 #: artifact annotates itself instead of reading as a regression.
-CAL_REF_S = 0.033
+#: overridable (ADVICE r6): the constant is calibrated for THIS box and its
+#: BLAS build — on any other machine set SPARK_GRAFT_CAL_REF_S to an idle
+#: best-of-3 token reading, or treat ``contended`` as meaningless; the
+#: calibration block records the BLAS/thread context for recalibration.
+CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.033"))
 #: drift ratio above which the headline is flagged contended
 CAL_CONTENDED_RATIO = 1.3
+#: round tag for the on-disk full payload (docs/bench_full_<tag>.json)
+ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND", "r7")
 
 
 def cpu_calibration_token(reps: int = 3) -> float:
@@ -119,31 +125,33 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
+    raw_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
-        # min of 2 runs for EVERY query (round-4 change; the r3 early-break
-        # left >1.5s queries' second runs racing another query's cache
-        # teardown): the first run pays one-time costs (codegen compile,
-        # ingest-time materialization for the bucketed/partitioned
-        # variants) and this box has noisy neighbors — the min is the
-        # steady-state per-query latency a warm cluster would see. BOTH the
-        # first (cold) run and the min are recorded, so readers can see the
-        # warm-up effect instead of taking the min on faith.
-        best = float("inf")
-        for attempt in range(2):
+        # MEDIAN of 3 runs for EVERY query (round-7 change, VERDICT r6
+        # next-round #5: at 0.2-3 s per query the round-over-round min-of-2
+        # deltas scattered +-30%, hiding real regressions). The first run
+        # pays one-time costs (codegen compile, ingest-time materialization
+        # for the bucketed/partitioned variants) and is recorded separately;
+        # the median of the three is robust to both the cold first rep and
+        # a noisy-neighbor spike in any single rep. All raw reps ship in
+        # the full payload so nothing is taken on faith.
+        reps: list[float] = []
+        for attempt in range(3):
             t0 = time.perf_counter()
             materialize(spec.builder(spark, SF_DIR))
             elapsed = time.perf_counter() - t0
             if attempt == 0:
                 first_runs[name] = round(elapsed, 3)
-            best = min(best, elapsed)
+            reps.append(elapsed)
             # each query is measured standalone: drop caches a query pinned
             # (the dedup suite caches shingle/signature relations) so later
             # queries aren't squeezed by leftover storage memory
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        raw_reps[name] = [round(r, 3) for r in reps]
+        timings[name] = round(sorted(reps)[len(reps) // 2], 3)
 
     # simulation-mode track (BASELINE.md track 1): LimeQO on the reference's
     # own matrices at its published exploration-budget checkpoints.
@@ -151,6 +159,8 @@ def main() -> None:
     # (default 181 s / 2.94 h).
     sim: dict[str, float] = {}
     try:
+        if os.environ.get("SPARK_GRAFT_SKIP_SIM"):
+            raise RuntimeError("sim track skipped via SPARK_GRAFT_SKIP_SIM")
         from limeqo_spark.strategies import LimeQOStrategy
         from limeqo_spark.workload import Workload
 
@@ -309,14 +319,26 @@ def main() -> None:
     # contended flag (contention arriving mid-run still shows up)
     cal_end = cpu_calibration_token()
     cal_ratio = round(max(cal_start, cal_end) / CAL_REF_S, 3)
+    # BLAS/thread context so cal_ref_s can be recalibrated off this box
+    # (ADVICE r6: the constant is machine- and BLAS-build-specific)
+    import numpy as _np
+
+    try:
+        _blas = _np.show_config(mode="dicts")["Build Dependencies"]["blas"]["name"]
+    except Exception:
+        _blas = "unknown"
     calibration = {
         "cal_token_start_s": round(cal_start, 4),
         "cal_token_end_s": round(cal_end, 4),
         "cal_ref_s": CAL_REF_S,
+        "cal_ref_overridden": "SPARK_GRAFT_CAL_REF_S" in os.environ,
         "cal_ratio": cal_ratio,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "contended": cal_ratio > CAL_CONTENDED_RATIO,
+        "blas": _blas,
+        "omp_num_threads": os.environ.get("OMP_NUM_THREADS"),
+        "cpu_count": os.cpu_count(),
     }
     full = {
         "metric": "headline_query_wall",
@@ -324,8 +346,10 @@ def main() -> None:
         "unit": "sec",
         "sim_overhead_total": sim_total,
         "legacy_total_wall": round(total + sim_total, 3),
+        "timing": "per-query median-of-3 (was min-of-2 through r6)",
         "queries": timings,
         "queries_first_run": first_runs,
+        "queries_raw_reps": raw_reps,
         "calibration": calibration,
         "sf": SF_DIR,
         "cpus": CPUS,
@@ -353,7 +377,7 @@ def main() -> None:
     # checkpoint scalars fit comfortably; everything else is on disk.
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs"), exist_ok=True)
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "docs", "bench_full_r6.json"
+        os.path.dirname(os.path.abspath(__file__)), "docs", f"bench_full_{ROUND_TAG}.json"
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
@@ -365,7 +389,7 @@ def main() -> None:
         "contended": calibration["contended"],
         "queries": {k: v for k, v in timings.items() if not k.startswith("sim_")},
         "sf": SF_DIR,
-        "full_payload": "docs/bench_full_r6.json",
+        "full_payload": f"docs/bench_full_{ROUND_TAG}.json",
     }
     compact.update({k: v for k, v in sim.items() if isinstance(v, (int, float))})
     print(json.dumps(compact))

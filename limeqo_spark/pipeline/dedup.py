@@ -500,12 +500,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra sign bits too, so only nonzero-Hamming candidate recall trades
     against bucket size, the standard LSH knob — and at fixture scale the
     extension is empty, so results are bit-identical to the canonical
-    banding. The count() sizing the bands is one metadata-cheap parquet
-    row-count."""
+    banding. The counts sizing the bands are two pushed-down parquet
+    row-counts (total + planted subset, matching the oracle's COUNT(*))."""
     from limeqo_spark.pipeline.corpus import PLANT_N
 
     c = planted_corpus(spark, sf_dir)
-    n_docs = table(spark, sf_dir, "documents").count() + PLANT_N
+    # N must equal the oracle's COUNT(*) over the SAME corpus: a corpus with
+    # fewer than PLANT_N docs below the id cutoff plants fewer clones, and a
+    # hardcoded +PLANT_N would diverge at a ceil(log2(4N)) boundary (ADVICE
+    # r6). Two pushed-down parquet counts, no text movement.
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count() + d.filter(F.col("doc_id") < PLANT_N).count()
     extra = _sh_band_bits(n_docs) - _SH_BAND_BITS
     toks = c.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
         "doc_id", F.md5("tok").alias("m")
@@ -655,8 +660,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unaffected by the width: the oracle is all-pairs ground truth, exact
     # copies share every sign pattern (recall 1.0 by construction), and the
     # fixture's max natural cross-cosine ~0.51 is far below the 0.95
-    # threshold. The count() is one metadata-cheap scan of the dedup input.
-    n_rows = base.count() + 20
+    # threshold. N must equal the oracle's COUNT(*) over the same planted
+    # set — a corpus with fewer than 20 vec_ids below the cutoff plants
+    # fewer clones, and a hardcoded +20 would diverge at a ceil(log2(4N))
+    # boundary (ADVICE r6, same fix as dedup_simhash). Two pushed-down
+    # parquet counts, no vector movement.
+    n_rows = base.count() + base.filter(F.col("vec_id") < 20).count()
     n_bands = 4
     bits = max(8, math.ceil(math.log2(4 * n_rows)))
     n_planes = n_bands * bits

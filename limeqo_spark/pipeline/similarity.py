@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import scratch_dir, table
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 N_PROBES = 10  # probe vectors: vec_id < N_PROBES
 
@@ -823,7 +823,9 @@ def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ok", F.col("recall") >= F.col("bar"))
         .orderBy("method")
     )
-    # NOTE: truth stays persisted until the session drops it — the returned
-    # frame is lazy, so unpersisting here would force a recompute per method
-    # branch at evaluation time. 50 rows; the leak is bounded and harmless.
+    # raise_on_failed_gates evaluates the 5-row frame here (so a recall
+    # regression surfaces as a driver-visible err, VERDICT r6 #2) and hands
+    # back a local copy — safe to unpersist the truth frame afterwards.
+    out = raise_on_failed_gates(out, "ann_recall_gate")
+    truth.unpersist()
     return out

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
 from limeqo_spark.pipeline.corpus import shingle_transform_sql
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 #: deterministic marker lexicons for the n-gram language-ID heuristic. The
 #: fixture corpus is synthetic (same vocabulary across langs), so this
@@ -450,7 +450,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "n_train int, n_test int, auc double, top_feature string, auc_ok boolean"
     cached = _CLASSIFIER_CACHE.get(sf_dir)
     if cached is not None:
-        return spark.createDataFrame([cached], schema)
+        return raise_on_failed_gates(
+            spark.createDataFrame([cached], schema),
+            "text_quality_classifier",
+            ok_col="auc_ok",
+        )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     corrupted = F.col("doc_id") % 3 == 0
@@ -523,7 +527,11 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(auc >= 0.9),
     )
     _CLASSIFIER_CACHE[sf_dir] = row
-    return spark.createDataFrame([row], schema)
+    # an AUC regression raises, so the driver's rows-only check records err
+    # instead of an unchanged 1-row count (VERDICT r6 next-round #2)
+    return raise_on_failed_gates(
+        spark.createDataFrame([row], schema), "text_quality_classifier", ok_col="auc_ok"
+    )
 
 
 @query(

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 #: The silent PROP entries rolled up here (VERDICT r5 #6 list + the quota
 #: threshold sampler, which carries the same 4-sigma bound). Entries that
@@ -51,7 +51,10 @@ def prop_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires a non-empty result with every row passing. A regression in
     any rolled-up property (HLL/KLL error bounds, sampling 4-sigma bounds,
     seeded-sample reproducibility, file-sizing invariants, two-phase-agg
-    plan shape) flips that gate's row to ``ok=false``."""
+    plan shape) flips that gate's row to ``ok=false`` — and the builder then
+    RAISES (``raise_on_failed_gates``), so the driver's rows-only check
+    records a non-null ``err`` instead of the same 8-row count (VERDICT r6
+    next-round #2)."""
     from limeqo_spark.relational.registry import REGISTRY
 
     rows = []
@@ -60,6 +63,11 @@ def prop_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool_cols = [
             f.name for f in df.schema.fields if isinstance(f.dataType, T.BooleanType)
         ]
+        if not bool_cols:
+            # schema drift: an entry that lost every boolean column must read
+            # as a FAILED gate row, not crash the whole roll-up (ADVICE r6)
+            rows.append((name, int(df.count()), 0, False))
+            continue
         all_ok = reduce(
             lambda a, b: a & b, (F.coalesce(F.col(c), F.lit(False)) for c in bool_cols)
         )
@@ -69,6 +77,7 @@ def prop_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         n, n_ok = int(agg["n"]), int(agg["n_pass"] or 0)
         rows.append((name, n, n_ok, n > 0 and n == n_ok))
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         rows, "gate string, n_rows bigint, n_pass bigint, ok boolean"
     ).orderBy("gate")
+    return raise_on_failed_gates(out, "prop_gates")

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from limeqo_spark.io import scratch_dir, table
 from limeqo_spark.relational.queries_scan_join import dec_sum
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 #: bits per dimension interleaved into the q99 Z-value; each dimension is
 #: min/max-normalized into [0, 2^Z_BITS) first, so any domain size works
@@ -250,6 +250,9 @@ def scale_pruning_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("bloom_semijoin_injected", bloom, 1.0, bloom >= 1.0),
         ("zorder_box_intersect_ratio", round(ratio, 4), 0.5, ratio <= 0.5),
     ]
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         rows, "technique string, value double, bar double, ok boolean"
     )
+    # a pruning regression raises, so the driver's rows-only check records
+    # err instead of the same 2-row count (VERDICT r6 next-round #2)
+    return raise_on_failed_gates(out, "scale_pruning_gate")

@@ -130,11 +130,16 @@ def rank_cells_by_improvement(
     cand = np.where(explored > 0, np.inf, pred)
     mc_min = cand.min(axis=1)
     mc_sel = cand.argmin(axis=1)
+    # inf-inf (fully-explored row vs inf min_observed) is expected here and
+    # the NaN it produces is immediately masked to -inf; run the arithmetic
+    # under errstate so a GENUINE NaN elsewhere isn't camouflaged by a
+    # blanket warning filter (VERDICT r6 next-round #6).
     with np.errstate(divide="ignore", invalid="ignore"):
-        improve = (min_observed - mc_min) / np.maximum(mc_min, 1e-9)
-    improve[~np.isfinite(improve)] = -np.inf
-    if min_gain > 0.0:
-        improve[(min_observed - mc_min) < min_gain] = -np.inf
+        gain = min_observed - mc_min
+        improve = gain / np.maximum(mc_min, 1e-9)
+        improve[~np.isfinite(improve)] = -np.inf
+        if min_gain > 0.0:
+            improve[~(gain >= min_gain)] = -np.inf
     out: list[tuple[int, int]] = []
     for i in np.argsort(-improve):
         if improve[i] <= 0:
