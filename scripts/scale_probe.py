@@ -106,6 +106,17 @@ def _perturb_document_expr(rep: int):
     )
 
 
+#: probe-planted near-dup clones (recall evidence, VERDICT r6 next-round
+#: #4): per replica, the PLANT_N lowest-id docs get a clone at
+#: doc_id + RECALL_OFFSET whose text differs by one appended token — a true
+#: within-replica near-dup pair the operator must recall at whatever band
+#: width the corpus size dials in. Offset chosen clear of real ids (< 5k at
+#: sf0.1), the operator's own plant ids (10k..10k+29), and the replica
+#: stride (1M).
+RECALL_OFFSET = 500_000
+RECALL_SUFFIX = " zzzdupprobe"
+
+
 def build_replica(
     spark,
     out_dir: str,
@@ -116,6 +127,7 @@ def build_replica(
     from pyspark.sql import functions as F
 
     from limeqo_spark.io import table
+    from limeqo_spark.pipeline.corpus import PLANT_N
 
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
@@ -129,8 +141,19 @@ def build_replica(
                         p = p.withColumn(col, F.col(col) + F.lit(rep * step))
                 if t == "embeddings" and perturb_embeddings and rep > 0:
                     p = p.withColumn("embedding", _perturb_embedding_expr(rep))
-                if t == "documents" and perturb_documents and rep > 0:
-                    p = p.withColumn("text", _perturb_document_expr(rep))
+                if t == "documents" and perturb_documents:
+                    if rep > 0:
+                        p = p.withColumn("text", _perturb_document_expr(rep))
+                    # plant the recall pairs AFTER perturbation so each pair
+                    # is internal to its replica (cross-replica md5s differ)
+                    clones = p.filter(
+                        F.col("doc_id") % 1_000_000 < PLANT_N
+                    ).withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(RECALL_OFFSET)
+                    ).withColumn(
+                        "text", F.concat(F.col("text"), F.lit(RECALL_SUFFIX))
+                    )
+                    p = p.unionByName(clones)
                 parts.append(p)
             out = parts[0]
             for p in parts[1:]:
@@ -138,6 +161,40 @@ def build_replica(
         else:
             out = df
         out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def simhash_planted_recall(spark, sf_dir: str, n: int) -> dict:
+    """Per-replica recall of the probe-planted near-dup pairs in the
+    dedup_simhash output at whatever adaptive band width the corpus size
+    produced. Only the ~PLANT_N x n probe pairs reach the driver."""
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.pipeline.corpus import PLANT_N
+    from limeqo_spark.pipeline.dedup import _sh_band_bits
+
+    out = REGISTRY["dedup_simhash"].builder(spark, sf_dir)
+    hits = (
+        out.filter(
+            (F.col("b") - F.col("a") == RECALL_OFFSET)
+            & (F.col("a") % 1_000_000 < PLANT_N)
+        )
+        .select("a")
+        .collect()
+    )
+    per_rep = {r: 0 for r in range(n)}
+    for row in hits:
+        per_rep[int(row["a"]) // 1_000_000] += 1
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count() + PLANT_N
+    recalls = {str(r): round(c / PLANT_N, 4) for r, c in per_rep.items()}
+    total = sum(per_rep.values())
+    return {
+        "band_bits": _sh_band_bits(n_docs),
+        "planted_per_replica": PLANT_N,
+        "recall_per_replica": recalls,
+        "recall_overall": round(total / (PLANT_N * n), 4),
+        "recall_min_replica": round(min(per_rep.values()) / PLANT_N, 4),
+    }
 
 
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -185,6 +242,8 @@ def main() -> None:
             for q in names
         },
     }
+    if perturb_docs and "dedup_simhash" in names:
+        report["simhash_planted_recall"] = simhash_planted_recall(spark, replica, n)
     print(json.dumps(report, indent=2))
     if not keep:  # --keep leaves the replica for follow-up parity checks
         shutil.rmtree(replica, ignore_errors=True)
