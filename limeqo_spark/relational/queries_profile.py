@@ -1,0 +1,334 @@
+"""Dataset profiling / audit operators: key-skew diagnostics, a
+data-quality expectation audit, and a-priori frequent-pair mining.
+
+These are the operational companions to the scale levers in
+``queries_scale.py``: before you choose salting (``skew_salted_join``) or
+bucketing (``q51``) you measure the key distribution (``q98``); before you
+train on a corpus you audit it (``q100``); and basket-style co-occurrence
+mining (``q101``) is the classic two-pass a-priori dataflow whose pruning
+step IS the 100 TB survival trick (never build the pair space of infrequent
+items).
+
+All three are exact integer/count outputs, hash-verified against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from limeqo_spark.io import table
+from limeqo_spark.relational.registry import query
+
+#: heavy hitters reported by the skew profiler
+HH_TOP = 10
+
+_Q98_ORACLE = f"""
+WITH counts AS (
+  SELECT l_suppkey AS key, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS n_keys,
+         MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt,
+         quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+  FROM counts
+),
+hh AS (
+  SELECT 'heavy_hitter' AS kind,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk,
+         key, cnt,
+         CAST((cnt * 10000) // (SELECT total FROM tot) AS BIGINT) AS bp
+  FROM counts
+  ORDER BY cnt DESC, key LIMIT {HH_TOP}
+),
+summary AS (
+  SELECT 'n_keys' AS kind, CAST(0 AS BIGINT) AS rk,
+         CAST(NULL AS BIGINT) AS key, n_keys AS cnt,
+         CAST(NULL AS BIGINT) AS bp FROM tot
+  UNION ALL
+  SELECT 'total_rows', 0, NULL, total, NULL FROM tot
+  UNION ALL
+  -- max/avg skew factor in basis points: 10000 = perfectly uniform
+  SELECT 'max_over_avg_bp', 0, NULL, NULL,
+         CAST((max_cnt * 10000 * n_keys) // total AS BIGINT) FROM tot
+  UNION ALL
+  SELECT 'p99_over_p50_bp', 0, NULL, NULL,
+         CAST(FLOOR(p99 * 10000 / p50) AS BIGINT) FROM tot
+  UNION ALL
+  SELECT 'max_over_min_bp', 0, NULL, NULL,
+         CAST((max_cnt * 10000) // min_cnt AS BIGINT) FROM tot
+)
+SELECT kind, CAST(rk AS BIGINT) AS rk, key, CAST(cnt AS BIGINT) AS cnt, bp
+FROM (SELECT * FROM hh UNION ALL SELECT * FROM summary)
+ORDER BY kind, rk, key
+"""
+
+
+@query("q98_skew_diagnostics", oracle=_Q98_ORACLE)
+def q98_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key distribution profiler: per-key counts of
+    ``lineitem.l_suppkey`` reduced to the top-10 heavy hitters (with
+    basis-point share) plus summary skew metrics (max/avg, p99/p50,
+    max/min ratios in basis points — 10000 = perfectly uniform). This is
+    the measurement you run BEFORE choosing a skew mitigation
+    (``skew_salted_join``) or a bucket layout (``q51``).
+
+    Scale: the per-key count is one map-side-combinable groupBy on the
+    join key; everything downstream (ranking, ratios) runs on the
+    key-cardinality frame, which is orders of magnitude smaller than the
+    fact table. All ratios are integer basis points so the report
+    hash-verifies cross-engine.
+    """
+    counts = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.min("cnt").alias("min_cnt"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    )
+    hh = (
+        counts.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("cnt"), "key")).cast("bigint")
+        )
+        .filter(F.col("rk") <= HH_TOP)
+        .crossJoin(F.broadcast(tot.select("total")))
+        .select(
+            F.lit("heavy_hitter").alias("kind"),
+            "rk",
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            ((F.col("cnt") * 10000) / F.col("total")).cast("bigint").alias("bp"),
+        )
+    )
+    nb = F.lit(None).cast("bigint")
+    summary = tot.select(
+        F.array(
+            F.struct(F.lit("n_keys").alias("kind"), F.col("n_keys").cast("bigint").alias("cnt"), nb.alias("bp")),
+            F.struct(F.lit("total_rows").alias("kind"), F.col("total").cast("bigint").alias("cnt"), nb.alias("bp")),
+            F.struct(
+                F.lit("max_over_avg_bp").alias("kind"),
+                nb.alias("cnt"),
+                F.expr("CAST((max_cnt * 10000 * n_keys) DIV total AS BIGINT)").alias("bp"),
+            ),
+            F.struct(
+                F.lit("p99_over_p50_bp").alias("kind"),
+                nb.alias("cnt"),
+                F.expr("CAST(FLOOR(p99 * 10000 / p50) AS BIGINT)").alias("bp"),
+            ),
+            F.struct(
+                F.lit("max_over_min_bp").alias("kind"),
+                nb.alias("cnt"),
+                F.expr("CAST((max_cnt * 10000) DIV min_cnt AS BIGINT)").alias("bp"),
+            ),
+        ).alias("rows")
+    ).select(F.explode("rows").alias("r")).select(
+        F.col("r.kind").alias("kind"),
+        F.lit(0).cast("bigint").alias("rk"),
+        nb.alias("key"),
+        F.col("r.cnt").alias("cnt"),
+        F.col("r.bp").alias("bp"),
+    )
+    return hh.unionByName(summary).orderBy("kind", "rk", "key")
+
+
+_Q100_ORACLE = """
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_pk,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date
+  FROM orders
+),
+l AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN l_quantity < 1 OR l_quantity > 60 THEN 1 ELSE 0 END) AS bad_qty,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 0.2 THEN 1 ELSE 0 END) AS bad_disc,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_ship
+  FROM lineitem
+),
+d AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 ELSE 0 END) AS empty_text,
+         SUM(CASE WHEN n_chars <> LENGTH(text) THEN 1 ELSE 0 END) AS bad_len
+  FROM documents
+),
+fk_o AS (
+  SELECT COUNT(*) AS v FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+fk_l AS (
+  SELECT COUNT(*) AS v FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+),
+checks AS (
+  SELECT 'orders' AS table_name, 'pk_unique' AS check_name, n AS checked_rows, dup_pk AS violations FROM o
+  UNION ALL SELECT 'orders', 'totalprice_positive', n, bad_price FROM o
+  UNION ALL SELECT 'orders', 'orderdate_not_null', n, null_date FROM o
+  UNION ALL SELECT 'orders', 'custkey_fk_customer', n, (SELECT v FROM fk_o) FROM o
+  UNION ALL SELECT 'lineitem', 'quantity_in_1_60', n, bad_qty FROM l
+  UNION ALL SELECT 'lineitem', 'discount_in_0_02', n, bad_disc FROM l
+  UNION ALL SELECT 'lineitem', 'shipdate_not_null', n, null_ship FROM l
+  UNION ALL SELECT 'lineitem', 'orderkey_fk_orders', n, (SELECT v FROM fk_l) FROM l
+  UNION ALL SELECT 'documents', 'text_nonempty', n, empty_text FROM d
+  UNION ALL SELECT 'documents', 'n_chars_matches_text', n, bad_len FROM d
+)
+SELECT table_name, check_name,
+       CAST(checked_rows AS BIGINT) AS checked_rows,
+       CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS ok
+FROM checks
+ORDER BY table_name, check_name
+"""
+
+
+@query("q100_data_quality_checks", oracle=_Q100_ORACLE)
+def q100_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite data audit: one row per declared check
+    ``(table, check, checked_rows, violations, ok)`` covering primary-key
+    uniqueness, NULL and range expectations, referential integrity
+    (orders→customer, lineitem→orders), and derived-column consistency
+    (``documents.n_chars == length(text)``). This is a *profiler*, not a
+    gate — violation counts are data (hash-verified vs DuckDB), so the
+    same operator reports on dirty corpora instead of refusing them.
+
+    Scale: each table contributes ONE conditional-aggregation scan
+    (``SUM(CASE WHEN ...)`` columns fold into a single partial agg); the
+    FK checks are anti-join counts whose dimension side (customer /
+    orders keys) broadcasts. No window, no per-row UDF, no second pass.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    d = table(spark, sf_dir, "documents")
+    c = table(spark, sf_dir, "customer")
+
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_pk"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias("null_date"),
+    )
+    l_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 60), 1).otherwise(0)).alias("bad_qty"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.2), 1).otherwise(0)).alias("bad_disc"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias("null_ship"),
+    )
+    d_agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)).alias("empty_text"),
+        F.sum(F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)).alias("bad_len"),
+    )
+    fk_o = o.join(
+        F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    fk_l = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count(F.lit(1)).alias("v"))
+
+    def rows(agg: DataFrame, tbl: str, checks: list[tuple[str, str]]) -> DataFrame:
+        structs = [
+            F.struct(
+                F.lit(tbl).alias("table_name"),
+                F.lit(name).alias("check_name"),
+                F.col("n").cast("bigint").alias("checked_rows"),
+                F.col(col).cast("bigint").alias("violations"),
+            )
+            for name, col in checks
+        ]
+        return agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+    fk_o_row = o_agg.crossJoin(fk_o).select(
+        F.lit("orders").alias("table_name"),
+        F.lit("custkey_fk_customer").alias("check_name"),
+        F.col("n").cast("bigint").alias("checked_rows"),
+        F.col("v").cast("bigint").alias("violations"),
+    )
+    fk_l_row = l_agg.crossJoin(fk_l).select(
+        F.lit("lineitem").alias("table_name"),
+        F.lit("orderkey_fk_orders").alias("check_name"),
+        F.col("n").cast("bigint").alias("checked_rows"),
+        F.col("v").cast("bigint").alias("violations"),
+    )
+    out = (
+        rows(o_agg, "orders", [("pk_unique", "dup_pk"), ("totalprice_positive", "bad_price"), ("orderdate_not_null", "null_date")])
+        .unionByName(rows(l_agg, "lineitem", [("quantity_in_1_60", "bad_qty"), ("discount_in_0_02", "bad_disc"), ("shipdate_not_null", "null_ship")]))
+        .unionByName(rows(d_agg, "documents", [("text_nonempty", "empty_text"), ("n_chars_matches_text", "bad_len")]))
+        .unionByName(fk_o_row)
+        .unionByName(fk_l_row)
+    )
+    return out.withColumn("ok", F.col("violations") == 0).orderBy(
+        "table_name", "check_name"
+    )
+
+
+#: minimum basket co-occurrence count for a pair to be "frequent"
+MINSUP = 3
+
+_Q101_ORACLE = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+),
+l1 AS (
+  SELECT item FROM baskets GROUP BY item HAVING COUNT(*) >= {MINSUP}
+),
+pruned AS (
+  SELECT basket, item FROM baskets WHERE item IN (SELECT item FROM l1)
+),
+pairs AS (
+  SELECT a.item AS part_a, b.item AS part_b, COUNT(*) AS support
+  FROM pruned a JOIN pruned b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {MINSUP}
+)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support
+FROM pairs
+ORDER BY support DESC, part_a, part_b
+"""
+
+
+@query("q101_frequent_pairs_apriori", oracle=_Q101_ORACLE)
+def q101_frequent_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining with the a-priori prune: parts
+    that co-occur in >= MINSUP orders, computed as (1) distinct
+    (order, part) baskets, (2) frequent singletons L1 (support >= MINSUP),
+    (3) a within-basket self-join restricted to L1 items, (4) pair counts
+    filtered at MINSUP.
+
+    Scale: the a-priori property — every frequent pair has two frequent
+    items — is the whole trick. L1 is a key-cardinality frame (small; it
+    broadcasts into a semi-join that prunes the baskets BEFORE the
+    quadratic self-join), so the pair space is built only over items that
+    can still qualify. The self-join shuffles on the basket key; a basket
+    with B surviving items contributes B*(B-1)/2 pair rows, so a
+    pathological mega-basket is the residual skew risk — cap or salt the
+    basket key if a real corpus has one (the fixture's baskets are
+    bounded by order size).
+    """
+    baskets = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
+        .dropDuplicates(["basket", "item"])
+    )
+    l1 = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= MINSUP
+    ).select("item")
+    pruned = baskets.join(F.broadcast(l1), "item", "left_semi")
+    a = pruned.select(F.col("basket"), F.col("item").alias("part_a"))
+    b = pruned.select(F.col("basket"), F.col("item").alias("part_b"))
+    pairs = (
+        a.join(b, ["basket"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= MINSUP)
+    )
+    return pairs.orderBy(F.desc("support"), "part_a", "part_b")
