@@ -303,3 +303,74 @@ def corpus_mix_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: systematic-PPS sample size (evenly spaced picks in weight space)
+PPS_K = 50
+
+_PPS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS wt,
+         MD5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, wt, h,
+         SUM(wt) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(wt) OVER () AS tot
+  FROM w
+)
+SELECT doc_id, lang, wt,
+       CAST((cw * {PPS_K}) // tot - ((cw - wt) * {PPS_K}) // tot AS BIGINT)
+         AS n_picks
+FROM cum
+WHERE (cw * {PPS_K}) // tot > ((cw - wt) * {PPS_K}) // tot
+ORDER BY doc_id
+"""
+
+
+@query("corpus_weighted_sample_pps", oracle=_PPS_ORACLE)
+def corpus_weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) sampling, deterministic
+    and integer-exact: documents are laid on a circle ordered by
+    md5(doc_id) (a seedless uniform shuffle), weights (here ``n_chars`` —
+    substitute any quality score) are cumulated, and K evenly spaced picks
+    in weight space select documents — classic systematic PPS sampling.
+    Each doc is picked with probability ~ K*w/W (docs heavier than W/K get
+    multiple picks, reported as ``n_picks`` >= 1, exactly the replacement
+    semantics weighted corpus mixing wants). Selection is pure integer
+    arithmetic (BIGINT cumsum + integer division), so the exact picked set
+    hash-verifies cross-engine — no float keys, no ln/pow (an
+    Efraimidis-Spirakis float key would be libm-dependent at the margin).
+
+    Scale: the fixture form uses one global cumsum window (single-reducer
+    ordering). The 100 TB swap is the standard two-pass per-shard variant:
+    pass 1 computes per-shard weight totals (tiny frame -> driver prefix
+    sums -> broadcast per-shard offsets), pass 2 cumulates within shards
+    and adds the offset — same arithmetic, no global window (the pattern
+    ``corpus_shuffle_shards`` already demonstrates for row numbering)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("wt"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cum = d.select(
+        "doc_id",
+        "lang",
+        "wt",
+        F.sum("wt")
+        .over(
+            W.orderBy("h", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cw"),
+        F.sum("wt").over(W.partitionBy()).alias("tot"),
+    )
+    hi = F.expr(f"(cw * {PPS_K}) DIV tot")
+    lo = F.expr(f"((cw - wt) * {PPS_K}) DIV tot")
+    return (
+        cum.filter(hi > lo)
+        .select("doc_id", "lang", "wt", (hi - lo).cast("bigint").alias("n_picks"))
+        .orderBy("doc_id")
+    )

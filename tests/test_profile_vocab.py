@@ -1,0 +1,131 @@
+"""Unit tests for the round-7 profiling/vocab operators: BPE merge-round
+semantics (greedy leftmost non-overlap on identical-symbol runs — a corner
+the fixture corpus does not force), PPS sampling invariants, and the
+profiler frames' internal consistency."""
+
+from __future__ import annotations
+
+import pytest
+
+from limeqo_spark.pipeline.mix import PPS_K
+from limeqo_spark.pipeline.vocab import _merge_round
+from limeqo_spark.relational.queries_profile import HH_TOP, MINSUP
+from limeqo_spark.relational.registry import REGISTRY
+
+
+def _seq_from_words(spark, words: dict[str, int]):
+    rows = []
+    for w, cnt in words.items():
+        for i, ch in enumerate(w, start=1):
+            rows.append((w, cnt, i, ch))
+    return spark.createDataFrame(rows, "word string, wcnt long, pos long, sym string")
+
+
+def _word_syms(seq) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for r in seq.orderBy("word", "pos").collect():
+        out.setdefault(r["word"], []).append(r["sym"])
+    return out
+
+
+def test_bpe_merge_identical_symbol_run_fuses_leftmost_nonoverlapping(spark):
+    # 'aaaa' x3 dominates: pair (a,a) has overlapping count 3*3=9.
+    # Greedy leftmost fusion must yield ['aa','aa'], never ['a','aa','a'].
+    seq = _seq_from_words(spark, {"aaaa": 3, "bc": 1})
+    new_seq, mrow = _merge_round(seq, 1)
+    m = mrow.collect()[0]
+    assert (m["left_sym"], m["right_sym"], m["weight"]) == ("a", "a", 9)
+    syms = _word_syms(new_seq)
+    assert syms["aaaa"] == ["aa", "aa"]
+    assert syms["bc"] == ["b", "c"]
+
+
+def test_bpe_merge_odd_run_keeps_trailing_symbol(spark):
+    # 'aaa': matches at pos 1,2 -> fuse pos1 only -> ['aa','a'].
+    seq = _seq_from_words(spark, {"aaa": 2})
+    new_seq, _ = _merge_round(seq, 1)
+    assert _word_syms(new_seq)["aaa"] == ["aa", "a"]
+
+
+def test_bpe_merge_disjoint_occurrences_all_fuse(spark):
+    # 'abab': (a,b) occurs at pos 1 and 3 (disjoint islands) -> ['ab','ab'].
+    seq = _seq_from_words(spark, {"abab": 5, "zz": 1})
+    new_seq, mrow = _merge_round(seq, 1)
+    m = mrow.collect()[0]
+    assert (m["left_sym"], m["right_sym"], m["weight"]) == ("a", "b", 10)
+    assert _word_syms(new_seq)["abab"] == ["ab", "ab"]
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    # (x,y) and (p,q) both weight 1 -> lexicographically smaller pair wins.
+    seq = _seq_from_words(spark, {"xy": 1, "pq": 1})
+    _, mrow = _merge_round(seq, 1)
+    m = mrow.collect()[0]
+    assert (m["left_sym"], m["right_sym"]) == ("p", "q")
+
+
+def test_bpe_second_round_operates_on_merged_symbols(spark):
+    # Round 1 on 'abab...' merges (a,b); round 2 must see 'ab' as ONE
+    # symbol and merge ('ab','ab').
+    seq = _seq_from_words(spark, {"abab": 4})
+    seq, _ = _merge_round(seq, 1)
+    seq, mrow2 = _merge_round(seq, 2)
+    m = mrow2.collect()[0]
+    assert (m["left_sym"], m["right_sym"], m["sym"]) == ("ab", "ab", "abab")
+    assert _word_syms(seq)["abab"] == ["abab"]
+
+
+def test_pps_sample_exact_pick_count_and_weight_bias(spark, sf_dir):
+    df = REGISTRY["corpus_weighted_sample_pps"].builder(spark, sf_dir).toPandas()
+    assert int(df["n_picks"].sum()) == PPS_K
+    assert (df["n_picks"] >= 1).all() and (df["wt"] > 0).all()
+    # systematic PPS: mean weight of picked docs must exceed the corpus
+    # mean weight (picks land proportional to weight)
+    import duckdb
+
+    corpus_mean = duckdb.sql(
+        f"SELECT AVG(n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    picked_mean = float((df["wt"] * df["n_picks"]).sum() / df["n_picks"].sum())
+    assert picked_mean > corpus_mean
+
+
+def test_skew_diagnostics_frame_shape_and_shares(spark, sf_dir):
+    df = REGISTRY["q98_skew_diagnostics"].builder(spark, sf_dir).toPandas()
+    hh = df[df["kind"] == "heavy_hitter"]
+    assert len(hh) == HH_TOP
+    # shares are basis points of total rows; heavy hitters sorted by rank
+    total = int(df.loc[df["kind"] == "total_rows", "cnt"].iloc[0])
+    assert ((hh["cnt"] * 10000 // total) == hh["bp"]).all()
+    assert hh.sort_values("rk")["cnt"].is_monotonic_decreasing
+    # uniform-ish fixture: max/avg skew below 3x
+    skew = int(df.loc[df["kind"] == "max_over_avg_bp", "bp"].iloc[0])
+    assert 10000 <= skew < 30000
+
+
+def test_data_quality_audit_clean_fixture_has_zero_violations(spark, sf_dir):
+    df = REGISTRY["q100_data_quality_checks"].builder(spark, sf_dir).toPandas()
+    assert len(df) == 10
+    bad = df[~df["ok"]]
+    assert bad.empty, f"fixture should audit clean, got: {bad.to_dict('records')}"
+
+
+def test_frequent_pairs_respect_apriori_property(spark, sf_dir):
+    pairs = REGISTRY["q101_frequent_pairs_apriori"].builder(spark, sf_dir).toPandas()
+    if pairs.empty:
+        pytest.skip("no frequent pairs at this SF")
+    assert (pairs["support"] >= MINSUP).all()
+    assert (pairs["part_a"] < pairs["part_b"]).all()
+    # a-priori: every item in a frequent pair is itself frequent
+    import duckdb
+
+    l1 = {
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT item FROM (SELECT DISTINCT l_orderkey AS b, l_partkey AS item
+                FROM read_parquet('{sf_dir}/lineitem.parquet'))
+                GROUP BY item HAVING COUNT(*) >= {MINSUP}"""
+        ).fetchall()
+    }
+    items = set(pairs["part_a"]) | set(pairs["part_b"])
+    assert items <= l1
