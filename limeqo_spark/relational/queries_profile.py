@@ -269,15 +269,26 @@ def q100_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: minimum basket co-occurrence count for a pair to be "frequent"
+#: floor on the adaptive minimum support (small-fixture behavior)
 MINSUP = 3
+#: one support unit per this many baskets (relative support 0.002%): the
+#: threshold scales with the corpus, like a real market-basket run — a
+#: FIXED absolute support at growing data makes every observed pair
+#: "frequent" (the x16 probe measured exactly that failure mode before
+#: this was made adaptive, docs/scale_probe_new_ops_r7.json)
+SUP_PER_BASKETS = 50000
 
 _Q101_ORACLE = f"""
 WITH baskets AS (
   SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
 ),
+minsup AS (
+  SELECT GREATEST({MINSUP}, COUNT(DISTINCT basket) // {SUP_PER_BASKETS}) AS s
+  FROM baskets
+),
 l1 AS (
-  SELECT item FROM baskets GROUP BY item HAVING COUNT(*) >= {MINSUP}
+  SELECT item FROM baskets GROUP BY item
+  HAVING COUNT(*) >= (SELECT s FROM minsup)
 ),
 pruned AS (
   SELECT basket, item FROM baskets WHERE item IN (SELECT item FROM l1)
@@ -287,9 +298,10 @@ pairs AS (
   FROM pruned a JOIN pruned b
     ON a.basket = b.basket AND a.item < b.item
   GROUP BY a.item, b.item
-  HAVING COUNT(*) >= {MINSUP}
+  HAVING COUNT(*) >= (SELECT s FROM minsup)
 )
-SELECT part_a, part_b, CAST(support AS BIGINT) AS support
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+       (SELECT CAST(s AS BIGINT) FROM minsup) AS min_support
 FROM pairs
 ORDER BY support DESC, part_a, part_b
 """
@@ -298,10 +310,14 @@ ORDER BY support DESC, part_a, part_b
 @query("q101_frequent_pairs_apriori", oracle=_Q101_ORACLE)
 def q101_frequent_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket frequent-pair mining with the a-priori prune: parts
-    that co-occur in >= MINSUP orders, computed as (1) distinct
-    (order, part) baskets, (2) frequent singletons L1 (support >= MINSUP),
-    (3) a within-basket self-join restricted to L1 items, (4) pair counts
-    filtered at MINSUP.
+    that co-occur in >= min_support orders, computed as (1) distinct
+    (order, part) baskets, (2) an ADAPTIVE minimum support
+    ``max(MINSUP, n_baskets DIV SUP_PER_BASKETS)`` — relative support, so
+    the threshold (and therefore the pruned plan) survives corpus growth;
+    the oracle derives the SAME threshold from its own COUNT(DISTINCT), so
+    the adaptive path itself is hash-verified — (3) frequent singletons
+    L1, (4) a within-basket self-join restricted to L1 items, (5) pair
+    counts filtered at min_support (emitted per row as ``min_support``).
 
     Scale: the a-priori property — every frequent pair has two frequent
     items — is the whole trick. L1 is a key-cardinality frame (small; it
@@ -318,9 +334,19 @@ def q101_frequent_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item"))
         .dropDuplicates(["basket", "item"])
     )
-    l1 = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") >= MINSUP
-    ).select("item")
+    minsup = baskets.agg(
+        F.greatest(
+            F.lit(MINSUP).cast("bigint"),
+            F.expr(f"count(DISTINCT basket) DIV {SUP_PER_BASKETS}"),
+        ).alias("s")
+    )
+    l1 = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(minsup))
+        .filter(F.col("c") >= F.col("s"))
+        .select("item")
+    )
     pruned = baskets.join(F.broadcast(l1), "item", "left_semi")
     a = pruned.select(F.col("basket"), F.col("item").alias("part_a"))
     b = pruned.select(F.col("basket"), F.col("item").alias("part_b"))
@@ -329,6 +355,9 @@ def q101_frequent_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
-        .filter(F.col("support") >= MINSUP)
+        .crossJoin(F.broadcast(minsup))
+        .filter(F.col("support") >= F.col("s"))
     )
-    return pairs.orderBy(F.desc("support"), "part_a", "part_b")
+    return pairs.select(
+        "part_a", "part_b", "support", F.col("s").cast("bigint").alias("min_support")
+    ).orderBy(F.desc("support"), "part_a", "part_b")

@@ -9,7 +9,7 @@ import pytest
 
 from limeqo_spark.pipeline.mix import PPS_K
 from limeqo_spark.pipeline.vocab import _merge_round
-from limeqo_spark.relational.queries_profile import HH_TOP, MINSUP
+from limeqo_spark.relational.queries_profile import HH_TOP, MINSUP, SUP_PER_BASKETS
 from limeqo_spark.relational.registry import REGISTRY
 
 
@@ -114,17 +114,23 @@ def test_frequent_pairs_respect_apriori_property(spark, sf_dir):
     pairs = REGISTRY["q101_frequent_pairs_apriori"].builder(spark, sf_dir).toPandas()
     if pairs.empty:
         pytest.skip("no frequent pairs at this SF")
-    assert (pairs["support"] >= MINSUP).all()
-    assert (pairs["part_a"] < pairs["part_b"]).all()
-    # a-priori: every item in a frequent pair is itself frequent
+    # adaptive relative support: threshold derives from the basket count
     import duckdb
 
+    n_baskets = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_orderkey) FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchone()[0]
+    s = max(MINSUP, n_baskets // SUP_PER_BASKETS)
+    assert (pairs["min_support"] == s).all()
+    assert (pairs["support"] >= s).all()
+    assert (pairs["part_a"] < pairs["part_b"]).all()
+    # a-priori: every item in a frequent pair is itself frequent
     l1 = {
         r[0]
         for r in duckdb.sql(
             f"""SELECT item FROM (SELECT DISTINCT l_orderkey AS b, l_partkey AS item
                 FROM read_parquet('{sf_dir}/lineitem.parquet'))
-                GROUP BY item HAVING COUNT(*) >= {MINSUP}"""
+                GROUP BY item HAVING COUNT(*) >= {s}"""
         ).fetchall()
     }
     items = set(pairs["part_a"]) | set(pairs["part_b"])
