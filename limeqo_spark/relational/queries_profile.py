@@ -174,7 +174,7 @@ checks AS (
   UNION ALL SELECT 'orders', 'orderdate_not_null', n, null_date FROM o
   UNION ALL SELECT 'orders', 'custkey_fk_customer', n, (SELECT v FROM fk_o) FROM o
   UNION ALL SELECT 'lineitem', 'quantity_in_1_60', n, bad_qty FROM l
-  UNION ALL SELECT 'lineitem', 'discount_in_0_02', n, bad_disc FROM l
+  UNION ALL SELECT 'lineitem', 'discount_in_0_to_0.2', n, bad_disc FROM l
   UNION ALL SELECT 'lineitem', 'shipdate_not_null', n, null_ship FROM l
   UNION ALL SELECT 'lineitem', 'orderkey_fk_orders', n, (SELECT v FROM fk_l) FROM l
   UNION ALL SELECT 'documents', 'text_nonempty', n, empty_text FROM d
@@ -259,7 +259,7 @@ def q100_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         rows(o_agg, "orders", [("pk_unique", "dup_pk"), ("totalprice_positive", "bad_price"), ("orderdate_not_null", "null_date")])
-        .unionByName(rows(l_agg, "lineitem", [("quantity_in_1_60", "bad_qty"), ("discount_in_0_02", "bad_disc"), ("shipdate_not_null", "null_ship")]))
+        .unionByName(rows(l_agg, "lineitem", [("quantity_in_1_60", "bad_qty"), ("discount_in_0_to_0.2", "bad_disc"), ("shipdate_not_null", "null_ship")]))
         .unionByName(rows(d_agg, "documents", [("text_nonempty", "empty_text"), ("n_chars_matches_text", "bad_len")]))
         .unionByName(fk_o_row)
         .unionByName(fk_l_row)
@@ -361,3 +361,56 @@ def q101_frequent_pairs_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "part_a", "part_b", "support", F.col("s").cast("bigint").alias("min_support")
     ).orderBy(F.desc("support"), "part_a", "part_b")
+
+
+#: BOM roots (smallest part keys; the derived edge rule makes partkey p the
+#: parent of 2p+1 and 2p+2, a binary forest over the part table)
+BOM_ROOTS = 8
+
+_Q102_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS parent, 2 * p_partkey + 1 AS child,
+         p_partkey % 3 + 1 AS q
+  FROM part WHERE 2 * p_partkey + 1 <= (SELECT MAX(p_partkey) FROM part)
+  UNION ALL
+  SELECT p_partkey, 2 * p_partkey + 2, p_partkey % 5 + 1
+  FROM part WHERE 2 * p_partkey + 2 <= (SELECT MAX(p_partkey) FROM part)
+),
+bom(root, p, qty, depth) AS (
+  SELECT p_partkey, p_partkey, CAST(1 AS BIGINT), 0
+  FROM part WHERE p_partkey < {BOM_ROOTS}
+  UNION ALL
+  SELECT b.root, e.child, b.qty * e.q, b.depth + 1
+  FROM bom b JOIN edges e ON e.parent = b.p
+)
+SELECT root, CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM bom
+GROUP BY root
+ORDER BY root
+"""
+
+
+@query("q102_recursive_cte_bom", oracle=_Q102_SQL)
+def q102_recursive_cte_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials rollup via Spark 4's ``WITH RECURSIVE`` — the
+    hierarchical-query surface (org charts, BOM explosions, graph
+    reachability) that previously required a driver-side iteration loop
+    (cf. the large-star/small-star kernel in ``pipeline/cluster.py``).
+    Edges derive deterministically from the part table (partkey p parents
+    2p+1 / 2p+2 with small integer per-edge quantities), so the closure —
+    per-root component count, multiplied-quantity total, max depth — is
+    pure BIGINT arithmetic and the *identical* SQL string runs on DuckDB.
+
+    Scale: a recursive CTE executes as one self-join per level on the
+    frontier (here <= log2(|part|) + 1 levels); each level shuffles only
+    the frontier on the parent key, and quantities multiply down paths —
+    the exact plan a hand-written iterative loop would issue, minus the
+    driver round-trips. Catalyst's recursion (maxRecursion guard) bounds
+    runaway depth.
+    """
+    from limeqo_spark.io import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(_Q102_SQL)
