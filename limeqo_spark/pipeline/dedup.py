@@ -930,3 +930,98 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "span_start", "span_len_tokens", "n_grams")
         .orderBy("doc_id", "span_start")
     )
+
+
+@query("dedup_semantic_clusters", oracle=None, check="prop")
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding corpus with the
+    distributed MLlib KMeans quantizer (shared with the IVF ANN family —
+    same memoized centroids, so the engine has ONE geometry), then find
+    duplicate pairs ONLY within each cluster (exact cosine >= 0.95),
+    resolve duplicate groups by connected components, and keep the member
+    closest to its cluster centroid (ties broken by lowest vec_id, which
+    keeps the original over its planted clone).
+
+    This is the third — and at extreme scale the canonical — embedding
+    dedup blocking strategy next to SRP-LSH banding
+    (``dedup_embedding_cosine``) and brute force: clustering bounds the
+    quadratic term to cluster size, and k grows with N so cluster size
+    stays constant (SemDeDup ran it at LAION-5B scale). Within-cluster
+    pair generation is a cell-keyed self-join (shuffle on cell_id);
+    component resolution reuses the min-label kernel
+    (``pipeline/cluster.py``), O(diameter) rounds on the tiny edge frame.
+
+    PROP (KMeans centroids are engine-local, no cross-engine oracle):
+    unit gates assert every planted clone pair collapses to exactly the
+    original, the kept set has no remaining within-cluster pair at the
+    threshold, and every corpus vector appears exactly once.
+    """
+    from limeqo_spark.pipeline.cluster import connected_components_min_label
+    from limeqo_spark.pipeline.similarity import _train_ivf_centers
+
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = base.unionByName(
+        base.filter(F.col("vec_id") < 20).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+    )
+    centers = _train_ivf_centers(spark, sf_dir)
+    nlist = len(centers)
+    cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
+    # nearest-centroid assignment + distance-to-centroid, one JVM-side
+    # expression per row (no crossJoin, no window) — the keeper score is
+    # the squared L2 distance to the OWN cell's centroid
+    ranked = (
+        f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
+        "aggregate(zip_with(cents[p], embedding, (c, x) -> (x - c) * (x - c)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))[0]"
+    )
+    assigned = (
+        corpus.withColumn("cents", cents_lit)
+        .withColumn("best", F.expr(ranked))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("best.i").alias("cell_id"),
+            F.col("best.d").alias("dist_c"),
+        )
+    )
+    lhs = assigned.select(
+        "cell_id", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    rhs = assigned.select(
+        "cell_id", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    cos_ab = (
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(ea, x -> x * x), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v))"
+        " * sqrt(aggregate(transform(eb, x -> x * x), CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> acc + v)))"
+    )
+    edges = (
+        lhs.join(rhs, "cell_id")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.expr(cos_ab) >= 0.95)
+        .select("a", "b")
+    )
+    comps = connected_components_min_label(edges)
+    labeled = assigned.join(
+        comps, assigned.vec_id == comps.node, "left"
+    ).select(
+        "vec_id",
+        "cell_id",
+        "dist_c",
+        F.coalesce("component", "vec_id").alias("component"),
+    )
+    w = W.partitionBy("component").orderBy("dist_c", "vec_id")
+    return (
+        labeled.withColumn("kept", F.row_number().over(w) == 1)
+        .select("vec_id", F.col("cell_id").cast("bigint").alias("cell_id"),
+                F.col("component").cast("bigint").alias("component"), "kept")
+        .orderBy("vec_id")
+    )

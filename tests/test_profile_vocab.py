@@ -135,3 +135,37 @@ def test_frequent_pairs_respect_apriori_property(spark, sf_dir):
     }
     items = set(pairs["part_a"]) | set(pairs["part_b"])
     assert items <= l1
+
+
+def test_semantic_dedup_resolves_planted_clones_and_only_them(spark, sf_dir):
+    import numpy as np
+
+    df = REGISTRY["dedup_semantic_clusters"].builder(spark, sf_dir).toPandas()
+    emb = (
+        REGISTRY["dedup_semantic_clusters"]
+        .builder(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()
+    )
+    n_base = len(emb)
+    # every corpus vector exactly once (base + 20 planted clones)
+    assert len(df) == n_base + 20
+    assert df["vec_id"].is_unique
+    # exactly the 20 clones dropped; each pair keeps the ORIGINAL
+    assert int((~df["kept"]).sum()) == 20
+    assert df.loc[df["vec_id"] < 20, "kept"].all()
+    assert (~df.loc[df["vec_id"] >= 10000, "kept"]).all()
+    # clone and original share component and cell
+    by_id = df.set_index("vec_id")
+    for v in range(20):
+        assert by_id.loc[v, "cell_id"] == by_id.loc[v + 10000, "cell_id"]
+        assert by_id.loc[v, "component"] == by_id.loc[v + 10000, "component"]
+    # kept set: no surviving within-cluster pair at the threshold
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=float) for r in emb.itertuples()}
+    kept = df[df["kept"]]
+    for cell, grp in kept.groupby("cell_id"):
+        ids = [v for v in grp["vec_id"] if v in vecs]
+        m = np.stack([vecs[v] / np.linalg.norm(vecs[v]) for v in ids])
+        sims = m @ m.T
+        np.fill_diagonal(sims, 0.0)
+        assert sims.max() < 0.95, f"cell {cell} still has a near-dup pair"
