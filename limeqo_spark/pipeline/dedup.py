@@ -932,6 +932,37 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: above-floor semantic-dedup codebooks, keyed (sf_dir, k)
+_SEM_CENTER_CACHE: dict[tuple[str, int], "object"] = {}
+
+
+def _train_semantic_centers(spark: SparkSession, sf_dir: str, k: int):
+    """Wider-than-IVF KMeans codebook for above-floor corpora: seeded
+    k-means|| (one init step, 5 Lloyd iterations) on a deterministic
+    bounded sample — centroids need the density shape, not every vector
+    (same rationale as ``similarity._train_ivf_centers``); only the k
+    trained centroids reach the driver."""
+    import numpy as np
+
+    centers = _SEM_CENTER_CACHE.get((sf_dir, k))
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        e = table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        sample = (
+            e.orderBy("vec_id")
+            .limit(max(4096, 16 * k))
+            .select(array_to_vector(F.col("embedding")).alias("features"))
+        )
+        km = KMeans(k=k, seed=42, maxIter=5, initSteps=1, featuresCol="features")
+        centers = np.asarray(km.fit(sample).clusterCenters())
+        _SEM_CENTER_CACHE[(sf_dir, k)] = centers
+    return centers
+
+
 @query("dedup_semantic_clusters", oracle=None, check="prop")
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -952,11 +983,21 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     component resolution reuses the min-label kernel
     (``pipeline/cluster.py``), O(diameter) rounds on the tiny edge frame.
 
+    The cluster count ADAPTS to the corpus — ``k = max(16, ceil(N/128))``,
+    i.e. expected cluster size <= ~128 at any scale — because a fixed k
+    makes the within-cluster self-join quadratic again as N grows (the
+    same failure mode the adaptive LSH band widths fix). At the fixture
+    SFs the floor keeps k = 16, sharing the IVF family's memoized
+    quantizer; above the floor a separately-memoized KMeans fit on a
+    bounded sample trains the wider codebook.
+
     PROP (KMeans centroids are engine-local, no cross-engine oracle):
     unit gates assert every planted clone pair collapses to exactly the
     original, the kept set has no remaining within-cluster pair at the
     threshold, and every corpus vector appears exactly once.
     """
+    import math
+
     from limeqo_spark.pipeline.cluster import connected_components_min_label
     from limeqo_spark.pipeline.similarity import _train_ivf_centers
 
@@ -968,7 +1009,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
         )
     )
-    centers = _train_ivf_centers(spark, sf_dir)
+    # two pushed-down counts, no vector movement (the simhash N-sizing idiom)
+    n_rows = base.count() + base.filter(F.col("vec_id") < 20).count()
+    k = max(16, math.ceil(n_rows / 128))
+    centers = (
+        _train_ivf_centers(spark, sf_dir)
+        if k == 16
+        else _train_semantic_centers(spark, sf_dir, k)
+    )
     nlist = len(centers)
     cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
     # nearest-centroid assignment + distance-to-centroid, one JVM-side
