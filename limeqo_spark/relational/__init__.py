@@ -12,6 +12,7 @@ from limeqo_spark.relational import (  # noqa: F401  (import for registration si
     queries_functions,
     queries_gates,
     queries_profile,
+    queries_pysource,
     queries_scale,
     queries_scan_join,
     queries_tpch,
