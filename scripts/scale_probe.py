@@ -63,12 +63,13 @@ DEFAULT_QUERIES = [
 ]
 
 
-#: per-element pseudo-noise amplitude (x vector norm). With ~64 dims and
-#: E[sin^2] ~ 0.5 the noise norm is ~amp*sqrt(32) ~ 0.75 x the vector norm,
-#: putting original-vs-perturbed cosine near 1/sqrt(1+0.75^2) ~ 0.8 — far
-#: under the 0.95 near-dup threshold, and perturbed-vs-perturbed (independent
-#: per-replica noise) lower still.
-PERTURB_AMP = 0.1326
+#: per-element pseudo-noise amplitude (x vector norm). Noise elements are
+#: uniform [-1, 1] (E[u^2] = 1/3), so over 64 dims the noise norm is
+#: ~amp*sqrt(64/3) ~ 0.75 x the vector norm, putting original-vs-perturbed
+#: cosine near 1/sqrt(1+0.75^2) ~ 0.8 — far under the 0.95 near-dup
+#: threshold, and perturbed-vs-perturbed (independent per-replica noise)
+#: lower still (~0.64 expected).
+PERTURB_AMP = 0.1624
 
 
 def _perturb_embedding_expr(rep: int):
@@ -76,16 +77,29 @@ def _perturb_embedding_expr(rep: int):
     replica's copy is pushed BELOW the near-dup cosine threshold, so a
     perturbed replica probe measures candidate-generation/plan scaling
     instead of the clone-group quadratic (exact replication makes every
-    row a true near-dup of its n copies — semantic output, not plan)."""
+    row a true near-dup of its n copies — semantic output, not plan).
+
+    Noise elements are md5-derived uniforms over (vec_id, i) — the
+    replica-offset vec_id makes them independent across replicas BY
+    CONSTRUCTION. The original sin(h * 12.9898) scheme ALIASED: the
+    per-rep phase step lands ~-0.41 rad from a multiple of 2*pi every 3
+    replicas, so reps {1,4,7,...} carried ~cos(0.41)=0.92-correlated
+    noise and x16 replicas contained tens of thousands of SPURIOUS true
+    near-dup pairs (measured: 53,582 edges where ~20 were intended) —
+    inflating any probe that counts or resolves pairs. (The document
+    perturbation below is token-suffix-based and never had this flaw.)"""
     from pyspark.sql import functions as F
 
-    hash_arg = f"CAST((vec_id % 100000) * 131 + i * 17 + {rep} * 7919 AS DOUBLE)"
+    u = (
+        "(conv(substr(md5(concat(CAST(vec_id AS STRING), ':', CAST(i AS STRING))),"
+        " 1, 8), 16, 10) / 4294967296.0 * 2.0 - 1.0)"
+    )
     return F.expr(
         "transform(embedding, (x, i) -> CAST("
         f" CAST(x AS DOUBLE) + {PERTURB_AMP}"
         " * sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
         "        (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
-        f" * sin({hash_arg} * 12.9898)"
+        f" * {u}"
         " AS FLOAT))"
     )
 
