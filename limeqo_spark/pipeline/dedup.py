@@ -1018,25 +1018,73 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         else _train_semantic_centers(spark, sf_dir, k)
     )
     nlist = len(centers)
-    cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
-    # nearest-centroid assignment + distance-to-centroid, one JVM-side
-    # expression per row (no crossJoin, no window) — the keeper score is
-    # the squared L2 distance to the OWN cell's centroid
-    ranked = (
-        f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
-        "aggregate(zip_with(cents[p], embedding, (c, x) -> (x - c) * (x - c)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))[0]"
-    )
-    assigned = (
-        corpus.withColumn("cents", cents_lit)
-        .withColumn("best", F.expr(ranked))
-        .select(
+    if nlist <= 64:
+        # fixture floor: nearest-centroid assignment + distance as one
+        # JVM-side expression per row (no crossJoin, no window) — the
+        # keeper score is the squared L2 distance to the OWN centroid
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
+        )
+        ranked = (
+            f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
+            "aggregate(zip_with(cents[p], embedding, (c, x) -> (x - c) * (x - c)),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))[0]"
+        )
+        assigned = (
+            corpus.withColumn("cents", cents_lit)
+            .withColumn("best", F.expr(ranked))
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("best.i").alias("cell_id"),
+                F.col("best.d").alias("dist_c"),
+            )
+        )
+    else:
+        # wide codebooks: assignment is O(N*k) however you slice it (k
+        # grows with N, so cluster-based dedup pays ~N^2/128 distance
+        # terms) — the SemDeDup answer is to make the constant a BLAS
+        # GEMM, exactly what an Arrow-batched pandas UDF gives: each
+        # batch computes x^2 + c^2 - 2 X C^T as one matmul. The first
+        # x16 probe ran the per-row HOF expression at k=251 and measured
+        # wall ratio 4.69; the GEMM path is the recorded fix.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        c_mat = np.asarray(centers, dtype=float)
+        c_sq = (c_mat * c_mat).sum(axis=1)
+
+        def _assign_fn(emb):
+            x = np.stack(emb.to_numpy())
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                + c_sq[None, :]
+                - 2.0 * (x @ c_mat.T)
+            )
+            i = d2.argmin(axis=1)  # ties -> lowest cell, like sort_array
+            return pd.DataFrame(
+                {"i": i.astype("int32"), "d": d2[np.arange(len(i)), i]}
+            )
+
+        # real type objects, not strings: this module's postponed
+        # annotations (`from __future__ import annotations`) would leave
+        # pandas_udf's signature inspection unresolvable
+        _assign_fn.__annotations__ = {"emb": pd.Series, "return": pd.DataFrame}
+        _assign = pandas_udf(_assign_fn, "struct<i: int, d: double>")
+
+        assigned = corpus.withColumn("best", _assign("embedding")).select(
             "vec_id",
             "embedding",
             F.col("best.i").alias("cell_id"),
             F.col("best.d").alias("dist_c"),
         )
-    )
+    # assigned feeds THREE consumers (the pair self-join's both sides, the
+    # component label join, the final projection) — without a persist each
+    # replays assignment; spill-safe level since the frame carries vectors
+    from pyspark.storagelevel import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     lhs = assigned.select(
         "cell_id", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
     )
