@@ -49,6 +49,8 @@ PROP_MIN_ROWS = {
     "limeqo_mllib_complete_agree": 1,
     "scale_pruning_gate": 2,
     "prop_gates": 8,
+    # full corpus + 20 planted clones, one row per vector
+    "dedup_semantic_clusters": 520,
 }
 
 
