@@ -169,3 +169,63 @@ def test_semantic_dedup_resolves_planted_clones_and_only_them(spark, sf_dir):
         sims = m @ m.T
         np.fill_diagonal(sims, 0.0)
         assert sims.max() < 0.95, f"cell {cell} still has a near-dup pair"
+
+
+# --- differential BPE property test -------------------------------------
+# Reference implementation: Sennrich-style counting (overlapping zip pairs,
+# word-frequency weighted) + greedy leftmost non-overlapping fusion.
+
+def _ref_best_pair(words: dict[str, int], seqs: dict[str, list[str]]):
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for w, syms in seqs.items():
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] += words[w]
+    if not counts:
+        return None
+    # count DESC, then lexicographic pair
+    return min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+
+
+def _ref_apply(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_merge_round(words: dict[str, int], seqs: dict[str, list[str]]):
+    best = _ref_best_pair(words, seqs)
+    assert best is not None
+    (a, b), cnt = best
+    return (a, b, cnt), {w: _ref_apply(s, (a, b)) for w, s in seqs.items()}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="ab", min_size=2, max_size=8)
+_words = st.dictionaries(_word, st.integers(min_value=1, max_value=9),
+                         min_size=1, max_size=6)
+
+
+@pytest.mark.filterwarnings("ignore::hypothesis.errors.HypothesisWarning")
+@settings(max_examples=12, deadline=None)
+@given(words=_words)
+def test_bpe_merge_round_matches_reference_implementation(spark, words):
+    # alphabet {a,b} maximizes identical-symbol runs and pair collisions —
+    # the corners where the window/island dataflow could diverge from the
+    # sequential reference
+    seqs = {w: list(w) for w in words}
+    (ra, rb, rcnt), ref_seqs = _ref_merge_round(words, seqs)
+    seq_df = _seq_from_words(spark, words)
+    new_seq, mrow = _merge_round(seq_df, 1)
+    m = mrow.collect()[0]
+    assert (m["left_sym"], m["right_sym"], m["weight"]) == (ra, rb, rcnt)
+    assert _word_syms(new_seq) == ref_seqs
