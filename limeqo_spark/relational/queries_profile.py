@@ -85,6 +85,11 @@ def q98_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_suppkey").alias("key"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # three consumers (heavy hitters, the hh share denominator, the
+        # summary aggregate) would otherwise each rescan the fact table;
+        # the counts frame is key-cardinality — persist it and the whole
+        # profiler reads the fact ONCE (plan-gated)
+        .persist()
     )
     tot = counts.agg(
         F.sum("cnt").alias("total"),

@@ -229,3 +229,48 @@ def test_bpe_merge_round_matches_reference_implementation(spark, words):
     m = mrow.collect()[0]
     assert (m["left_sym"], m["right_sym"], m["weight"]) == (ra, rb, rcnt)
     assert _word_syms(new_seq) == ref_seqs
+
+
+# --- plan-quality gates (the tests/test_plan_quality.py discipline) ------
+
+def _plan(spark, name, sf_dir):
+    return (
+        REGISTRY[name]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q101_apriori_prune_broadcasts_and_never_cartesians(spark, sf_dir):
+    plan = _plan(spark, "q101_frequent_pairs_apriori", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_trainer_plan_is_jvm_side(spark, sf_dir):
+    # the whole K-round trainer must stay in JVM expressions: no scalar
+    # Python UDF, no Arrow batch eval; the only BNLJ nodes are the 1-row
+    # best-pair broadcasts
+    plan = _plan(spark, "text_bpe_vocab_merges", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_semantic_dedup_floor_path_is_jvm_side(spark, sf_dir):
+    # at the k=16 floor the assignment is a pure expression; the GEMM
+    # pandas UDF only engages above the floor (probed, not fixture-visible)
+    plan = _plan(spark, "dedup_semantic_clusters", sf_dir)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q98_profile_runs_on_key_cardinality_frame(spark, sf_dir):
+    # every consumer (heavy hitters, share denominator, summary) must read
+    # the PERSISTED per-key count frame: the fact table fills the cache
+    # once, so each of the three count subtrees goes through
+    # InMemoryTableScan (the plan string still prints the cached child's
+    # FileScan inside every InMemoryRelation — execution scans once)
+    plan = _plan(spark, "q98_skew_diagnostics", sf_dir)
+    assert plan.count("InMemoryTableScan") == plan.count("FileScan")
