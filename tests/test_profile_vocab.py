@@ -270,7 +270,9 @@ def test_q98_profile_runs_on_key_cardinality_frame(spark, sf_dir):
     # every consumer (heavy hitters, share denominator, summary) must read
     # the PERSISTED per-key count frame: the fact table fills the cache
     # once, so each of the three count subtrees goes through
-    # InMemoryTableScan (the plan string still prints the cached child's
-    # FileScan inside every InMemoryRelation — execution scans once)
+    # InMemoryTableScan. (Don't compare against FileScan counts: the plan
+    # STRING embeds the cached child's scan inside every InMemoryRelation,
+    # and a warm-session re-invocation prints it twice more — execution
+    # still scans once.)
     plan = _plan(spark, "q98_skew_diagnostics", sf_dir)
-    assert plan.count("InMemoryTableScan") == plan.count("FileScan")
+    assert plan.count("InMemoryTableScan") == 3
