@@ -229,3 +229,107 @@ def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out.unionByName(vocab).orderBy("kind", "round", F.desc("weight"), "sym")
+
+
+def _bpe_encode_oracle(k: int) -> str:
+    rounds = ",".join(_round_ctes(r) for r in range(1, k + 1))
+    return f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wcnt FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+pos0 AS (
+  SELECT word, wcnt,
+         UNNEST(generate_series(1, LENGTH(word))) AS p
+  FROM words
+),
+seq0 AS (
+  SELECT word, wcnt, CAST(p AS BIGINT) AS pos,
+         substr(word, CAST(p AS INT), 1) AS sym
+  FROM pos0
+),{rounds},
+tok AS (
+  SELECT word, COUNT(*) AS n_syms,
+         string_agg(sym, '|' ORDER BY pos) AS tok_str
+  FROM seq{k} GROUP BY word
+),
+dpos AS (
+  SELECT doc_id, t,
+         UNNEST(generate_series(1, len(t))) AS o
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+dwords AS (
+  SELECT doc_id, CAST(o AS BIGINT) AS o, t[CAST(o AS INT)] AS word
+  FROM dpos
+)
+SELECT d.doc_id,
+       CAST(SUM(tok.n_syms) AS BIGINT) AS n_tokens,
+       MD5(string_agg(tok.tok_str, ' ' ORDER BY d.o)) AS tokens_md5
+FROM dwords d JOIN tok ON d.word = tok.word
+WHERE d.word <> ''
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(BPE_ROUNDS))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges — the ENCODE half
+    of the tokenizer (``text_bpe_vocab_merges`` is the train half): the K
+    merge rounds run once on the distinct-word frame, producing a
+    word -> token-sequence lookup table (vocabulary-sized — exactly the
+    cache fast tokenizers build), which then broadcast-joins onto the
+    exploded corpus words; per document we emit the token count and an
+    order-exact digest of the full token stream.
+
+    Scale: tokenization cost splits into a vocabulary-sized merge
+    computation (independent of corpus size) plus ONE corpus-sized
+    explode-join-aggregate whose join side broadcasts. No UDFs, no
+    window over the corpus; the per-doc token stream digest uses the
+    sorted-collect_list == ordered-string_agg equivalence (the q58
+    determinism pattern).
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+    seq = (
+        words.select(
+            "word",
+            "wcnt",
+            F.explode(
+                F.expr("sequence(CAST(1 AS BIGINT), CAST(length(word) AS BIGINT))")
+            ).alias("pos"),
+        )
+        .withColumn("sym", F.expr("substr(word, CAST(pos AS INT), 1)"))
+    )
+    for r in range(1, BPE_ROUNDS + 1):
+        seq, _ = _merge_round(seq, r)
+    tok = seq.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_syms"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, sym))),"
+            " x -> x.sym), '|')"
+        ).alias("tok_str"),
+    )
+    dwords = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("o", "word")
+    ).filter(F.col("word") != "")
+    return (
+        dwords.join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_syms").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list(struct(o, tok_str))),"
+                    " x -> x.tok_str), ' ')"
+                )
+            ).alias("tokens_md5"),
+        )
+        .orderBy("doc_id")
+    )

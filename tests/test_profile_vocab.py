@@ -276,3 +276,13 @@ def test_q98_profile_runs_on_key_cardinality_frame(spark, sf_dir):
     # still scans once.)
     plan = _plan(spark, "q98_skew_diagnostics", sf_dir)
     assert plan.count("InMemoryTableScan") == 3
+
+
+def test_bpe_encode_token_mass_matches_trainer_vocab(spark, sf_dir):
+    # cross-operator invariant: the encode half's total token count equals
+    # the train half's vocab weight mass (sum over words of wcnt * n_syms)
+    enc = REGISTRY["text_bpe_encode"].builder(spark, sf_dir).toPandas()
+    tr = REGISTRY["text_bpe_vocab_merges"].builder(spark, sf_dir).toPandas()
+    vocab_mass = int(tr.loc[tr["kind"] == "vocab", "weight"].sum())
+    assert int(enc["n_tokens"].sum()) == vocab_mass
+    assert enc["doc_id"].is_unique and (enc["n_tokens"] > 0).all()
