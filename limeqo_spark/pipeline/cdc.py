@@ -136,3 +136,146 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us", "value_cents")
     )
+
+
+def merge_apply(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_col: str,
+    part_col: str,
+) -> None:
+    """Apply a full-row MERGE (upsert + delete) to a parquet table
+    partitioned by ``part_col``, copy-on-write at PARTITION granularity:
+    only partitions named in the changelog are read back, rebuilt
+    ((current rows anti-join changed keys) UNION surviving change rows)
+    and rewritten under ``partitionOverwriteMode=dynamic`` — untouched
+    partitions' files are never listed, read, or replaced (the lakehouse
+    MERGE INTO pattern on plain parquet). ``changes`` carries full
+    payload rows plus an ``op`` column ('U'/'I' upsert, 'D' delete).
+
+    Known limitation (documented, not hit here): a partition whose every
+    row is deleted produces no rows in the rebuilt frame, so dynamic
+    overwrite leaves its old files in place — full-partition deletes need
+    an explicit directory drop.
+    """
+    affected = changes.select(part_col).distinct()
+    cur = spark.read.parquet(path).join(F.broadcast(affected), part_col, "left_semi")
+    rebuilt = cur.join(
+        changes.select(key_col).distinct(), key_col, "left_anti"
+    ).unionByName(changes.filter(F.col("op") != "D").drop("op"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rebuilt.write.mode("overwrite").partitionBy(part_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+_MERGE_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p, o_orderstatus
+  FROM orders
+),
+dels AS (
+  SELECT o_orderkey FROM base
+  WHERE o_orderkey % 101 = 0 AND o_orderstatus <> 'P'
+),
+upds AS (
+  SELECT o_orderkey FROM base
+  WHERE o_orderkey % 97 = 0 AND o_orderstatus <> 'P'
+),
+ins AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         p + 5000.00 AS p, o_orderstatus
+  FROM base WHERE o_orderkey % 103 = 0 AND o_orderstatus <> 'P'
+),
+final AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upds)
+              THEN p + 1000.00 ELSE p END AS p,
+         o_orderstatus
+  FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+  UNION ALL
+  SELECT * FROM ins
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(p * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("cdc_merge_apply", oracle=_MERGE_ORACLE)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on plain parquet: stage orders partitioned by
+    ``o_orderstatus``, synthesize a deterministic changelog touching only
+    the 'O'/'F' partitions (updates: keys % 97, +1000.00; deletes:
+    keys % 101; inserts: keys % 103 cloned to key+10M at +5000.00), apply
+    it copy-on-write via :func:`merge_apply`, and emit integer-exact
+    per-partition digests of the FINAL table state (count, cents sum, key
+    sum/min/max) — the oracle computes the expected post-merge state from
+    the original parquet with the same rules, so the whole
+    read-merge-rewrite-reread cycle is hash-verified. Deletes win over
+    updates on key collisions (%9797) on both sides.
+
+    Scale: the changelog's partition set broadcasts into a semi-join, so
+    ONLY affected partitions are read and rewritten (q46-style pruning on
+    the way in, q91-style dynamic overwrite on the way out); the
+    untouched 'P' partition's files are never listed or replaced
+    (file-identity asserted in tests). All money arithmetic goes through
+    DECIMAL(18,2)/integer cents — no float drift across the engines.
+    """
+    from limeqo_spark.io import scratch_dir
+
+    out = scratch_dir(prefix="limeqo_merge_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        "o_orderstatus",
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+
+    live = F.col("o_orderstatus") != "P"
+    upd = (
+        o.filter(live & (F.col("o_orderkey") % 97 == 0))
+        .withColumn("p", F.col("p") + F.lit(1000.00).cast("decimal(18,2)"))
+        .withColumn("op", F.lit("U"))
+    )
+    del_ = o.filter(live & (F.col("o_orderkey") % 101 == 0)).withColumn(
+        "op", F.lit("D")
+    )
+    ins = (
+        o.filter(live & (F.col("o_orderkey") % 103 == 0))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("p", F.col("p") + F.lit(5000.00).cast("decimal(18,2)"))
+        .withColumn("op", F.lit("I"))
+    )
+    # deletes win over updates on %9797 collisions: drop those update rows
+    changes = (
+        upd.join(del_.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(del_)
+        .unionByName(ins)
+    )
+    merge_apply(spark, out, changes, key_col="o_orderkey", part_col="o_orderstatus")
+
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("p") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -286,3 +286,37 @@ def test_bpe_encode_token_mass_matches_trainer_vocab(spark, sf_dir):
     vocab_mass = int(tr.loc[tr["kind"] == "vocab", "weight"].sum())
     assert int(enc["n_tokens"].sum()) == vocab_mass
     assert enc["doc_id"].is_unique and (enc["n_tokens"] > 0).all()
+
+
+def test_merge_apply_leaves_untouched_partitions_files_alone(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.pipeline.cdc import merge_apply
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (2, 20, "A"), (3, 30, "B"), (4, 40, "B")],
+        "k long, v long, part string",
+    )
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    def listing(part):
+        d = os.path.join(path, f"part={part}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
+    before_b = listing("B")
+    changes = spark.createDataFrame(
+        [(1, 11, "A", "U"), (2, 20, "A", "D"), (5, 50, "A", "I")],
+        "k long, v long, part string, op string",
+    )
+    merge_apply(spark, path, changes, key_col="k", part_col="part")
+    # partition B: byte-identical file set, untouched mtimes
+    assert listing("B") == before_b
+    back = {(r.k, r.v, r.part) for r in spark.read.parquet(path).collect()}
+    assert back == {(1, 11, "A"), (5, 50, "A"), (3, 30, "B"), (4, 40, "B")}
