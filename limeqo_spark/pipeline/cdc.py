@@ -279,3 +279,104 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_SNAPDIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+),
+new AS (
+  -- deterministic second snapshot: keys %89 repriced, %113 dropped,
+  -- %127 cloned to key+20M
+  SELECT k, o_custkey,
+         CASE WHEN k % 89 = 0 THEN p + 777.00 ELSE p END AS p
+  FROM old WHERE k % 113 <> 0
+  UNION ALL
+  SELECT k + 20000000, o_custkey, p + 99.00 FROM old WHERE k % 127 = 0
+),
+diff AS (
+  SELECT COALESCE(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'I'
+              WHEN n.k IS NULL THEN 'D'
+              ELSE 'U' END AS op,
+         n.o_custkey, n.p
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k
+  WHERE o.k IS NULL OR n.k IS NULL
+     OR o.o_custkey <> n.o_custkey OR o.p <> n.p
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS sum_keys,
+       CAST(SUM(CAST(COALESCE(p, 0) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+FROM diff
+GROUP BY op
+ORDER BY op
+"""
+
+
+@query("cdc_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a changelog FROM two table snapshots — the inverse of
+    :func:`merge_apply` and the standard recovery path when a source
+    can't emit CDC: one full outer join on the key classifies every row
+    as INSERT (new only), DELETE (old only), or UPDATE (both sides, any
+    payload column differs), unchanged rows dropped. The emitted rows
+    carry the NEW payload (NULL for deletes), i.e. exactly the ``op``
+    frame ``merge_apply`` consumes — diff(old, new) applied to old
+    reproduces new.
+
+    Scale: one key-partitioned shuffle join of the two snapshots (the
+    payload comparison is a JVM-side predicate; at a real lake you'd
+    bucket both snapshots by key to make the diff shuffle-free, the q51
+    layout). Output digests are integer cents/keys per op class.
+    """
+    old = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    new = (
+        old.filter(F.col("k") % 113 != 0)
+        .withColumn(
+            "p",
+            F.when(F.col("k") % 89 == 0, F.col("p") + F.lit(777.00).cast("decimal(18,2)")).otherwise(
+                F.col("p")
+            ),
+        )
+        .unionByName(
+            old.filter(F.col("k") % 127 == 0).select(
+                (F.col("k") + 20_000_000).alias("k"),
+                "o_custkey",
+                (F.col("p") + F.lit(99.00).cast("decimal(18,2)")).alias("p"),
+            )
+        )
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    diff = joined.filter(
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.o_custkey") != F.col("n.o_custkey"))
+        | (F.col("o.p") != F.col("n.p"))
+    ).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+        F.when(F.col("o.k").isNull(), "I")
+        .when(F.col("n.k").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("n.o_custkey").alias("o_custkey"),
+        F.col("n.p").alias("p"),
+    )
+    return (
+        diff.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_keys"),
+            F.sum((F.coalesce(F.col("p"), F.lit(0).cast("decimal(18,2)")) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("op")
+    )

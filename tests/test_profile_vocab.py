@@ -320,3 +320,39 @@ def test_merge_apply_leaves_untouched_partitions_files_alone(spark, tmp_path):
     assert listing("B") == before_b
     back = {(r.k, r.v, r.part) for r in spark.read.parquet(path).collect()}
     assert back == {(1, 11, "A"), (5, 50, "A"), (3, 30, "B"), (4, 40, "B")}
+
+
+def test_snapshot_diff_applied_via_merge_reproduces_new(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from limeqo_spark.pipeline.cdc import merge_apply
+
+    path = str(tmp_path / "tbl2")
+    old = spark.createDataFrame(
+        [(1, 10, "A"), (2, 20, "A"), (3, 30, "B"), (4, 40, "B"), (5, 50, "B")],
+        "k long, v long, part string",
+    )
+    new = spark.createDataFrame(
+        # 1 updated, 2 deleted, 6 inserted; B partition: 4 updated, 5 kept
+        [(1, 11, "A"), (3, 30, "B"), (4, 44, "B"), (5, 50, "B"), (6, 60, "A")],
+        "k long, v long, part string",
+    )
+    old.write.mode("overwrite").partitionBy("part").parquet(path)
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
+    changes = j.filter(
+        F.col("o.k").isNull() | F.col("n.k").isNull() | (F.col("o.v") != F.col("n.v"))
+    ).select(
+        F.coalesce(F.col("n.k"), F.col("o.k")).alias("k"),
+        F.coalesce(F.col("n.v"), F.lit(0)).alias("v"),
+        F.coalesce(F.col("n.part"), F.col("o.part")).alias("part"),
+        F.when(F.col("o.k").isNull(), "I")
+        .when(F.col("n.k").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    merge_apply(spark, path, changes, key_col="k", part_col="part")
+    back = {(r.k, r.v, r.part) for r in spark.read.parquet(path).collect()}
+    assert back == {(r.k, r.v, r.part) for r in new.collect()}
