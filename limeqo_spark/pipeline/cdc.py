@@ -245,9 +245,14 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
 
     live = F.col("o_orderstatus") != "P"
+    # decimal addition widens (18,2)+(18,2) -> (19,2); cast back so the
+    # rewritten partitions keep the target's declared column type
     upd = (
         o.filter(live & (F.col("o_orderkey") % 97 == 0))
-        .withColumn("p", F.col("p") + F.lit(1000.00).cast("decimal(18,2)"))
+        .withColumn(
+            "p",
+            (F.col("p") + F.lit(1000.00).cast("decimal(18,2)")).cast("decimal(18,2)"),
+        )
         .withColumn("op", F.lit("U"))
     )
     del_ = o.filter(live & (F.col("o_orderkey") % 101 == 0)).withColumn(
@@ -256,7 +261,10 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = (
         o.filter(live & (F.col("o_orderkey") % 103 == 0))
         .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
-        .withColumn("p", F.col("p") + F.lit(5000.00).cast("decimal(18,2)"))
+        .withColumn(
+            "p",
+            (F.col("p") + F.lit(5000.00).cast("decimal(18,2)")).cast("decimal(18,2)"),
+        )
         .withColumn("op", F.lit("I"))
     )
     # deletes win over updates on %9797 collisions: drop those update rows

@@ -766,3 +766,114 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(log).orderBy("a", "b")
+
+
+def _smerge_oracle() -> str:
+    from limeqo_spark.pipeline.cdc import _MERGE_ORACLE
+
+    return _MERGE_ORACLE
+
+
+@query("q105_stream_merge_apply", oracle=_smerge_oracle())
+def q105_stream_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE INTO the lake: a changelog STREAM applied
+    incrementally to a partitioned parquet table via foreachBatch +
+    :func:`limeqo_spark.pipeline.cdc.merge_apply` — the standard
+    structured-streaming upsert pattern (each micro-batch is one
+    partition-granular copy-on-write merge). Two mtime-ordered waves
+    arrive as separate micro-batches (``maxFilesPerTrigger=1``): wave 1
+    carries the updates, wave 2 the deletes + inserts, exercising real
+    SEQUENTIAL merge semantics (a key updated in batch 1 and deleted in
+    batch 2 must end deleted).
+
+    The changelog rules match ``cdc_merge_apply`` exactly, and sequential
+    application is confluent with the one-shot delete-wins merge here, so
+    this entry shares that operator's expected-state oracle — the driver
+    hash-verifies that incremental streaming application converges to
+    the identical final table state.
+
+    Scale: per micro-batch cost is the affected-partition rewrite only;
+    the stream's state is the TABLE itself (no Spark state store), which
+    is what makes this the lakehouse pattern — restart recovery falls
+    out of sink idempotence at the batch level.
+    """
+    from limeqo_spark.pipeline.cdc import merge_apply
+
+    target = scratch_dir(prefix="limeqo_smerge_tbl_")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        "o_orderstatus",
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(target)
+
+    live = F.col("o_orderstatus") != "P"
+    # decimal addition widens (18,2)+(18,2) -> (19,2); cast back so the
+    # staged parquet matches the stream reader's declared schema
+    wave1 = (
+        o.filter(live & (F.col("o_orderkey") % 97 == 0))
+        .withColumn(
+            "p",
+            (F.col("p") + F.lit(1000.00).cast("decimal(18,2)")).cast("decimal(18,2)"),
+        )
+        .withColumn("op", F.lit("U"))
+    )
+    wave2 = (
+        o.filter(live & (F.col("o_orderkey") % 101 == 0))
+        .withColumn("op", F.lit("D"))
+        .unionByName(
+            o.filter(live & (F.col("o_orderkey") % 103 == 0))
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn(
+                "p",
+                (F.col("p") + F.lit(5000.00).cast("decimal(18,2)")).cast(
+                    "decimal(18,2)"
+                ),
+            )
+            .withColumn("op", F.lit("I"))
+        )
+    )
+    stage = scratch_dir(prefix="limeqo_smerge_chg_")
+    wave1.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch0"))
+    wave2.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch1"))
+    _stamp_batch_order(stage)
+
+    chg = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_custkey bigint, p decimal(18,2), "
+            "o_orderstatus string, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+    def apply_batch(bdf: DataFrame, _bid: int) -> None:
+        if bdf.isEmpty():
+            return
+        merge_apply(spark, target, bdf, key_col="o_orderkey", part_col="o_orderstatus")
+
+    q = (
+        chg.writeStream.outputMode("append")
+        .foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("p") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
