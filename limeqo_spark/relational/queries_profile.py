@@ -419,3 +419,103 @@ def q102_recursive_cte_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("part",))
     return spark.sql(_Q102_SQL)
+
+
+_Q104_ORACLE = """
+WITH s AS (
+  SELECT
+    COUNT(*) AS n,
+    COUNT(o_orderkey) AS nn_key, COUNT(DISTINCT o_orderkey) AS ndv_key,
+    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+    COUNT(o_custkey) AS nn_cust, COUNT(DISTINCT o_custkey) AS ndv_cust,
+    MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+    COUNT(o_orderstatus) AS nn_st, COUNT(DISTINCT o_orderstatus) AS ndv_st,
+    COUNT(o_orderpriority) AS nn_pr, COUNT(DISTINCT o_orderpriority) AS ndv_pr,
+    COUNT(o_totalprice) AS nn_tp, COUNT(DISTINCT o_totalprice) AS ndv_tp,
+    ROUND(MIN(o_totalprice), 2) AS min_tp, ROUND(MAX(o_totalprice), 2) AS max_tp,
+    COUNT(o_orderdate) AS nn_dt, COUNT(DISTINCT o_orderdate) AS ndv_dt
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col, CAST(n AS BIGINT) AS n_rows,
+         CAST(n - nn_key AS BIGINT) AS n_nulls, CAST(ndv_key AS BIGINT) AS ndv,
+         CAST(min_key AS DOUBLE) AS min_v, CAST(max_key AS DOUBLE) AS max_v FROM s
+  UNION ALL
+  SELECT 'o_custkey', n, n - nn_cust, ndv_cust,
+         CAST(min_cust AS DOUBLE), CAST(max_cust AS DOUBLE) FROM s
+  UNION ALL
+  SELECT 'o_orderstatus', n, n - nn_st, ndv_st, NULL, NULL FROM s
+  UNION ALL
+  SELECT 'o_orderpriority', n, n - nn_pr, ndv_pr, NULL, NULL FROM s
+  UNION ALL
+  SELECT 'o_totalprice', n, n - nn_tp, ndv_tp, min_tp, max_tp FROM s
+  UNION ALL
+  SELECT 'o_orderdate', n, n - nn_dt, ndv_dt, NULL, NULL FROM s
+)
+ORDER BY col
+"""
+
+
+@query("q104_table_stats_profile", oracle=_Q104_ORACLE)
+def q104_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics in ONE table pass: per column of
+    ``orders`` — row count, null count, exact NDV, and numeric min/max —
+    the statistics a CBO (or a data engineer sizing a join) reads first;
+    the operational sibling of ``q98`` (key skew) and ``q100``
+    (expectations). Exact COUNT(DISTINCT) on several columns in one
+    aggregate makes Spark plan an Expand (one row replica per distinct
+    aggregate) — the classic trade documented here: at 100 TB you swap
+    exact NDV for HLL sketches (``corpus_sketch_profile``) and keep the
+    single pass; the profiler's SHAPE (one scan, column-per-row report)
+    is unchanged.
+    """
+    o = table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("ndv_key"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("ndv_cust"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.count("o_orderstatus").alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("ndv_st"),
+        F.count("o_orderpriority").alias("nn_pr"),
+        F.countDistinct("o_orderpriority").alias("ndv_pr"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("ndv_tp"),
+        F.round(F.min("o_totalprice"), 2).alias("min_tp"),
+        F.round(F.max("o_totalprice"), 2).alias("max_tp"),
+        F.count("o_orderdate").alias("nn_dt"),
+        F.countDistinct("o_orderdate").alias("ndv_dt"),
+    )
+    nd = F.lit(None).cast("double")
+
+    def row(col: str, nn: str, ndv: str, mn=None, mx=None):
+        return F.struct(
+            F.lit(col).alias("col"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            (F.col("n") - F.col(nn)).cast("bigint").alias("n_nulls"),
+            F.col(ndv).cast("bigint").alias("ndv"),
+            (F.col(mn).cast("double") if mn else nd).alias("min_v"),
+            (F.col(mx).cast("double") if mx else nd).alias("max_v"),
+        )
+
+    return (
+        s.select(
+            F.explode(
+                F.array(
+                    row("o_orderkey", "nn_key", "ndv_key", "min_key", "max_key"),
+                    row("o_custkey", "nn_cust", "ndv_cust", "min_cust", "max_cust"),
+                    row("o_orderstatus", "nn_st", "ndv_st"),
+                    row("o_orderpriority", "nn_pr", "ndv_pr"),
+                    row("o_totalprice", "nn_tp", "ndv_tp", "min_tp", "max_tp"),
+                    row("o_orderdate", "nn_dt", "ndv_dt"),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("col")
+    )
