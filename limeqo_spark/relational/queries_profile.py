@@ -519,3 +519,118 @@ def q104_table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.*")
         .orderBy("col")
     )
+
+
+_Q106_ORACLE = """
+WITH bip AS (
+  SELECT DISTINCT l_partkey AS part, l_suppkey AS sup FROM lineitem
+),
+co AS (
+  SELECT a.sup AS a, b.sup AS b, COUNT(*) AS c
+  FROM bip a JOIN bip b ON a.part = b.part AND a.sup < b.sup
+  GROUP BY a.sup, b.sup
+),
+thresh AS (
+  -- adaptive cutoff at the 90th percentile of co-supply counts: the edge
+  -- set stays ~10% of candidate pairs at EVERY scale factor (a mean-based
+  -- cutoff drifts with the SF-dependent count distribution)
+  SELECT CAST(FLOOR(quantile_cont(c, 0.9)) AS BIGINT) + 1 AS t FROM co
+),
+edges AS (
+  SELECT a, b FROM co WHERE c >= (SELECT t FROM thresh)
+),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pern GROUP BY node
+ORDER BY n_triangles DESC, node
+"""
+
+
+@query("q106_triangle_count", oracle=_Q106_ORACLE)
+def q106_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting with DEGREE ORIENTATION — the graph
+    analytics class beyond connected components (`pipeline/cluster.py`):
+    build a supplier co-supply graph (suppliers sharing >= an adaptive
+    threshold of parts — 5% above the mean co-count, derived identically
+    by the oracle, so the adaptive edge set is hash-verified), then count
+    triangles per node.
+
+    The Spark side uses the orientation trick that makes this survive
+    skew at 100 TB: orient every edge from the lower-(degree, id) to the
+    higher endpoint, enumerate wedges only from each node's OUT-neighbors
+    (every triangle then has exactly ONE wedge apex — its smallest
+    vertex), and close them with a join against the oriented edge set.
+    Out-degrees are bounded by O(sqrt(m)) under this orientation, so a
+    celebrity node never materializes a quadratic wedge set — the plain
+    u<v<w 3-way self-join the DuckDB oracle runs (same triangle set, so
+    the hash proves the oriented plan's equivalence) would.
+    """
+    bip = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("sup"))
+        .dropDuplicates(["part", "sup"])
+    )
+    a = bip.select("part", F.col("sup").alias("a"))
+    b = bip.select("part", F.col("sup").alias("b"))
+    co = (
+        a.join(b, ["part"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thresh = co.agg(
+        F.expr("CAST(FLOOR(percentile(c, 0.9)) AS BIGINT) + 1").alias("t")
+    )
+    edges = co.crossJoin(F.broadcast(thresh)).filter(F.col("c") >= F.col("t")).select(
+        "a", "b"
+    ).persist()
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+            F.when(
+                F.struct("da", "a") < F.struct("db", "b"), F.struct(F.col("a").alias("n"), F.col("da").alias("d"))
+            )
+            .otherwise(F.struct(F.col("b").alias("n"), F.col("db").alias("d")))
+            .alias("src"),
+            F.when(
+                F.struct("da", "a") < F.struct("db", "b"), F.struct(F.col("b").alias("n"), F.col("db").alias("d"))
+            )
+            .otherwise(F.struct(F.col("a").alias("n"), F.col("da").alias("d")))
+            .alias("dst"),
+        )
+        .select(
+            F.col("src.n").alias("src"),
+            F.col("dst.n").alias("dst"),
+            F.col("dst.d").alias("dst_deg"),
+        )
+    )
+    w1 = e.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("dst_deg").alias("dv"))
+    w2 = e.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("dst_deg").alias("dw"))
+    wedges = w1.join(w2, ["u"]).filter(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w"))
+    )
+    closing = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+    )
