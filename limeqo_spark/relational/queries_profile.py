@@ -634,3 +634,112 @@ def q106_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "node")
     )
+
+
+#: PageRank fixed-point scale, damping (85/100), unrolled iterations
+PR_SCALE, PR_ITERS = 1_000_000, 3
+
+_Q107_EDGE_CTES = """
+bip AS (
+  SELECT DISTINCT l_partkey AS part, l_suppkey AS sup FROM lineitem
+),
+co AS (
+  SELECT a.sup AS a, b.sup AS b, COUNT(*) AS c
+  FROM bip a JOIN bip b ON a.part = b.part AND a.sup < b.sup
+  GROUP BY a.sup, b.sup
+),
+thresh AS (
+  SELECT CAST(FLOOR(quantile_cont(c, 0.9)) AS BIGINT) + 1 AS t FROM co
+),
+edges AS (
+  SELECT a, b FROM co WHERE c >= (SELECT t FROM thresh)
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION ALL SELECT b, a FROM edges
+),
+deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src
+)"""
+
+
+def _pr_iter_ctes(k: int) -> str:
+    out = [f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)"]
+    for i in range(1, k + 1):
+        out.append(f"""
+r{i} AS (
+  SELECT s.dst AS node,
+         {int(0.15 * PR_SCALE)} + (85 * SUM(p.r // d.d)) // 100 AS r
+  FROM sym s
+  JOIN r{i - 1} p ON p.node = s.src
+  JOIN deg d ON d.node = s.src
+  GROUP BY s.dst
+)""")
+    return ",".join(out)
+
+
+_Q107_ORACLE = f"""
+WITH {_Q107_EDGE_CTES},
+{_pr_iter_ctes(PR_ITERS)}
+SELECT node, CAST(r AS BIGINT) AS rank_fp
+FROM r{PR_ITERS}
+ORDER BY rank_fp DESC, node
+"""
+
+
+@query("q107_pagerank_fixed_point", oracle=_Q107_ORACLE)
+def q107_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the q106 co-supply graph — the iterative-propagation
+    graph class (CC and triangles being the other two) — in EXACT
+    fixed-point integer arithmetic so an inherently iterative float
+    algorithm hash-verifies cross-engine: ranks are integers scaled by
+    1e6, each edge contributes ``rank DIV degree`` (integer division
+    BEFORE the sum, so aggregation order cannot perturb the result), and
+    the damped update is ``150000 + (85 * sum) DIV 100``. Three unrolled
+    iterations, identical CTE chain on DuckDB.
+
+    Scale: each iteration is one shuffle keyed by the edge source (join
+    ranks) plus one by destination (the sum) — the standard Pregel-style
+    plan; the fixture's driver-side unroll is the bounded-K form, and the
+    iterative production form adds localCheckpoint lineage truncation per
+    round (the `connected_components_min_label` pattern).
+    """
+    bip = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("sup"))
+        .dropDuplicates(["part", "sup"])
+    )
+    a = bip.select("part", F.col("sup").alias("a"))
+    b = bip.select("part", F.col("sup").alias("b"))
+    co = (
+        a.join(b, ["part"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    thresh = co.agg(
+        F.expr("CAST(FLOOR(percentile(c, 0.9)) AS BIGINT) + 1").alias("t")
+    )
+    edges = (
+        co.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c") >= F.col("t"))
+        .select("a", "b")
+    )
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    base = int(0.15 * PR_SCALE)
+    for _ in range(PR_ITERS):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("r DIV d").alias("share"))
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(base) + F.expr("(85 * SUM(share)) DIV 100")).cast("bigint").alias("r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp")).orderBy(
+        F.desc("rank_fp"), "node"
+    )
