@@ -30,8 +30,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 CAL_REF_S = float(os.environ.get("SPARK_GRAFT_CAL_REF_S", "0.033"))
 #: drift ratio above which the headline is flagged contended
 CAL_CONTENDED_RATIO = 1.3
+#: per-rep token drift above which a SINGLE rep is marked hot and retried
+#: (VERDICT r7 #4: the r7 driver artifact ran at cal 5.36 with reps like
+#: [4.4, 47.3, 61.6] s — start/end tokens alone can't stop a mid-run spike
+#: from minting a plausible-looking regression)
+REP_HOT_RATIO = 1.5
+#: attempt ceiling per query when hot reps force retries (3 normal + 3 spare)
+MAX_ATTEMPTS = 6
 #: round tag for the on-disk full payload (docs/bench_full_<tag>.json)
-ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND", "r7")
+ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND", "r8")
 
 
 def cpu_calibration_token(reps: int = 3) -> float:
@@ -126,6 +133,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
     raw_reps: dict[str, list[float]] = {}
+    query_contention: dict[str, dict] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
@@ -138,20 +146,45 @@ def main() -> None:
         # the median of the three is robust to both the cold first rep and
         # a noisy-neighbor spike in any single rep. All raw reps ship in
         # the full payload so nothing is taken on faith.
+        #
+        # Per-rep contention guard (VERDICT r7 #4): a quick calibration
+        # token runs before every rep; a rep whose token drifts past
+        # REP_HOT_RATIO is kept in the raw payload but EXCLUDED from the
+        # median, and the query earns extra attempts (up to MAX_ATTEMPTS)
+        # to collect 3 clean reps. A query that never collects a clean rep
+        # reports the all-rep median and lands in queries_contended — so a
+        # contended box annotates itself per-query instead of minting a
+        # plausible-looking regression.
         reps: list[float] = []
-        for attempt in range(3):
+        rep_hot: list[bool] = []
+        rep_tokens: list[float] = []
+        while len(reps) < MAX_ATTEMPTS:
+            tok = cpu_calibration_token(reps=1)
             t0 = time.perf_counter()
             materialize(spec.builder(spark, SF_DIR))
             elapsed = time.perf_counter() - t0
-            if attempt == 0:
+            if not reps:
                 first_runs[name] = round(elapsed, 3)
             reps.append(elapsed)
+            rep_tokens.append(tok)
+            rep_hot.append(tok > CAL_REF_S * REP_HOT_RATIO)
             # each query is measured standalone: drop caches a query pinned
             # (the dedup suite caches shingle/signature relations) so later
             # queries aren't squeezed by leftover storage memory
             spark.catalog.clearCache()
+            if len(reps) >= 3 and sum(1 for h in rep_hot if not h) >= 3:
+                break
+        clean = [r for r, h in zip(reps, rep_hot) if not h]
+        used = clean if clean else reps
         raw_reps[name] = [round(r, 3) for r in reps]
-        timings[name] = round(sorted(reps)[len(reps) // 2], 3)
+        if any(rep_hot):
+            query_contention[name] = {
+                "rep_tokens": [round(t, 4) for t in rep_tokens],
+                "hot_reps": sum(rep_hot),
+                "clean_reps": len(clean),
+                "median_over": "clean" if clean else "all_reps_hot",
+            }
+        timings[name] = round(sorted(used)[len(used) // 2], 3)
 
     # simulation-mode track (BASELINE.md track 1): LimeQO on the reference's
     # own matrices at its published exploration-budget checkpoints.
@@ -327,6 +360,11 @@ def main() -> None:
         _blas = _np.show_config(mode="dicts")["Build Dependencies"]["blas"]["name"]
     except Exception:
         _blas = "unknown"
+    # a query whose every rep ran hot could not be measured cleanly — its
+    # number is untrustworthy and the headline says so
+    unmeasurable = sorted(
+        n for n, c in query_contention.items() if c["median_over"] == "all_reps_hot"
+    )
     calibration = {
         "cal_token_start_s": round(cal_start, 4),
         "cal_token_end_s": round(cal_end, 4),
@@ -335,7 +373,10 @@ def main() -> None:
         "cal_ratio": cal_ratio,
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-        "contended": cal_ratio > CAL_CONTENDED_RATIO,
+        "contended": cal_ratio > CAL_CONTENDED_RATIO or bool(unmeasurable),
+        "queries_with_hot_reps": len(query_contention),
+        "queries_contended": unmeasurable,
+        "per_query_contention": query_contention,
         "blas": _blas,
         "omp_num_threads": os.environ.get("OMP_NUM_THREADS"),
         "cpu_count": os.cpu_count(),
@@ -387,6 +428,8 @@ def main() -> None:
         "unit": "sec",
         "cal_ratio": cal_ratio,
         "contended": calibration["contended"],
+        "queries_with_hot_reps": len(query_contention),
+        "queries_contended": unmeasurable,
         "queries": {k: v for k, v in timings.items() if not k.startswith("sim_")},
         "sf": SF_DIR,
         "full_payload": f"docs/bench_full_{ROUND_TAG}.json",

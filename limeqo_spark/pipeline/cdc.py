@@ -154,10 +154,21 @@ def merge_apply(
     MERGE INTO pattern on plain parquet). ``changes`` carries full
     payload rows plus an ``op`` column ('U'/'I' upsert, 'D' delete).
 
-    Known limitation (documented, not hit here): a partition whose every
-    row is deleted produces no rows in the rebuilt frame, so dynamic
-    overwrite leaves its old files in place — full-partition deletes need
-    an explicit directory drop.
+    Known limitations (documented, not hit here):
+
+    - a partition whose every row is deleted produces no rows in the
+      rebuilt frame, so dynamic overwrite leaves its old files in place —
+      full-partition deletes need an explicit directory drop;
+    - ``part_col`` must be NON-NULL on every change row (a NULL lands in
+      the NULL partition bucket and the change is silently skipped) and
+      the key→partition mapping must be STABLE: affected partitions are
+      derived from the changelog's ``part_col`` values only, so an update
+      that moves a key to a different partition must be expressed as an
+      explicit delete (old partition value) + insert (new partition
+      value), else the stale copy in the old partition survives. Deriving
+      affected partitions from the current rows matching changed keys
+      would read every partition and defeat the pruning this function
+      exists for.
     """
     affected = changes.select(part_col).distinct()
     cur = spark.read.parquet(path).join(F.broadcast(affected), part_col, "left_semi")
@@ -309,10 +320,13 @@ diff AS (
          CASE WHEN o.k IS NULL THEN 'I'
               WHEN n.k IS NULL THEN 'D'
               ELSE 'U' END AS op,
-         n.o_custkey, n.p
+         CASE WHEN n.k IS NULL THEN o.o_custkey ELSE n.o_custkey END
+           AS o_custkey,
+         CASE WHEN n.k IS NULL THEN o.p ELSE n.p END AS p
   FROM old o FULL OUTER JOIN new n ON o.k = n.k
   WHERE o.k IS NULL OR n.k IS NULL
-     OR o.o_custkey <> n.o_custkey OR o.p <> n.p
+     OR o.o_custkey IS DISTINCT FROM n.o_custkey
+     OR o.p IS DISTINCT FROM n.p
 )
 SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(k) AS BIGINT) AS sum_keys,
@@ -329,10 +343,15 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`merge_apply` and the standard recovery path when a source
     can't emit CDC: one full outer join on the key classifies every row
     as INSERT (new only), DELETE (old only), or UPDATE (both sides, any
-    payload column differs), unchanged rows dropped. The emitted rows
-    carry the NEW payload (NULL for deletes), i.e. exactly the ``op``
-    frame ``merge_apply`` consumes — diff(old, new) applied to old
-    reproduces new.
+    payload column differs, null-safely — ``IS DISTINCT FROM`` /
+    ``eqNullSafe`` so NULL↔value flips are detected), unchanged rows
+    dropped. I/U rows carry the NEW payload; D rows carry the OLD payload
+    — deletes must name their (old) partition value or a downstream
+    :func:`merge_apply` keyed on a payload partition column would bucket
+    them under NULL and silently skip them. With that, the frame is
+    exactly the ``op`` frame ``merge_apply`` consumes: diff(old, new)
+    applied to old reproduces new (assuming partition-stable keys, see
+    :func:`merge_apply`).
 
     Scale: one key-partitioned shuffle join of the two snapshots (the
     payload comparison is a JVM-side predicate; at a real lake you'd
@@ -366,16 +385,22 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = joined.filter(
         F.col("o.k").isNull()
         | F.col("n.k").isNull()
-        | (F.col("o.o_custkey") != F.col("n.o_custkey"))
-        | (F.col("o.p") != F.col("n.p"))
+        | ~F.col("o.o_custkey").eqNullSafe(F.col("n.o_custkey"))
+        | ~F.col("o.p").eqNullSafe(F.col("n.p"))
     ).select(
         F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
         F.when(F.col("o.k").isNull(), "I")
         .when(F.col("n.k").isNull(), "D")
         .otherwise("U")
         .alias("op"),
-        F.col("n.o_custkey").alias("o_custkey"),
-        F.col("n.p").alias("p"),
+        # deletes keep the OLD payload (partition value survives for
+        # merge_apply); inserts/updates carry the NEW payload
+        F.when(F.col("n.k").isNull(), F.col("o.o_custkey"))
+        .otherwise(F.col("n.o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("n.k").isNull(), F.col("o.p"))
+        .otherwise(F.col("n.p"))
+        .alias("p"),
     )
     return (
         diff.groupBy("op")

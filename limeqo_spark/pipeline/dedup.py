@@ -700,12 +700,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
-        .persist()  # NARROW (vec_id, band, key): the 64 plane dots per
-        # vector run ONCE — the self-join references this frame twice and
-        # an unpersisted plan recomputes the whole signature scan per side
-        # (measured 2x the query wall); embeddings rejoin only for the
-        # (tiny) candidate set below
     )
+    from limeqo_spark.relational.registry import retain
+
+    # NARROW (vec_id, band, key): the 64 plane dots per vector run ONCE —
+    # the self-join references this frame twice and an unpersisted plan
+    # recomputes the whole signature scan per side (measured 2x the query
+    # wall); embeddings rejoin only for the (tiny) candidate set below.
+    # Keyed retention: re-invocations release the previous cache entry.
+    bands = retain("srp_bands", bands)
     left = bands.select(F.col("vec_id").alias("a"), "band", "key")
     right = bands.select(F.col("vec_id").alias("b"), "band", "key")
     dot = "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -998,8 +1001,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    from limeqo_spark.pipeline.cluster import connected_components_min_label
+    from limeqo_spark.pipeline.cluster import connected_components_auto
     from limeqo_spark.pipeline.similarity import _train_ivf_centers
+    from limeqo_spark.relational.registry import retain
 
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1079,25 +1083,43 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.i").alias("cell_id"),
             F.col("best.d").alias("dist_c"),
         )
+    # per-row L2 norm computed ONCE here (O(N*d)) so the within-cluster
+    # pair filter below is a dot product only — the pair count is the
+    # quadratic term (O(N*cluster_size) pairs at adaptive k), and paying
+    # two sqrt-aggregate HOFs per PAIR instead of per ROW tripled the
+    # pair stage's HOF work in the r7 x16 probe (pairs_s 11.5 of 45.8)
+    assigned = assigned.withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> x * x),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        ),
+    )
     # assigned feeds THREE consumers (the pair self-join's both sides, the
     # component label join, the final projection) — without a persist each
-    # replays assignment; spill-safe level since the frame carries vectors
+    # replays assignment; spill-safe level since the frame carries vectors.
+    # Keyed retention (registry.retain) so sweep re-invocations don't stack
+    # pinned cache entries (ADVICE r7).
     from pyspark.storagelevel import StorageLevel
 
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = retain(
+        "semdedup_assigned", assigned, StorageLevel.MEMORY_AND_DISK
+    )
     lhs = assigned.select(
-        "cell_id", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+        "cell_id",
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     rhs = assigned.select(
-        "cell_id", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+        "cell_id",
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     cos_ab = (
         "aggregate(zip_with(ea, eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v)"
-        " / (sqrt(aggregate(transform(ea, x -> x * x), CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v))"
-        " * sqrt(aggregate(transform(eb, x -> x * x), CAST(0.0 AS DOUBLE),"
-        " (acc, v) -> acc + v)))"
+        " (acc, v) -> acc + v) / (na * nb)"
     )
     edges = (
         lhs.join(rhs, "cell_id")
@@ -1105,7 +1127,12 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(cos_ab) >= 0.95)
         .select("a", "b")
     )
-    comps = connected_components_min_label(edges)
+    # size-dispatched CC: dup edge frames are a tiny minority of the corpus
+    # by construction — the r7 probe measured 15 s of per-round job latency
+    # iterating min-label over 20 edges; connected_components_auto solves
+    # small frames driver-side and falls back to the O(log n) two-phase
+    # kernel past 200k edges (the 100 TB path)
+    comps = connected_components_auto(edges)
     labeled = assigned.join(
         comps, assigned.vec_id == comps.node, "left"
     ).select(

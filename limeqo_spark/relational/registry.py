@@ -36,6 +36,43 @@ def query(name: str, oracle: str | None = None, check: str = "hash", doc: str = 
     return deco
 
 
+#: keyed retained caches — see :func:`retain`
+_RETAINED: dict[str, DataFrame] = {}
+
+
+def retain(key: str, df: DataFrame, level=None) -> DataFrame:
+    """Persist ``df`` under a stable ``key``, releasing whatever was retained
+    under that key by a PREVIOUS invocation first.
+
+    Builders that persist a multi-consumer intermediate (q98's per-key
+    counts, SemDeDup's assignment frame) cannot unpersist before returning
+    — the returned lazy plan still reads the cache — so a plain
+    ``.persist()`` pins one frame in the CacheManager per *invocation*,
+    which accumulates across a 170-entry oracle sweep in one session
+    (ADVICE r7). Keyed retention bounds that to one frame per call *site*:
+    re-running any builder frees its own previous cache, and harnesses can
+    call :func:`release_retained` between entries to drop all of them.
+    Frames that need materialize-once without a live cache entry use
+    ``localCheckpoint(eager=True)`` instead (auto-cleaned by the
+    ContextCleaner once unreferenced)."""
+    old = _RETAINED.pop(key, None)
+    if old is not None:
+        old.unpersist()
+    _RETAINED[key] = df.persist(level) if level is not None else df.persist()
+    return _RETAINED[key]
+
+
+def release_retained() -> int:
+    """Unpersist every frame registered via :func:`retain`; returns how many
+    were released. Safe to call at any time — subsequent actions on plans
+    that referenced a released cache recompute correctly."""
+    n = len(_RETAINED)
+    for df in _RETAINED.values():
+        df.unpersist()
+    _RETAINED.clear()
+    return n
+
+
 class GateFailure(AssertionError):
     """A driver-visible property-gate failure: raised by gate builders so the
     grading driver's rows-only PROP check records a non-null ``err`` instead
