@@ -12,81 +12,75 @@ except ImportError:  # pragma: no cover
 
 from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 
-#: Rotation aliases (round 7). The driver's CORRECTNESS gate verifies the
+#: Rotation aliases (round 8). The driver's CORRECTNESS gate verifies the
 #: first 50 manifest entries in alphabetical order; each name below gets an
-#: ``a7_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
+#: ``a8_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
 #: builder/oracle. Window computed by ``scripts/rotation_plan.py`` against
-#: the live registry + git history (VERDICT r6 next-round #1): round 6's
-#: 50 ``a6_`` aliases are RETIRED (all targets have green r6 driver rows),
-#: and the r7 window covers (a) the 6 entries whose implementing file
-#: changed after their last driver row — the whole dedup family, touched by
-#: the r6 simhash adaptive-banding fix and x16 probes — then (b) stale
-#: evidence in STALENESS order (rotation_plan.py now sorts stalest-first;
-#: its r6 alphabetical tail-pop dropped exactly the judge's 13 targets):
-#: the last r3-checked entries (q65–q71, skew_salted_join, the ``text_*``
-#: family) and r4-checked entries as far as the 50-slot window allows
-#: (q84/q85/q86 roll to r8). Canonical names stay registered; local tests
-#: skip the aliases (identical spec) to avoid double-running.
-ROTATION_ALIAS_PREFIX = "a7_"
+#: the live registry + git history (VERDICT r7 next-round #1): round 7's
+#: 50 ``a7_`` aliases are RETIRED (all targets have green r7 driver rows),
+#: and the r8 window covers (a) ALL 15 never-driver-checked entries
+#: (q98, q100–q107, the BPE pair, PPS, CDC merge/diff, SemDeDup), (b) the
+#: 11 entries whose implementing file changed after their last driver row
+#: (the ann_/dedup families touched by r7-r8 probe fixes, cdc_upsert_latest,
+#: the streaming dedup pair — the ann_* family and cdc_merge_apply sit in
+#: the natural alphabetical window, no alias needed), then (c) stale rows
+#: stalest-first (the r4-checked q84–q86 that rolled over, then the r5
+#: wave) as far as the 50-slot window allows. Canonical names stay
+#: registered; local tests skip the aliases (identical spec) to avoid
+#: double-running.
+ROTATION_ALIAS_PREFIX = "a8_"
 #: every alias prefix in use this round (local tests skip all of them)
-ROTATION_ALIAS_PREFIXES = ("a7_",)
-_ROTATION_R7 = [
-    # implementing file changed after the last driver row (r6 dedup work)
-    "dedup_embedding_cosine",
-    "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    # stalest driver rows first: r3-checked (the judge's 13 + q72-q81 wave)
-    "q65_iejoin_band",
-    "q67_tpch_q7_volume_shipping",
-    "q68_tpch_q12_priority_classes",
-    "q69_tpch_q19_bracketed_disjunction",
-    "q70_tpch_q2_min_cost_supplier",
-    "q71_tpch_q6_forecast_revenue",
-    "skew_salted_join",
-    "text_contamination_overlap",
-    "text_fingerprint",
-    "text_langid",
-    "text_pii_redact",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_tfidf_top_terms",
-    "text_token_count_bpeish",
-    "q28_string_battery",
-    "q29_date_battery",
-    "q30_math_battery",
-    "q31_array_explode",
-    "q32_struct_battery",
-    "q33_json_extract",
-    "q34_conditional_null",
-    "q72_tpch_q8_market_share",
-    "q73_tpch_q9_product_profit",
-    "q74_tpch_q11_important_stock",
-    "q75_tpch_q13_customer_distribution",
-    "q76_tpch_q14_promo_revenue",
-    "q77_tpch_q15_top_supplier",
-    "q78_tpch_q16_supplier_part_counts",
-    "q79_tpch_q20_part_promotion",
-    "q80_tpch_q21_waiting_suppliers",
-    "q81_tpch_q22_global_sales_opportunity",
-    # r4-checked evidence, staleness-then-name order (q84-q86 roll to r8)
-    "corpus_mix_quota_threshold",
-    "corpus_pack_bins_sharded",
-    "corpus_shuffle_shards",
-    "corpus_sketch_profile",
-    "corpus_split_train_holdout",
-    "corpus_stats_card",
-    "corpus_temperature_resample",
-    "dedup_cluster_best_quality",
-    "mm_binaryfile_ingest",
-    "pipeline_e2e_curate",
-    "q82_stream_static_enrich",
-    "q83_time_range_window",
+ROTATION_ALIAS_PREFIXES = ("a8_",)
+_ROTATION_R8 = [
+    # (a) never driver-checked
+    "cdc_merge_apply",
+    "cdc_snapshot_diff",
+    "corpus_weighted_sample_pps",
+    "dedup_semantic_clusters",
+    "q100_data_quality_checks",
+    "q101_frequent_pairs_apriori",
+    "q102_recursive_cte_bom",
+    "q103_python_datasource",
+    "q104_table_stats_profile",
+    "q105_stream_merge_apply",
+    "q106_triangle_count",
+    "q107_pagerank_fixed_point",
+    "q98_skew_diagnostics",
+    "text_bpe_encode",
+    "text_bpe_vocab_merges",
+    # (b) implementing file changed after the last driver row
+    "cdc_upsert_latest",
+    "dedup_cluster_canonical",
+    "q86_stream_incremental_dedup",
+    "q96_stream_neardup_minhash",
+    # (c) stalest driver rows first: r4-checked rollovers, then the r5 wave
+    "q84_orc_sink_roundtrip",
+    "q85_schema_evolution_merge",
+    "q87_compact_small_files",
+    "q88_xml_source",
+    "q89_text_source_lines",
+    "q90_try_arithmetic",
+    "q91_dynamic_partition_overwrite",
+    "q92_unpivot_melt",
+    "q93_forward_fill",
+    "q94_null_safe_join",
+    "q95_map_battery",
+    "limeqo_mllib_complete_agree",
+    "limeqo_wl_argmin_per_query",
+    "limeqo_wl_default_vs_opt",
+    "limeqo_wl_equivalence_groups",
+    "limeqo_wl_min_observed",
+    "limeqo_wl_percentiles",
+    "limeqo_wl_topk_improvement",
+    "mm_binary_metadata",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize",
+    "q01_parquet_scan_checksum",
+    "q02_csv_roundtrip",
 ]
 
-for _name in _ROTATION_R7:
+for _name in _ROTATION_R8:
     _spec = REGISTRY[_name]
     _alias = ROTATION_ALIAS_PREFIX + _name
     REGISTRY[_alias] = QuerySpec(
