@@ -587,6 +587,16 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part")
     )
     bipc = bip.join(F.broadcast(hot), "part", "left_anti")
+    # pair generation stays a per-part SELF-JOIN on purpose: the r8 probe
+    # tried the adjacency-list alternative (groupBy part -> sorted
+    # supplier array -> C(n,2) pairs via one higher-order transform) and
+    # it was 34% faster at x1 but 2.3x SLOWER at x16 (68.7 s vs 29.7 s) —
+    # HOF lambdas are interpreted per element and the pair space here is
+    # ~1e9 struct allocations at x16, while the join's pair stream stays
+    # inside whole-stage codegen. The co subtree below feeds BOTH the
+    # percentile threshold and the edge filter; Spark's ReuseExchange
+    # dedupes its shuffle so the pair space is generated once (verified
+    # in the q106 formatted plan).
     a = bipc.select("part", F.col("sup").alias("a"))
     b = bipc.select("part", F.col("sup").alias("b"))
     co = (
@@ -594,6 +604,15 @@ def _co_supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # co feeds TWO consumers (the percentile threshold and the edge
+        # filter) and is the most expensive subtree of the whole build
+        # (~1e9 pre-agg pair rows at the x16 probe); the threshold's
+        # collect runs as its own job, outside AQE's stage-reuse reach, so
+        # without materialization the pair space is generated twice —
+        # measured r8 at x16: 17-19 s checkpointed vs 21-35 s relying on
+        # reuse. The materialized frame is only the AGGREGATED co matrix
+        # (key-pair cardinality), never the pre-agg pair stream.
+        .localCheckpoint(eager=True)
     )
     thresh = co.agg(
         F.expr("CAST(FLOOR(percentile(c, 0.9)) AS BIGINT) + 1").alias("t")

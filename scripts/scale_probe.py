@@ -131,12 +131,23 @@ RECALL_OFFSET = 500_000
 RECALL_SUFFIX = " zzzdupprobe"
 
 
+#: extra lineitem offsets for the graph-operator probe (q106/q107): with
+#: only l_orderkey offset, replication re-adds the SAME distinct
+#: (l_partkey, l_suppkey) pairs, so the co-supply graph doesn't grow and
+#: the probe measures only the scan. Offsetting part+supplier keys per
+#: replica makes the bipartite graph (hence edges/triangles/ranks) N
+#: disjoint copies — input AND graph scale linearly. Breaks part/supplier
+#: FK fan-out, so it's opt-in for the graph probes only.
+GRAPH_OFFSETS = {"l_partkey": 10_000_000, "l_suppkey": 10_000_000}
+
+
 def build_replica(
     spark,
     out_dir: str,
     n: int,
     perturb_embeddings: bool = False,
     perturb_documents: bool = False,
+    graph_offsets: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -150,7 +161,10 @@ def build_replica(
             parts = []
             for rep in range(n):
                 p = df
-                for col, step in OFFSETS[t].items():
+                offsets = dict(OFFSETS[t])
+                if graph_offsets and t == "lineitem":
+                    offsets.update(GRAPH_OFFSETS)
+                for col, step in offsets.items():
                     if step:
                         p = p.withColumn(col, F.col(col) + F.lit(rep * step))
                 if t == "embeddings" and perturb_embeddings and rep > 0:
@@ -226,11 +240,12 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
-    flags = {"--perturb-embeddings", "--perturb-documents", "--keep"}
+    flags = {"--perturb-embeddings", "--perturb-documents", "--keep", "--graph-offsets"}
     argv = [a for a in sys.argv[1:] if a not in flags]
     keep = "--keep" in sys.argv[1:]
     perturb = "--perturb-embeddings" in sys.argv[1:]
     perturb_docs = "--perturb-documents" in sys.argv[1:]
+    graph = "--graph-offsets" in sys.argv[1:]
     n = int(argv[0]) if argv else 4
     names = argv[1:] or DEFAULT_QUERIES
     from limeqo_spark.session import get_spark
@@ -239,7 +254,9 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up
     replica = f"/tmp/limeqo_scale/x{n}"
     build_replica(
-        spark, replica, n, perturb_embeddings=perturb, perturb_documents=perturb_docs
+        spark, replica, n,
+        perturb_embeddings=perturb, perturb_documents=perturb_docs,
+        graph_offsets=graph,
     )
     base = time_queries(spark, BASE, names)
     big = time_queries(spark, replica, names)
@@ -247,6 +264,7 @@ def main() -> None:
         "replication": n,
         "perturb_embeddings": perturb,
         "perturb_documents": perturb_docs,
+        "graph_offsets": graph,
         "queries": {
             q: {
                 "x1_s": base[q],
