@@ -14,21 +14,27 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark):
+    # pid-suffixed names: two concurrent suite runs share one
+    # spark-warehouse/, and fixed names race on the table location
+    # (observed running the full suite twice concurrently as a load repro)
+    import os
+
+    li_name, ord_name = f"li_bkt_{os.getpid()}", f"ord_bkt_{os.getpid()}"
     write_bucketed(
         table(spark, SF, "lineitem").select("l_orderkey", "l_quantity"),
-        "li_bkt",
+        li_name,
         ["l_orderkey"],
         n_buckets=8,
     )
     write_bucketed(
         table(spark, SF, "orders").select("o_orderkey", "o_orderstatus"),
-        "ord_bkt",
+        ord_name,
         ["o_orderkey"],
         n_buckets=8,
     )
-    yield "li_bkt", "ord_bkt"
-    spark.sql("DROP TABLE IF EXISTS li_bkt")
-    spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    yield li_name, ord_name
+    spark.sql(f"DROP TABLE IF EXISTS {li_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {ord_name}")
 
 
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
