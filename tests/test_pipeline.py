@@ -92,6 +92,61 @@ def test_two_phase_cc_matches_min_label_on_random_graph(spark):
     assert two == ml and len(two) > 0
 
 
+def test_cc_auto_dispatch_modes_agree(spark):
+    """connected_components_auto must produce the min-label labeling in
+    BOTH dispatch modes: driver union-find under the edge threshold, and
+    the two-phase kernel when forced over it (local_threshold=0). Also
+    pins the mode actually chosen, so a silent dispatch change is
+    visible."""
+    import numpy as np
+
+    from limeqo_spark.pipeline.cluster import (
+        connected_components_auto,
+        connected_components_min_label,
+    )
+
+    rng = np.random.default_rng(7)
+    edges = [
+        (int(g * 100 + rng.integers(50)), int(g * 100 + rng.integers(50)))
+        for g in range(5)
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame([(a, b) for a, b in edges if a != b], "a long, b long")
+    want = {(r["node"], r["component"]) for r in connected_components_min_label(df).collect()}
+
+    stats: dict = {}
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components_auto(df, stats=stats).collect()
+    }
+    assert stats["mode"] == "local_union_find"
+    assert local == want and len(local) > 0
+
+    stats = {}
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components_auto(df, local_threshold=0, stats=stats).collect()
+    }
+    assert stats["mode"] == "two_phase"
+    assert dist == want
+
+
+def test_retain_keyed_release(spark):
+    """registry.retain: re-retaining under the same key unpersists the
+    previous frame (the ADVICE r7 leak-bounding contract), and
+    release_retained drops everything."""
+    from limeqo_spark.relational.registry import release_retained, retain
+
+    release_retained()  # clean slate
+    df1 = retain("test_retain_key", spark.range(10))
+    assert df1.is_cached
+    df2 = retain("test_retain_key", spark.range(20))
+    assert not df1.is_cached and df2.is_cached
+    other = retain("test_retain_other", spark.range(5))
+    assert release_retained() == 2
+    assert not df2.is_cached and not other.is_cached
+
+
 def test_srp_lsh_projection_margins(sf_dir):
     """Guard for the SRP-LSH hash-parity contract: no embedding projects
     within float-reassociation distance of any hyperplane (a near-zero dot
