@@ -174,6 +174,12 @@ def main() -> None:
             spark.catalog.clearCache()
             if len(reps) >= 3 and sum(1 for h in rep_hot if not h) >= 3:
                 break
+            # sustained severe contention: if 4 attempts produced zero clean
+            # reps, more retries just double the wall on a hopeless box —
+            # accept the all-hot median (the query lands in
+            # queries_contended either way)
+            if len(reps) >= 4 and not any(not h for h in rep_hot):
+                break
         clean = [r for r, h in zip(reps, rep_hot) if not h]
         used = clean if clean else reps
         raw_reps[name] = [round(r, 3) for r in reps]

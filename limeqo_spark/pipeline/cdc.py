@@ -300,6 +300,35 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Derive the MERGE changelog from two snapshots: one full outer join
+    on ``key_col`` classifies every row as I (new only), D (old only) or
+    U (both sides, any payload column differs NULL-SAFELY), unchanged rows
+    dropped. I/U rows carry the NEW payload; D rows carry the OLD payload,
+    so a delete names its (old) partition value and the returned frame is
+    exactly the ``op`` frame :func:`merge_apply` consumes —
+    ``merge_apply(path_of_old, snapshot_diff(old, new), ...)`` reproduces
+    ``new`` (partition-stable keys assumed; see :func:`merge_apply`).
+    Composability is pinned by
+    ``tests/test_profile_vocab.py::test_snapshot_diff_applied_via_merge_reproduces_new``.
+    """
+    o, n = old.alias("o"), new.alias("n")
+    ok, nk = F.col(f"o.{key_col}"), F.col(f"n.{key_col}")
+    changed = ok.isNull() | nk.isNull()
+    for c in payload_cols:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    is_del = nk.isNull()
+    sel = [
+        F.coalesce(ok, nk).alias(key_col),
+        F.when(ok.isNull(), "I").when(is_del, "D").otherwise("U").alias("op"),
+    ]
+    for c in payload_cols:
+        sel.append(F.when(is_del, F.col(f"o.{c}")).otherwise(F.col(f"n.{c}")).alias(c))
+    return o.join(n, ok == nk, "full_outer").filter(changed).select(*sel)
+
+
 _SNAPDIFF_ORACLE = """
 WITH old AS (
   SELECT o_orderkey AS k, o_custkey,
@@ -379,29 +408,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    o = old.alias("o")
-    n = new.alias("n")
-    joined = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
-    diff = joined.filter(
-        F.col("o.k").isNull()
-        | F.col("n.k").isNull()
-        | ~F.col("o.o_custkey").eqNullSafe(F.col("n.o_custkey"))
-        | ~F.col("o.p").eqNullSafe(F.col("n.p"))
-    ).select(
-        F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
-        F.when(F.col("o.k").isNull(), "I")
-        .when(F.col("n.k").isNull(), "D")
-        .otherwise("U")
-        .alias("op"),
-        # deletes keep the OLD payload (partition value survives for
-        # merge_apply); inserts/updates carry the NEW payload
-        F.when(F.col("n.k").isNull(), F.col("o.o_custkey"))
-        .otherwise(F.col("n.o_custkey"))
-        .alias("o_custkey"),
-        F.when(F.col("n.k").isNull(), F.col("o.p"))
-        .otherwise(F.col("n.p"))
-        .alias("p"),
-    )
+    diff = snapshot_diff(old, new, key_col="k", payload_cols=["o_custkey", "p"])
     return (
         diff.groupBy("op")
         .agg(

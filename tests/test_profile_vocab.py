@@ -323,36 +323,47 @@ def test_merge_apply_leaves_untouched_partitions_files_alone(spark, tmp_path):
 
 
 def test_snapshot_diff_applied_via_merge_reproduces_new(spark, tmp_path):
-    import os
-
-    from pyspark.sql import functions as F
-
-    from limeqo_spark.pipeline.cdc import merge_apply
+    """diff(old, new) applied to old reproduces new, THROUGH the real
+    library functions (cdc.snapshot_diff -> cdc.merge_apply), including
+    the ADVICE r7 failure cases: a delete whose partition value exists
+    only on the OLD side (D rows must carry the old payload or the delete
+    lands in a NULL partition bucket and is silently skipped) and
+    NULL<->value payload flips (detection must be null-safe)."""
+    from limeqo_spark.pipeline.cdc import merge_apply, snapshot_diff
 
     path = str(tmp_path / "tbl2")
     old = spark.createDataFrame(
-        [(1, 10, "A"), (2, 20, "A"), (3, 30, "B"), (4, 40, "B"), (5, 50, "B")],
+        # k=2 will be DELETED (its part exists only here); k=7 has a NULL
+        # payload that flips to a value (null-safe U); k=8 value -> NULL
+        [
+            (1, 10, "A"),
+            (2, 20, "A"),
+            (3, 30, "B"),
+            (4, 40, "B"),
+            (5, 50, "B"),
+            (7, None, "B"),
+            (8, 80, "A"),
+        ],
         "k long, v long, part string",
     )
     new = spark.createDataFrame(
-        # 1 updated, 2 deleted, 6 inserted; B partition: 4 updated, 5 kept
-        [(1, 11, "A"), (3, 30, "B"), (4, 44, "B"), (5, 50, "B"), (6, 60, "A")],
+        [
+            (1, 11, "A"),
+            (3, 30, "B"),
+            (4, 44, "B"),
+            (5, 50, "B"),
+            (6, 60, "A"),
+            (7, 70, "B"),
+            (8, None, "A"),
+        ],
         "k long, v long, part string",
     )
     old.write.mode("overwrite").partitionBy("part").parquet(path)
-    o, n = old.alias("o"), new.alias("n")
-    j = o.join(n, F.col("o.k") == F.col("n.k"), "full_outer")
-    changes = j.filter(
-        F.col("o.k").isNull() | F.col("n.k").isNull() | (F.col("o.v") != F.col("n.v"))
-    ).select(
-        F.coalesce(F.col("n.k"), F.col("o.k")).alias("k"),
-        F.coalesce(F.col("n.v"), F.lit(0)).alias("v"),
-        F.coalesce(F.col("n.part"), F.col("o.part")).alias("part"),
-        F.when(F.col("o.k").isNull(), "I")
-        .when(F.col("n.k").isNull(), "D")
-        .otherwise("U")
-        .alias("op"),
-    )
+    changes = snapshot_diff(old, new, key_col="k", payload_cols=["v", "part"])
+    ops = {r.k: r.op for r in changes.collect()}
+    assert ops == {1: "U", 2: "D", 4: "U", 6: "I", 7: "U", 8: "U"}, ops
+    # the delete carries its OLD partition value, not NULL
+    assert [r.part for r in changes.collect() if r.k == 2] == ["A"]
     merge_apply(spark, path, changes, key_col="k", part_col="part")
     back = {(r.k, r.v, r.part) for r in spark.read.parquet(path).collect()}
     assert back == {(r.k, r.v, r.part) for r in new.collect()}
