@@ -426,6 +426,24 @@ def main() -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "docs", f"bench_full_{ROUND_TAG}.json"
     )
+    # never REPLACE a better same-tag artifact with a more-contended rerun
+    # (r7: a cal-5.36 driver run overwrote the committed uncontended
+    # payload in the working tree); the hot rerun goes to a .contended
+    # side file so nothing is hidden, and the best clean run survives.
+    if os.path.exists(full_path):
+        try:
+            with open(full_path) as f:
+                prior = json.load(f).get("calibration", {})
+        except Exception:
+            prior = None
+        if prior is not None:
+            prior_bad = (len(prior.get("queries_contended", [])), prior.get("cal_ratio", float("inf")))
+            this_bad = (len(unmeasurable), cal_ratio)
+            if this_bad > prior_bad:
+                full_path = full_path.replace(".json", ".contended.json")
+                full["kept_aside_because"] = (
+                    f"more contended than existing artifact (this {this_bad} vs prior {prior_bad})"
+                )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
     compact = {
@@ -438,7 +456,7 @@ def main() -> None:
         "queries_contended": unmeasurable,
         "queries": {k: v for k, v in timings.items() if not k.startswith("sim_")},
         "sf": SF_DIR,
-        "full_payload": f"docs/bench_full_{ROUND_TAG}.json",
+        "full_payload": os.path.join("docs", os.path.basename(full_path)),
     }
     compact.update({k: v for k, v in sim.items() if isinstance(v, (int, float))})
     print(json.dumps(compact))
