@@ -16,25 +16,29 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: first 50 manifest entries in alphabetical order; each name below gets an
 #: ``a8_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
 #: builder/oracle. Window computed by ``scripts/rotation_plan.py`` against
-#: the live registry + git history (VERDICT r7 next-round #1): round 7's
-#: 50 ``a7_`` aliases are RETIRED (all targets have green r7 driver rows),
-#: and the r8 window covers (a) ALL 15 never-driver-checked entries
-#: (q98, q100–q107, the BPE pair, PPS, CDC merge/diff, SemDeDup), (b) the
-#: 11 entries whose implementing file changed after their last driver row
-#: (the ann_/dedup families touched by r7-r8 probe fixes, cdc_upsert_latest,
-#: the streaming dedup pair — the ann_* family and cdc_merge_apply sit in
-#: the natural alphabetical window, no alias needed), then (c) stale rows
-#: stalest-first (the r4-checked q84–q86 that rolled over, then the r5
-#: wave) as far as the 50-slot window allows. Canonical names stay
-#: registered; local tests skip the aliases (identical spec) to avoid
-#: double-running.
+#: the live registry + git history (VERDICT r7 next-round #1), RE-RUN at
+#: round-8 end after the planner's boundary fix (the driver stopped
+#: writing ``end-of-round snapshot`` commits after r5, so r6/r7-checked
+#: entries whose files changed later were invisibly escaping the
+#: changed-after-check flag). Round 7's 50 ``a7_`` aliases are RETIRED
+#: (all targets have green r7 driver rows). The r8 window covers (a) ALL
+#: 15 never-driver-checked entries (q98, q100–q107, the BPE pair, PPS,
+#: CDC merge/diff, SemDeDup), then (b) every entry whose implementing
+#: file changed after its last driver row — the whole dedup family
+#: (dedup.py/cluster.py changed in r8: norm precompute, CC auto-dispatch,
+#: keyed retention), the streaming file's entries, the gate builders and
+#: prop-gated corpus entries (registry/retain plumbing) — with the ann_*
+#: family and the cdc_*/corpus_chunk/mix entries riding the natural
+#: alphabetical window. The merely-stale tail (q84/q85 r4-checked,
+#: limeqo_wl_*, mm_*, q01/q02 — all UNCHANGED since their green rows)
+#: rolls to r9: changed code outranks old-but-valid evidence for the 50
+#: slots. Canonical names stay registered; local tests skip the aliases
+#: (identical spec) to avoid double-running.
 ROTATION_ALIAS_PREFIX = "a8_"
 #: every alias prefix in use this round (local tests skip all of them)
 ROTATION_ALIAS_PREFIXES = ("a8_",)
 _ROTATION_R8 = [
     # (a) never driver-checked
-    "cdc_merge_apply",
-    "cdc_snapshot_diff",
     "corpus_weighted_sample_pps",
     "dedup_semantic_clusters",
     "q100_data_quality_checks",
@@ -48,36 +52,33 @@ _ROTATION_R8 = [
     "q98_skew_diagnostics",
     "text_bpe_encode",
     "text_bpe_vocab_merges",
-    # (b) implementing file changed after the last driver row
-    "cdc_upsert_latest",
+    # (b) implementing file changed after the last driver row (cdc_* and
+    # corpus_chunk_windows/corpus_mix_quota_sample sit in the natural
+    # window; the ann_* family leads it)
+    "corpus_pack_bins",
+    "dedup_chunk_reconstruct",
+    "dedup_cluster_best_quality",
     "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "prop_gates",
+    "q44a_stream_tumbling",
+    "q44b_stream_sliding",
+    "q44c_stream_session",
+    "q44d_stream_dedup_watermark",
+    "q45_stateful_user_totals",
+    "q50_foreachbatch_sink",
+    "q54_stream_stream_join",
     "q86_stream_incremental_dedup",
     "q96_stream_neardup_minhash",
-    # (c) stalest driver rows first: r4-checked rollovers, then the r5 wave
-    "q84_orc_sink_roundtrip",
-    "q85_schema_evolution_merge",
-    "q87_compact_small_files",
-    "q88_xml_source",
-    "q89_text_source_lines",
-    "q90_try_arithmetic",
-    "q91_dynamic_partition_overwrite",
-    "q92_unpivot_melt",
-    "q93_forward_fill",
-    "q94_null_safe_join",
-    "q95_map_battery",
-    "limeqo_mllib_complete_agree",
-    "limeqo_wl_argmin_per_query",
-    "limeqo_wl_default_vs_opt",
-    "limeqo_wl_equivalence_groups",
-    "limeqo_wl_min_observed",
-    "limeqo_wl_percentiles",
-    "limeqo_wl_topk_improvement",
-    "mm_binary_metadata",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize",
-    "q01_parquet_scan_checksum",
-    "q02_csv_roundtrip",
+    "q97_bloom_semijoin",
+    "q99_zorder_box_query",
+    "scale_pruning_gate",
 ]
 
 for _name in _ROTATION_R8:

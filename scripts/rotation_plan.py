@@ -47,12 +47,23 @@ def _git(*args: str) -> str:
 
 
 def round_boundaries() -> dict[int, str]:
-    """Round -> the end-of-round snapshot commit the driver checked at."""
+    """Round -> the commit whose tree the driver's round-N CORRECTNESS run
+    checked. The driver wrote explicit ``round N: end-of-round snapshot``
+    commits only through round 5; from round 6 the only per-round marker
+    is the ``round N: verdict/advice/correctness/bench`` artifact commit,
+    which lands immediately after the driver verified the round's tree —
+    so any file commit NOT reachable from it is definitely unverified.
+    Without this fallback, entries last-checked in r6+ were never flagged
+    as changed-after-check (found r8: the dedup family escaped the window
+    after dedup.py changed)."""
     out: dict[int, str] = {}
     log = _git("log", "--format=%H %s")
     for line in log.splitlines():
         sha, _, subject = line.partition(" ")
-        if subject.startswith("round ") and "end-of-round snapshot" in subject:
+        if subject.startswith("round ") and (
+            "end-of-round snapshot" in subject
+            or "verdict/advice/correctness" in subject
+        ):
             try:
                 rnd = int(subject.split()[1].rstrip(":"))
             except ValueError:
