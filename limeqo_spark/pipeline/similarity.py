@@ -301,14 +301,22 @@ def _topk_with_ok(cand: DataFrame, k: int = 5) -> DataFrame:
     ``ok=false`` rows instead of silently-plausible output; the recall
     bar vs brute force stays in the local suite."""
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    # rank-ONLY window first, lag second: a window mixing row_number with
+    # lag blocks Spark's InsertWindowGroupLimit rule, so the rank filter
+    # could not push a map-side partial top-k and the shuffle carried the
+    # whole candidate set. Filtering rn <= k first restores the pushdown
+    # (plan shows WindowGroupLimit Partial before the exchange); the lag
+    # over the k-per-probe survivor frame computes the SAME values — each
+    # kept row's predecessor in the full ordering is also kept (rn-1 < k),
+    # and rn=1 uses the same default.
     return (
         cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
         .withColumn(
             "ok",
             F.col("cos").between(-1.0 - 1e-9, 1.0 + 1e-9)
             & (F.col("cos") <= F.lag("cos", 1, 1.0).over(w) + 1e-9),
         )
-        .filter(F.col("rn") <= k)
         .select(
             "probe_id",
             "vec_id",
