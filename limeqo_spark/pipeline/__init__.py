@@ -4,4 +4,4 @@ cosine), similarity search (brute-force + LSH-bucketed ANN), text analysis
 (language-ID, quality, token counting, fingerprinting), and multimodal
 column plumbing. Importing registers their queries() entries."""
 
-from limeqo_spark.pipeline import cdc, cluster, curation, dedup, mix, multimodal, similarity, sketches, text, vocab  # noqa: F401
+from limeqo_spark.pipeline import cdc, cluster, curation, dedup, er, mix, multimodal, similarity, sketches, text, vocab  # noqa: F401

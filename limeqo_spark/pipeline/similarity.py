@@ -837,3 +837,90 @@ def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = raise_on_failed_gates(out, "ann_recall_gate")
     truth.unpersist()
     return out
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, emb,
+             list_max(list_transform(emb, x -> ABS(x))) AS scale
+      FROM base
+    ),
+    q AS (
+      SELECT vec_id, emb, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(emb, x -> 0)
+                  ELSE list_transform(
+                    emb, x -> CAST(FLOOR(x / scale * 127.0 + 0.5) AS INT))
+             END AS qvec
+      FROM scaled
+    )
+    SELECT vec_id,
+           CAST(FLOOR(scale * 1000000 + 0.5) AS BIGINT) AS scale_fp6,
+           array_to_string(qvec, ',') AS qvec_csv,
+           CAST(CASE WHEN scale = 0 THEN 0 ELSE FLOOR(
+             list_max(list_transform(
+               list_zip(emb, qvec),
+               p -> ABS(p[1] - CAST(p[2] AS DOUBLE) * scale / 127.0)))
+             * 1000000 + 0.5) END AS BIGINT) AS max_err_fp6
+    FROM q ORDER BY vec_id
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (absmax
+    scaling): per-vector ``scale = max|x|``, ``q_i = round(x_i/scale·127)``
+    — the standard 4× compression step before shipping embeddings to an
+    ANN index or a training shard. Rounding is the explicit
+    ``floor(v + 0.5)`` form on identical IEEE-double intermediates, so
+    Spark and DuckDB produce bit-equal codes (engine ROUND() tie policies
+    differ); the fixed-point scale and the max reconstruction-error audit
+    column go through the same floor trick.
+
+    Scale (100 TB): embarrassingly row-parallel — zero shuffles, zero
+    UDFs; ``transform``/``aggregate`` higher-order functions run inside
+    whole-stage codegen, and the 64-dim loop is unrolled per row. The
+    error column is the per-vector quality audit a pipeline logs before
+    discarding the fp32 originals. PQ (`ann_pq_adc`) is the 32×
+    codebook-based sibling; this is the cheap uniform path."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    scaled = base.withColumn(
+        "scale", F.array_max(F.transform("emb", F.abs))
+    )
+    q = scaled.withColumn(
+        "qvec",
+        F.when(
+            F.col("scale") == 0.0,
+            F.transform("emb", lambda x: F.lit(0)),
+        ).otherwise(
+            F.transform(
+                "emb",
+                lambda x: F.floor(x / F.col("scale") * 127.0 + 0.5).cast("int"),
+            )
+        ),
+    )
+    err = F.array_max(
+        F.zip_with(
+            "emb",
+            "qvec",
+            lambda x, c: F.abs(x - c.cast("double") * F.col("scale") / 127.0),
+        )
+    )
+    # the codes ship as a CSV string: a raw array column round-trips as
+    # numpy ndarray vs list depending on the client, which a value-hash
+    # comparator cannot canonicalize engine-independently
+    return q.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1_000_000 + 0.5).cast("bigint").alias("scale_fp6"),
+        F.array_join("qvec", ",").alias("qvec_csv"),
+        F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(F.floor(err * 1_000_000 + 0.5))
+        .cast("bigint")
+        .alias("max_err_fp6"),
+    ).orderBy("vec_id")

@@ -251,3 +251,167 @@ def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_w", "offset_w")
     )
+
+
+#: trailing-window size for the z-score detector (events strictly before
+#: the current one) and the minimum history before a row may be flagged
+ZSCORE_LOOKBACK = 20
+ZSCORE_MIN_N = 10
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             (epoch_ns(ts) // 1000000000 // 3600) * 3600 AS hour_s,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    hourly AS (
+      SELECT user_id, hour_s, SUM(cents) AS cents FROM ev GROUP BY 1, 2
+    ),
+    b AS (SELECT MIN(hour_s) AS lo, MAX(hour_s) AS hi FROM ev),
+    grid AS (
+      SELECT u.user_id, g.hour_s
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, 3600)) AS hour_s
+                  FROM b) g
+    ),
+    j AS (
+      SELECT g.user_id, g.hour_s, h.cents
+      FROM grid g LEFT JOIN hourly h USING (user_id, hour_s)
+    )
+    SELECT user_id,
+           CAST(hour_s AS BIGINT) AS hour_s,
+           CAST(COALESCE(
+             LAST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_s
+               ROWS UNBOUNDED PRECEDING), 0) AS BIGINT) AS cents_filled,
+           CAST(CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS INT) AS observed
+    FROM j ORDER BY user_id, hour_s
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid gap-fill with last-observation-carried-forward: per-user
+    hourly spend, densified onto the corpus-wide hour grid, empty hours
+    carrying the user's previous observed value (0 before their first).
+    The grid is ``users × sequence(min_hour, max_hour)`` — the bounds
+    frame is one row, so the crossJoin is a broadcast of two scalars, and
+    the explode happens AFTER the per-user fan-out, so grid rows are born
+    already partitioned by the user key the LOCF window needs.
+
+    Scale (100 TB): the grid is users × hours — it grows with entities
+    and wall-clock, not with event volume, so densification is CHEAPER
+    relative to the raw stream as traffic grows. One shuffle keys
+    everything by user_id (grid build, hourly agg join, LOCF window all
+    reuse it). The LOCF idiom is ``last(x, ignorenulls=True)`` over rows
+    UNBOUNDED PRECEDING — the standard backfill for feature stores /
+    metric dashboards; no ``applyInPandas`` per user, no driver loop.
+    """
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.expr("(ts_s DIV 3600) * 3600").alias("hour_s"), "cents"
+    )
+    hourly = ev.groupBy("user_id", "hour_s").agg(F.sum("cents").alias("cents"))
+    bounds = ev.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("hour_s"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hour_s"], "left")
+    w = W.partitionBy("user_id").orderBy("hour_s").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        j.select(
+            "user_id",
+            F.col("hour_s").cast("bigint").alias("hour_s"),
+            F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0))
+            .cast("bigint")
+            .alias("cents_filled"),
+            F.when(F.col("cents").isNull(), 0).otherwise(1).cast("int").alias("observed"),
+        )
+        .orderBy("user_id", "hour_s")
+    )
+
+
+@query(
+    "events_zscore_anomaly",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_ns(ts) // 1000 AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, user_id, event_type, cents,
+             COUNT(cents) OVER w AS n,
+             COALESCE(SUM(cents) OVER w, 0) AS s,
+             COALESCE(SUM(cents * cents) OVER w, 0) AS s2
+      FROM ev
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, user_id, cents, CAST(n AS BIGINT) AS n
+    FROM stats
+    WHERE n >= {ZSCORE_MIN_N}
+      AND (n * cents - s) * (n * cents - s) * (n - 1)
+          > 9 * n * (n * s2 - s * s)
+    ORDER BY event_type, event_id
+    """,
+)
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window anomaly detection: flag an event whose value sits
+    more than 3 sample standard deviations from the mean of the previous
+    ≤20 same-type events. The test is done in EXACT integer algebra —
+    ``(n·x − s)²·(n−1) > 9·n·(n·s² − s²)`` over integer cents — so the
+    3σ boundary is engine-independent (a floating stddev_samp differs in
+    the last ulp between Spark's and DuckDB's accumulators, and a
+    boundary z≈3 row would flip; FIXTURES.md §3 forbids float filters).
+
+    Scale (100 TB): one window shuffle partitioned by event_type; if a
+    type is hot enough to skew, the partition key gains a coarse time
+    bucket (the trailing frame then needs a per-bucket head carry — the
+    streaming analog q44a/q45 handles that shape natively). Three window
+    aggregates share one frame, so Spark evaluates them in a single
+    WindowExec pass — no triple scan.
+    """
+    ev = _ev(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    stats = ev.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        "cents",
+        F.count("cents").over(w).alias("n"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)).alias("s2"),
+    )
+    x, n, s, s2 = F.col("cents"), F.col("n"), F.col("s"), F.col("s2")
+    return (
+        stats.filter(
+            (n >= ZSCORE_MIN_N)
+            & (
+                (n * x - s) * (n * x - s) * (n - 1)
+                > F.lit(9) * n * (n * s2 - s * s)
+            )
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "user_id",
+            "cents",
+            n.cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "event_id")
+    )

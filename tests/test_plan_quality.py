@@ -528,3 +528,47 @@ def test_sessionize_single_hash_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_gapfill_no_cartesian_and_user_keyed_window(spark):
+    """events_gapfill_locf: the grid build crossJoins ONLY the one-row
+    bounds frame (broadcast of two scalars, never a data-sized cartesian),
+    and the LOCF fill is a user-partitioned window, not a global sort."""
+    plan = plan_of(spark, "events_gapfill_locf")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(user_id" in plan
+    # the bounds frame reaches the join as a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin BuildRight" in plan or "BroadcastExchange" in plan
+
+
+def test_zscore_three_aggs_one_window_pass(spark):
+    """events_zscore_anomaly: count/sum/sum-of-squares share one Window
+    operator (single pass over the event_type frame), and the 3-sigma
+    test stays integer (no float round-off in a filter, FIXTURES.md §3)."""
+    df = REGISTRY["events_zscore_anomaly"].builder(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Window") == 1
+    assert "stddev" not in plan.lower()
+
+
+def test_er_pairing_is_blocked_equi_join(spark):
+    """er_fuzzy_match_blocked: candidate pairs come from an equi-join on
+    the block key — never a cartesian/nested-loop over names — and the
+    levenshtein verifier is a codegen expression, not a Python UDF."""
+    plan = plan_of(spark, "er_fuzzy_match_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embed_quantize_is_shuffle_free_expression(spark):
+    """embed_quantize_int8: row-parallel codegen expressions end to end —
+    the only exchange allowed is the final presentation ORDER BY (a range
+    exchange); no hash shuffle, no Python evaluation."""
+    plan = plan_of(spark, "embed_quantize_int8")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "transform(" in plan
