@@ -924,3 +924,71 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_err_fp6"),
     ).orderBy("vec_id")
+
+
+@query(
+    "embed_centroid_per_label",
+    oracle="""
+    WITH base AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    ex AS (
+      SELECT label, CAST(i AS INT) AS dim,
+             CAST(FLOOR(emb[i] * 1000000 + 0.5) AS BIGINT) AS fp6
+      FROM (SELECT label, emb, UNNEST(generate_series(1, len(emb))) AS i
+            FROM base) z
+    ),
+    g AS (
+      SELECT label, dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(fp6) AS BIGINT) AS sum_fp6
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT label, dim, n, sum_fp6,
+           CAST((sum_fp6 - ((sum_fp6 % n) + n) % n) // n AS BIGINT) AS mean_fp6
+    FROM g ORDER BY label, dim
+    """,
+)
+def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in EXACT fixed-point arithmetic:
+    each component is snapped to a 1e-6 integer grid BEFORE summation, so
+    the sum is order-independent (a float mean differs run-to-run with
+    partition count and engine accumulation order — unacceptable for a
+    value-hash contract) and the mean uses true floor division via the
+    positive-mod identity, identical under Spark's truncating ``DIV`` and
+    DuckDB's flooring ``//``. This is the nearest-class-mean /
+    kmeans-seeding primitive a curation pipeline derives per source or
+    quality label.
+
+    Scale (100 TB): posexplode fans each vector into 64 (label, dim)
+    rows, partially aggregated map-side, so the single shuffle carries
+    |labels|×64 cells regardless of corpus size — the same partial-agg
+    shape as a feature-statistics pass; no collect, no UDF."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    ex = base.select(
+        "label", F.posexplode("emb").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x") * 1_000_000 + 0.5).cast("bigint").alias("fp6"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("fp6").cast("bigint").alias("sum_fp6"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            "sum_fp6",
+            F.expr("(sum_fp6 - pmod(pmod(sum_fp6, n) + n, n)) DIV n")
+            .cast("bigint")
+            .alias("mean_fp6"),
+        )
+        .orderBy("label", "dim")
+    )

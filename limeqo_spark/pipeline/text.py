@@ -664,3 +664,73 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: corpus-wide boilerplate discovery: top-K bigrams by document frequency
+BOILERPLATE_TOPK = 20
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] AS ngram
+      FROM (
+        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS i
+        FROM toks
+      ) z
+    ),
+    df AS (
+      SELECT ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM grams GROUP BY 1
+    ),
+    total AS (SELECT COUNT(*) AS n_docs FROM toks)
+    SELECT ngram, doc_freq,
+           CAST((doc_freq * 10000) // n_docs AS BIGINT) AS df_bps
+    FROM df, total
+    ORDER BY doc_freq DESC, ngram
+    LIMIT {BOILERPLATE_TOPK}
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate discovery: the top-20 token bigrams by
+    DOCUMENT frequency (distinct docs containing the gram, not raw
+    occurrences — a single spammy doc can't promote its own phrase).
+    These are the "all rights reserved" / cookie-banner phrases a
+    curation pass strips before dedup so shared boilerplate doesn't glue
+    unrelated documents into near-dup clusters.
+
+    Scale (100 TB): the (doc, gram) DISTINCT and the gram groupBy are
+    the only data-sized shuffles, both partial-aggregated map-side; the
+    global top-k is ORDER BY + LIMIT over the aggregated gram frame, so
+    Catalyst plans TakeOrderedAndProject (per-partition heaps + one
+    k-row driver merge, plan-gated) — never a single-partition rank
+    window over the vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                    " i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i]))"
+                )
+            ).alias("ngram"),
+        )
+        .filter(F.col("ngram").contains(" "))  # drop the pad gram of 1-token docs
+        .distinct()
+    )
+    n_docs = d.count()
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"))
+        .select(
+            "ngram",
+            "doc_freq",
+            F.expr(f"(doc_freq * 10000) DIV {n_docs}").cast("bigint").alias("df_bps"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(BOILERPLATE_TOPK)
+    )

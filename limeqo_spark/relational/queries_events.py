@@ -415,3 +415,129 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+#: bucket width for the partition-bounded z-score variant (one week)
+ZSCORE_BUCKET_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query(
+    "events_zscore_anomaly_bucketed",
+    # IDENTICAL oracle to events_zscore_anomaly: the bucketing is a pure
+    # execution-strategy change (the dedup_ngram_jaccard_capped pattern —
+    # the scale variant must reproduce the flat formulation bit-for-bit)
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_ns(ts) // 1000 AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, user_id, event_type, cents,
+             COUNT(cents) OVER w AS n,
+             COALESCE(SUM(cents) OVER w, 0) AS s,
+             COALESCE(SUM(cents * cents) OVER w, 0) AS s2
+      FROM ev
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, user_id, cents, CAST(n AS BIGINT) AS n
+    FROM stats
+    WHERE n >= {ZSCORE_MIN_N}
+      AND (n * cents - s) * (n * cents - s) * (n - 1)
+          > 9 * n * (n * s2 - s * s)
+    ORDER BY event_type, event_id
+    """,
+)
+def events_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-bounded z-score anomaly detection — same semantics and
+    the SAME oracle as ``events_zscore_anomaly``, but the window runs per
+    (event_type, week bucket) instead of per event_type, so no partition
+    outgrows a week of one type's traffic (the flat form caps parallelism
+    at the number of event types — its documented 100 TB weakness).
+
+    Exactness across bucket boundaries: each bucket receives CARRY rows —
+    the 20 most recent events of the type's PREFIX (all earlier buckets).
+    Carries sort before every real row of their bucket (strictly earlier
+    timestamps), so the j-th real row's trailing-20 frame is its j−1
+    in-bucket predecessors plus the 21−j most recent prefix rows — exactly
+    the global trailing window. Carries provide context only (emit=0).
+    The carry frame is tiny by construction: per-bucket tails are ≤20 rows
+    each (a window over the already-bounded bucket partitions), and the
+    prefix-last-20 selection runs on that types×buckets×20 mini-frame.
+    """
+    ev = _ev(spark, sf_dir).withColumn(
+        "bucket", F.expr(f"ts_us DIV {ZSCORE_BUCKET_US}")
+    )
+    # ≤20-row tail of each (type, bucket): candidates for any later bucket's carry
+    wtail = W.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    tails = (
+        ev.withColumn("rn_desc", F.row_number().over(wtail))
+        .filter(F.col("rn_desc") <= ZSCORE_LOOKBACK)
+        .drop("rn_desc")
+    )
+    buckets = ev.select("event_type", "bucket").distinct()
+    # for each target bucket: the 20 most recent rows across ALL earlier
+    # buckets (sparse buckets mean the prefix tail can span several)
+    wcarry = W.partitionBy("event_type", F.col("tb")).orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    carries = (
+        tails.join(
+            buckets.select("event_type", F.col("bucket").alias("tb")),
+            "event_type",
+        )
+        .filter(F.col("bucket") < F.col("tb"))
+        .withColumn("rn", F.row_number().over(wcarry))
+        .filter(F.col("rn") <= ZSCORE_LOOKBACK)
+        .select(
+            "event_type",
+            F.col("tb").alias("bucket"),
+            "event_id",
+            "user_id",
+            "ts_us",
+            "cents",
+            F.lit(0).alias("emit"),
+        )
+    )
+    union = ev.select(
+        "event_type", "bucket", "event_id", "user_id", "ts_us", "cents",
+        F.lit(1).alias("emit"),
+    ).unionByName(carries)
+    w = (
+        W.partitionBy("event_type", "bucket")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    stats = union.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        "cents",
+        "emit",
+        F.count("cents").over(w).alias("n"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)).alias("s2"),
+    )
+    x, n, s, s2 = F.col("cents"), F.col("n"), F.col("s"), F.col("s2")
+    return (
+        stats.filter(
+            (F.col("emit") == 1)
+            & (n >= ZSCORE_MIN_N)
+            & (
+                (n * x - s) * (n * x - s) * (n - 1)
+                > F.lit(9) * n * (n * s2 - s * s)
+            )
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "user_id",
+            "cents",
+            n.cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "event_id")
+    )

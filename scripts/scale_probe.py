@@ -148,6 +148,7 @@ def build_replica(
     perturb_embeddings: bool = False,
     perturb_documents: bool = False,
     graph_offsets: bool = False,
+    replicate_part: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -155,13 +156,23 @@ def build_replica(
     from limeqo_spark.pipeline.corpus import PLANT_N
 
     os.makedirs(out_dir, exist_ok=True)
+    # --replicate-part: part is a dim (single-copy by default) but the ER
+    # operators groupBy its p_name — replicating rows with offset keys and
+    # the SAME name vocabulary probes exactly their claim: the match space
+    # is vocabulary-sized while the distinct-groupBy input scales Nx.
+    # (FK fan-outs from lineitem break for the copies, so only probe
+    # part-only queries under this flag.)
+    replicated = REPLICATED | ({"part"} if replicate_part else set())
+    offsets_by_table = dict(OFFSETS)
+    if replicate_part:
+        offsets_by_table["part"] = {"p_partkey": 10_000_000}
     for t in TABLES:
         df = table(spark, BASE, t)
-        if t in REPLICATED:
+        if t in replicated:
             parts = []
             for rep in range(n):
                 p = df
-                offsets = dict(OFFSETS[t])
+                offsets = dict(offsets_by_table[t])
                 if graph_offsets and t == "lineitem":
                     offsets.update(GRAPH_OFFSETS)
                 for col, step in offsets.items():
@@ -240,12 +251,13 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
-    flags = {"--perturb-embeddings", "--perturb-documents", "--keep", "--graph-offsets"}
+    flags = {"--perturb-embeddings", "--perturb-documents", "--keep", "--graph-offsets", "--replicate-part"}
     argv = [a for a in sys.argv[1:] if a not in flags]
     keep = "--keep" in sys.argv[1:]
     perturb = "--perturb-embeddings" in sys.argv[1:]
     perturb_docs = "--perturb-documents" in sys.argv[1:]
     graph = "--graph-offsets" in sys.argv[1:]
+    replicate_part = "--replicate-part" in sys.argv[1:]
     n = int(argv[0]) if argv else 4
     names = argv[1:] or DEFAULT_QUERIES
     from limeqo_spark.session import get_spark
@@ -256,7 +268,7 @@ def main() -> None:
     build_replica(
         spark, replica, n,
         perturb_embeddings=perturb, perturb_documents=perturb_docs,
-        graph_offsets=graph,
+        graph_offsets=graph, replicate_part=replicate_part,
     )
     base = time_queries(spark, BASE, names)
     big = time_queries(spark, replica, names)
@@ -265,6 +277,7 @@ def main() -> None:
         "perturb_embeddings": perturb,
         "perturb_documents": perturb_docs,
         "graph_offsets": graph,
+        "replicate_part": replicate_part,
         "queries": {
             q: {
                 "x1_s": base[q],

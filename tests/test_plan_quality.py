@@ -572,3 +572,33 @@ def test_embed_quantize_is_shuffle_free_expression(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "transform(" in plan
+
+
+def test_boilerplate_topk_is_take_ordered(spark):
+    """text_boilerplate_ngrams: the global top-20 must plan as
+    TakeOrderedAndProject over the aggregated gram frame (per-partition
+    heaps), never a single-partition rank window over the vocabulary."""
+    plan = plan_of(spark, "text_boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_centroid_aggregation_is_two_phase(spark):
+    """embed_centroid_per_label: the (label, dim) aggregate must partial-
+    combine map-side so the shuffle carries |labels|x64 cells, not the
+    exploded corpus; everything stays JVM-expression-side."""
+    plan = plan_of(spark, "embed_centroid_per_label")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zscore_bucketed_windows_are_partition_bounded(spark):
+    """events_zscore_anomaly_bucketed: every window must partition by
+    (event_type, bucket) — the whole point of the variant is that no
+    partition outgrows one week of one type's traffic."""
+    plan = plan_of(spark, "events_zscore_anomaly_bucketed")
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the plan"
+    for spec in specs:
+        assert "event_type" in spec and ("bucket" in spec or "tb" in spec), spec
