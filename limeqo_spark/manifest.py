@@ -20,42 +20,30 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: round-8 end after the planner's boundary fix (the driver stopped
 #: writing ``end-of-round snapshot`` commits after r5, so r6/r7-checked
 #: entries whose files changed later were invisibly escaping the
-#: changed-after-check flag). Round 7's 50 ``a7_`` aliases are RETIRED
+#: changed-after-check flag), then RE-RUN AGAIN after the round's second
+#: operator batch (ER family, LOCF gap-fill, z-score pair, int8
+#: quantization, label centroids, boilerplate n-grams) added nine more
+#: never-driver-checked entries. Round 7's 50 ``a7_`` aliases are RETIRED
 #: (all targets have green r7 driver rows). The r8 window covers (a) ALL
-#: 15 never-driver-checked entries (q98, q100–q107, the BPE pair, PPS,
-#: CDC merge/diff, SemDeDup), then (b) every entry whose implementing
-#: file changed after its last driver row — the whole dedup family
-#: (dedup.py/cluster.py changed in r8: norm precompute, CC auto-dispatch,
-#: keyed retention), the streaming file's entries, the gate builders and
-#: prop-gated corpus entries (registry/retain plumbing) — with the ann_*
+#: 23 never-driver-checked entries (q98, q100–q107, the BPE pair, PPS,
+#: CDC merge/diff riding natural, SemDeDup, and the nine new-batch
+#: operators), then (b) as many changed-after-check entries as fit —
+#: the whole dedup family (dedup.py/cluster.py changed in r8), the gate
+#: builders, q44a as the streaming representative — with the ann_*
 #: family and the cdc_*/corpus_chunk/mix entries riding the natural
-#: alphabetical window. The merely-stale tail (q84/q85 r4-checked,
-#: limeqo_wl_*, mm_*, q01/q02 — all UNCHANGED since their green rows)
-#: rolls to r9: changed code outranks old-but-valid evidence for the 50
-#: slots. Canonical names stay registered; local tests skip the aliases
-#: (identical spec) to avoid double-running.
+#: alphabetical window. Displaced to r9 (changed-after-check, still
+#: sweep-green + unit-tested): the streaming tail q44b–q54/q86/q96,
+#: q97/q99/scale_pruning_gate, plus the merely-stale unchanged tail
+#: (q84/q85, limeqo_wl_*, mm_*, q01/q02): never-checked outranks
+#: changed, which outranks old-but-valid, for the 50 slots. Canonical
+#: names stay registered; local tests skip the aliases (identical spec)
+#: to avoid double-running.
 ROTATION_ALIAS_PREFIX = "a8_"
 #: every alias prefix in use this round (local tests skip all of them)
 ROTATION_ALIAS_PREFIXES = ("a8_",)
 _ROTATION_R8 = [
-    # (a) never driver-checked
-    "corpus_weighted_sample_pps",
-    "dedup_semantic_clusters",
-    "q100_data_quality_checks",
-    "q101_frequent_pairs_apriori",
-    "q102_recursive_cte_bom",
-    "q103_python_datasource",
-    "q104_table_stats_profile",
-    "q105_stream_merge_apply",
-    "q106_triangle_count",
-    "q107_pagerank_fixed_point",
-    "q98_skew_diagnostics",
-    "text_bpe_encode",
-    "text_bpe_vocab_merges",
-    # (b) implementing file changed after the last driver row (cdc_* and
-    # corpus_chunk_windows/corpus_mix_quota_sample sit in the natural
-    # window; the ann_* family leads it)
     "corpus_pack_bins",
+    "corpus_weighted_sample_pps",
     "dedup_chunk_reconstruct",
     "dedup_cluster_best_quality",
     "dedup_cluster_canonical",
@@ -64,21 +52,33 @@ _ROTATION_R8 = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped",
+    "dedup_semantic_clusters",
     "dedup_simhash",
     "dedup_substring_spans",
+    "embed_centroid_per_label",
+    "embed_quantize_int8",
+    "er_canonical_entities",
+    "er_fuzzy_match_blocked",
+    "events_cohort_retention",
+    "events_funnel_stages",
+    "events_gapfill_locf",
+    "events_sessionize_gap",
+    "events_zscore_anomaly",
+    "events_zscore_anomaly_bucketed",
     "prop_gates",
+    "q100_data_quality_checks",
+    "q101_frequent_pairs_apriori",
+    "q102_recursive_cte_bom",
+    "q103_python_datasource",
+    "q104_table_stats_profile",
+    "q105_stream_merge_apply",
+    "q106_triangle_count",
+    "q107_pagerank_fixed_point",
     "q44a_stream_tumbling",
-    "q44b_stream_sliding",
-    "q44c_stream_session",
-    "q44d_stream_dedup_watermark",
-    "q45_stateful_user_totals",
-    "q50_foreachbatch_sink",
-    "q54_stream_stream_join",
-    "q86_stream_incremental_dedup",
-    "q96_stream_neardup_minhash",
-    "q97_bloom_semijoin",
-    "q99_zorder_box_query",
-    "scale_pruning_gate",
+    "q98_skew_diagnostics",
+    "text_boilerplate_ngrams",
+    "text_bpe_encode",
+    "text_bpe_vocab_merges",
 ]
 
 for _name in _ROTATION_R8:
