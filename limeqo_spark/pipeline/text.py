@@ -6,6 +6,7 @@ built-in string/array functions — JVM-side, whole-stage codegen.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
@@ -733,4 +734,79 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("doc_freq").desc(), "ngram")
         .limit(BOILERPLATE_TOPK)
+    )
+
+
+#: posting-list cap for the inverted index (doc ids kept per term)
+POSTINGS_CAP = 10
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT term, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM tf
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
+           array_to_string(
+             list(CASE WHEN rn <= {POSTINGS_CAP} THEN doc_id END ORDER BY doc_id),
+             ',') AS top_docs_csv
+    FROM ranked GROUP BY term ORDER BY term
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency, total term
+    frequency, and a CAPPED posting-list sample (the lowest POSTINGS_CAP
+    doc ids as CSV). Statistics and sample travel on SEPARATE paths: df/
+    tf_total partial-aggregate map-side (the term exchange carries one
+    partial row per term per task), while the sample path filters rn ≤
+    cap DIRECTLY over the rank window so Spark inserts WindowGroupLimit
+    — a map-side partial top-k that prunes each term to ≤cap rows per
+    task BEFORE its shuffle (plan-gated). The single-path formulation
+    (collect_list over a CASE) ships every raw posting through the
+    exchange to feed the window — exactly what kills index builds on
+    stopwords.
+
+    Scale (100 TB): the (term, doc) tf aggregate is the only raw-sized
+    shuffle; both downstream paths hash-partition by term, so the join
+    of stats with samples reuses the layout. Only the stored list is
+    capped — df/tf_total aggregate over ALL postings, mirroring how real
+    index builds ship impact-ordered prefixes to serving."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("tf_total"),
+    )
+    w = W.partitionBy("term").orderBy("doc_id")
+    top = (
+        tf.select("term", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= POSTINGS_CAP)
+        .groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "top_docs_csv"
+            )
+        )
+    )
+    return (
+        stats.join(top, "term")
+        .select("term", "df", "tf_total", "top_docs_csv")
+        .orderBy("term")
     )

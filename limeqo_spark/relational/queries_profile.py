@@ -787,3 +787,72 @@ def q107_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("r").alias("rank_fp")).orderBy(
         F.desc("rank_fp"), "node"
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             DATE_DIFF('day', MAX(CAST(o_orderdate AS DATE)), DATE '2002-01-01')
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, monetary_cents,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, custkey) AS INT) AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_q,
+           CAST(NTILE(4) OVER (ORDER BY monetary_cents DESC, custkey) AS INT) AS m_q
+    FROM base ORDER BY custkey
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (anchored at
+    a fixed date so the metric is reproducible), order count, and
+    lifetime spend in integer cents; each metric quartiled with NTILE
+    over a total order (custkey tiebreak — NTILE over a non-total order
+    is engine-dependent at ties). Quartile 1 is always "best" (most
+    recent / most frequent / highest spend).
+
+    Scale (100 TB): the per-customer rollup is one partial-aggregated
+    shuffle; the three NTILEs run over the CUSTOMER frame (orders of
+    magnitude smaller than orders). NTILE needs a total sort — at
+    extreme customer counts the swap is percent_rank against broadcast
+    quantile cut-points (the q98/q104 profiler pattern); the fixture
+    form keeps exact NTILE because the segment assignment near bucket
+    boundaries is the part BI users reconcile against their warehouse."""
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4)
+        .over(W.orderBy("recency_days", "custkey"))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "custkey"))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "custkey"))
+        .cast("int")
+        .alias("m_q"),
+    ).orderBy("custkey")

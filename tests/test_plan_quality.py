@@ -602,3 +602,13 @@ def test_zscore_bucketed_windows_are_partition_bounded(spark):
     assert specs, "expected window specs in the plan"
     for spec in specs:
         assert "event_type" in spec and ("bucket" in spec or "tb" in spec), spec
+
+
+def test_inverted_index_sample_path_group_limits(spark):
+    """text_inverted_index: the posting-sample path must carry
+    WindowGroupLimit (map-side partial top-k per term BEFORE its
+    shuffle) and the stats path must partial-aggregate — the raw
+    posting set reaches no exchange twice."""
+    plan = plan_of(spark, "text_inverted_index")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
