@@ -22,20 +22,22 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: entries whose files changed later were invisibly escaping the
 #: changed-after-check flag), then RE-RUN AGAIN after the round's second
 #: operator batch (ER family, LOCF gap-fill, z-score pair, int8
-#: quantization, label centroids, boilerplate n-grams) added nine more
+#: quantization, label centroids, boilerplate n-grams, then RFM
+#: segmentation + the inverted index) added eleven more
 #: never-driver-checked entries. Round 7's 50 ``a7_`` aliases are RETIRED
 #: (all targets have green r7 driver rows). The r8 window covers (a) ALL
-#: 23 never-driver-checked entries (q98, q100–q107, the BPE pair, PPS,
-#: CDC merge/diff riding natural, SemDeDup, and the nine new-batch
+#: 25 never-driver-checked entries (q98, q100–q107, the BPE pair, PPS,
+#: CDC merge/diff riding natural, SemDeDup, and the eleven new-batch
 #: operators), then (b) as many changed-after-check entries as fit —
 #: the whole dedup family (dedup.py/cluster.py changed in r8), the gate
 #: builders, q44a as the streaming representative — with the ann_*
-#: family and the cdc_*/corpus_chunk/mix entries riding the natural
-#: alphabetical window. Displaced to r9 (changed-after-check, still
-#: sweep-green + unit-tested): the streaming tail q44b–q54/q86/q96,
-#: q97/q99/scale_pruning_gate, plus the merely-stale unchanged tail
-#: (q84/q85, limeqo_wl_*, mm_*, q01/q02): never-checked outranks
-#: changed, which outranks old-but-valid, for the 50 slots. Canonical
+#: family and the cdc_* entries riding the natural alphabetical window
+#: (39 aliases + 7 ann_* + 4 cdc_* = exactly 50). Displaced to r9
+#: (changed-after-check, still sweep-green + unit-tested): the
+#: streaming tail q44b–q54/q86/q96, q97/q99/scale_pruning_gate,
+#: corpus_chunk_windows/corpus_mix_quota_sample, plus the merely-stale
+#: unchanged tail (q84/q85, limeqo_wl_*, mm_*, q01/q02): never-checked
+#: outranks changed, which outranks old-but-valid, for the 50 slots. Canonical
 #: names stay registered; local tests skip the aliases (identical spec)
 #: to avoid double-running.
 ROTATION_ALIAS_PREFIX = "a8_"
@@ -44,6 +46,7 @@ ROTATION_ALIAS_PREFIXES = ("a8_",)
 _ROTATION_R8 = [
     "corpus_pack_bins",
     "corpus_weighted_sample_pps",
+    "customer_rfm_segments",
     "dedup_chunk_reconstruct",
     "dedup_cluster_best_quality",
     "dedup_cluster_canonical",
@@ -77,6 +80,7 @@ _ROTATION_R8 = [
     "q44a_stream_tumbling",
     "q98_skew_diagnostics",
     "text_boilerplate_ngrams",
+    "text_inverted_index",
     "text_bpe_encode",
     "text_bpe_vocab_merges",
 ]
