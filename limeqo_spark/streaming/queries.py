@@ -877,3 +877,116 @@ def q105_stream_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q108_stream_zscore_anomaly",
+    # IDENTICAL oracle to the batch detector (events_zscore_anomaly): the
+    # stream must converge to exactly the batch answer once all batches
+    # are processed — the strongest check a stateful operator can carry
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_ns(ts) // 1000 AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, user_id, event_type, cents,
+             COUNT(cents) OVER w AS n,
+             COALESCE(SUM(cents) OVER w, 0) AS s,
+             COALESCE(SUM(cents * cents) OVER w, 0) AS s2
+      FROM ev
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, user_id, cents, CAST(n AS BIGINT) AS n
+    FROM stats
+    WHERE n >= 10
+      AND (n * cents - s) * (n * cents - s) * (n - 1)
+          > 9 * n * (n * s2 - s * s)
+    ORDER BY event_type, event_id
+    """,
+)
+def q108_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 3σ anomaly detection: the batch detector's exact trailing-
+    20 window, carried across micro-batches as explicit GroupState (the
+    last ≤20 (ts_us, event_id, cents) triples per event_type). The stream
+    is staged as THREE time-tercile batches with maxFilesPerTrigger=1 and
+    stamped mtimes, so the deque genuinely survives ≥2 state hand-offs and
+    arrival order is a contract, not a filesystem race. Each batch sorts
+    its group's rows by (ts_us, event_id) before replaying the recurrence
+    in exact Python integers — no float ever touches the σ boundary — and
+    the union of per-batch emissions must equal the BATCH oracle row set:
+    the operator converges to the batch answer, the strongest property a
+    stateful streaming port can claim.
+
+    Scale: state is O(20) per event_type regardless of volume; a hot type
+    bounds throughput at one task, the same limit the batch flat form has
+    — the batch fix (week-bucket carries, events_zscore_anomaly_bucketed)
+    has no streaming analog because state hand-off is inherently serial
+    per key; shard-by-(type, user) approximations trade exactness."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stage = scratch_dir(prefix="limeqo_stream_zscore_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    terc = ev.withColumn(
+        "b", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in (1, 2, 3):
+        terc.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"batch{i - 1}"))
+    _stamp_batch_order(stage)
+
+    stream = _read_stream(spark, stage, one_file_per_batch=True)
+
+    LOOKBACK, MIN_N = 20, 10
+
+    def detect(key, pdfs, state: GroupState):
+        hist: list[tuple[int, int, int]] = (
+            [tuple(t) for t in state.get[0]] if state.exists else []
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        out_rows = []
+        for eid, uid, ts_us, cents in zip(
+            batch["event_id"], batch["user_id"], batch["ts_us"], batch["cents"]
+        ):
+            window = hist[-LOOKBACK:]
+            n = len(window)
+            if n >= MIN_N:
+                s = sum(c for _, _, c in window)
+                s2 = sum(c * c for _, _, c in window)
+                x = int(cents)
+                if (n * x - s) * (n * x - s) * (n - 1) > 9 * n * (n * s2 - s * s):
+                    out_rows.append((key[0], int(eid), int(uid), x, n))
+            hist.append((int(ts_us), int(eid), int(cents)))
+            hist = hist[-LOOKBACK:]
+        state.update(([list(t) for t in hist],))
+        yield pd.DataFrame(
+            out_rows, columns=["event_type", "event_id", "user_id", "cents", "n"]
+        )
+
+    prepared = stream.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    flagged = prepared.groupBy("event_type").applyInPandasWithState(
+        detect,
+        outputStructType="event_type string, event_id bigint, user_id bigint, cents bigint, n bigint",
+        stateStructType="hist array<array<bigint>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = _run_stream(flagged, "append")
+    return emitted.select(
+        "event_type", "event_id", "user_id", "cents", "n"
+    ).orderBy("event_type", "event_id")
