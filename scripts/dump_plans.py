@@ -4,7 +4,9 @@ docs/plans/ — the review artifact for the plan-quality claims (pushdown,
 broadcast choices, partial aggregates, exchange counts). Regenerate after
 operator changes:
 
-    python scripts/dump_plans.py [sf_dir]
+    python scripts/dump_plans.py [sf_dir] [query_names...]
+
+With explicit query names, dumps those instead of the headline set.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    explicit = sys.argv[2:]
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "plans")
     os.makedirs(out_dir, exist_ok=True)
 
@@ -26,7 +29,7 @@ def main() -> None:
     from limeqo_spark.session import get_spark
 
     spark = get_spark("dump_plans", shuffle_partitions=8)
-    for name in HEADLINE:
+    for name in (explicit or HEADLINE):
         spec = REGISTRY.get(name)
         if spec is None or name.startswith("q44"):  # streaming plans need a run
             continue
