@@ -1046,3 +1046,41 @@ def test_ann_recall_gate_all_methods_clear_their_bars(spark, sf_dir):
         assert r["ok"], f"{m} recall {r['recall']} under bar {r['bar']}"
     for m in ("ivf_topk", "ivf_partitioned", "pq_adc", "ivfpq_partitioned"):
         assert got[m]["recall"] >= 0.8
+
+
+def test_embed_quantize_zero_vector_guard(spark, tmp_path):
+    """embed_quantize_int8's scale=0 branch (an all-zero vector would
+    otherwise divide by zero) — the fixtures contain no zero vectors, so
+    drive the REAL builder and its REAL oracle on a synthetic corpus that
+    does, including a negative-heavy vector (floor(v+0.5) rounding must
+    agree on negatives too)."""
+    import duckdb
+
+    from limeqo_spark.testing import compare_frames
+
+    rows = [
+        (0, [0.0] * 4, 1),
+        (1, [-1.5, 0.25, -0.75, 1.0], 1),
+        (2, [1e-7, -1e-7, 0.0, 0.5], 2),
+    ]
+    sf_dir = str(tmp_path / "sf_zero")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    spec = __import__("limeqo_spark.manifest", fromlist=["REGISTRY"]).REGISTRY[
+        "embed_quantize_int8"
+    ]
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    sp = spec.builder(spark, sf_dir).toPandas()
+    od = con.execute(spec.oracle).fetchdf()
+    ok, msg = compare_frames(sp, od)
+    assert ok, msg
+    zero_row = sp[sp.vec_id == 0].iloc[0]
+    assert zero_row["scale_fp6"] == 0
+    assert zero_row["qvec_csv"] == "0,0,0,0"
+    assert zero_row["max_err_fp6"] == 0
