@@ -954,9 +954,10 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     each component is snapped to a 1e-6 integer grid BEFORE summation, so
     the sum is order-independent (a float mean differs run-to-run with
     partition count and engine accumulation order — unacceptable for a
-    value-hash contract) and the mean uses true floor division via the
-    positive-mod identity, identical under Spark's truncating ``DIV`` and
-    DuckDB's flooring ``//``. This is the nearest-class-mean /
+    value-hash contract) and the mean uses true FLOOR division spelled
+    out via the positive-mod identity on BOTH engines (their native
+    integer divisions — Spark ``DIV``, DuckDB ``//`` — each truncate
+    toward zero, which is the wrong mean for negative sums). This is the nearest-class-mean /
     kmeans-seeding primitive a curation pipeline derives per source or
     quality label.
 
@@ -992,3 +993,110 @@ def embed_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+#: power-iteration rounds for the dominant-direction operator (unrolled
+#: identically in the DuckDB oracle)
+POWER_ITERS = 3
+#: planted dominant direction (the `planted_corpus` pattern): the fixture
+#: embeddings are isotropic — no spectral gap, so NO power method could
+#: isolate PC1 of the raw matrix. A deterministic rank-1 shift (+3.0 on the
+#: first 8 dims, fp6 grid) plants one; real embedding corpora are famously
+#: anisotropic and need no plant. The oracle derives the identical shift.
+PLANT_DIMS = 8
+PLANT_SHIFT = 3_000_000
+
+
+def _pi_oracle_sql(iters: int = POWER_ITERS) -> str:
+    """Unrolled fixed-point power-iteration oracle. Rescaling divides by
+    a positive constant with ``//`` — DuckDB's integer division truncates
+    toward zero exactly like Spark's ``DIV`` (measured: -7 // 2 = -3)."""
+    ctes = [f"""
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    X AS (
+      SELECT vec_id, CAST(i AS INT) AS dim,
+             CAST(FLOOR(emb[i] * 1000000 + 0.5) AS BIGINT)
+               + CASE WHEN i <= {PLANT_DIMS} THEN {PLANT_SHIFT} ELSE 0 END AS x
+      FROM (SELECT vec_id, emb, UNNEST(generate_series(1, len(emb))) AS i
+            FROM base) z
+    ),
+    v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM X)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+    u{t} AS (SELECT vec_id, SUM(x * v) AS u
+             FROM X JOIN v{t - 1} USING (dim) GROUP BY 1),
+    du{t} AS (SELECT MAX(ABS(u)) // 1000000 + 1 AS d FROM u{t}),
+    un{t} AS (SELECT vec_id, u // d AS u FROM u{t}, du{t}),
+    w{t} AS (SELECT dim, SUM(x * u) AS w
+             FROM X JOIN un{t} USING (vec_id) GROUP BY 1),
+    dw{t} AS (SELECT MAX(ABS(w)) // 1000000 + 1 AS d FROM w{t}),
+    v{t} AS (SELECT dim, w // d AS v FROM w{t}, dw{t})""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"""
+    SELECT dim, CAST(v AS BIGINT) AS v_fp6 FROM v{iters} ORDER BY dim
+    """
+    )
+
+
+@query("embed_power_iteration_pc1", oracle=_pi_oracle_sql())
+def embed_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (planted-shift) embedding
+    matrix by POWER ITERATION — distributed iterative linear algebra,
+    hash-verified: three unrolled rounds of v ← XᵀX·v over a
+    (vec, dim, x) long-form matrix, entirely in exact fixed-point
+    integers. The deterministic rank-1 plant (PLANT_DIMS/PLANT_SHIFT,
+    derived identically by the oracle) gives the fixture a spectral gap;
+    convergence to the true SVD direction is pinned by a numpy gate
+    (cosine ≥ 0.99 in tests). Each half-step
+    rescales by truncating integer division with ``d = max|·| DIV 1e6 + 1``
+    (Spark ``DIV`` and DuckDB ``//`` both truncate toward zero —
+    verified, not assumed), so every intermediate stays on a 1e6 grid — no float ever
+    enters, which is what makes an ITERATIVE numeric algorithm
+    value-hashable across engines (a float power iteration diverges in
+    the last ulp by round 2). Deterministic all-ones start vector.
+
+    Scale (100 TB): each round is two partial-aggregated shuffles —
+    X·v keyed by vec_id, Xᵀ·u keyed by dim — exactly the GEMV pair
+    every distributed Krylov/PageRank-style solver reduces to (q107 is
+    the graph sibling); the rescale frames are one row, broadcast. The
+    64-row v frame broadcasts onto X, so the vec-keyed join never
+    shuffles X itself. Overflow headroom is engineered, not hoped for:
+    |x|,|v| ≤ 1e6 → per-row products ≤ 1e12, dim-sums ≤ 6.4e13,
+    corpus-sums ≤ 1e12·N — safe under bigint to N ~ 9M vectors per
+    partition-sum, after which the rescale constant simply grows."""
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    X = base.select(
+        "vec_id", F.posexplode("emb").alias("dim0", "xd")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        (
+            F.floor(F.col("xd") * 1_000_000 + 0.5).cast("bigint")
+            + F.when(F.col("dim0") + 1 <= PLANT_DIMS, PLANT_SHIFT).otherwise(0)
+        ).alias("x"),
+    )
+    v = X.select("dim").distinct().withColumn("v", F.lit(1_000_000).cast("bigint"))
+    for _ in range(POWER_ITERS):
+        u = (
+            X.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("u"))
+        )
+        du = u.agg((F.expr("max(abs(u)) DIV 1000000") + 1).alias("d"))
+        un = u.crossJoin(F.broadcast(du)).select(
+            "vec_id", F.expr("u DIV d").alias("u")
+        )
+        w = (
+            X.join(un, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("x") * F.col("u")).alias("w"))
+        )
+        dw = w.agg((F.expr("max(abs(w)) DIV 1000000") + 1).alias("d"))
+        v = w.crossJoin(F.broadcast(dw)).select(
+            "dim", F.expr("w DIV d").alias("v")
+        )
+    return v.select("dim", F.col("v").cast("bigint").alias("v_fp6")).orderBy("dim")

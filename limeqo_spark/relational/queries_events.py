@@ -541,3 +541,62 @@ def events_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_ns(ts) // 1000 AS ts_us, event_id
+      FROM events
+    ),
+    hops AS (
+      SELECT user_id, event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS dst
+      FROM ev
+    ),
+    t AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM hops WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, SUM(n) AS n_src FROM t GROUP BY 1)
+    SELECT t.src, t.dst, t.n,
+           CAST((t.n * 10000) // tot.n_src AS BIGINT) AS p_bps
+    FROM t JOIN tot USING (src)
+    ORDER BY src, dst
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    consecutive (src → dst) event-type hops via a LEAD window keyed by
+    user, counted globally, with the conditional probability in integer
+    basis points (``(n·10000) DIV n_src`` — exact on both engines). This
+    is the session-model / next-action-prediction primitive behind
+    behavioral cohorting.
+
+    Scale (100 TB): one user-keyed window shuffle (high-cardinality key,
+    spreads across executors — same layout the sessionizer uses, so a
+    combined pipeline would reuse one exchange), then a types×types
+    aggregate that partial-combines map-side into a frame the size of
+    the type vocabulary squared. The per-src totals frame is tiny and
+    broadcast-joins back onto the transition counts."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hops = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = hops.groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("n"))
+    tot = t.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        t.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr("(n * 10000) DIV n_src").cast("bigint").alias("p_bps"),
+        )
+        .orderBy("src", "dst")
+    )

@@ -1084,3 +1084,33 @@ def test_embed_quantize_zero_vector_guard(spark, tmp_path):
     assert zero_row["scale_fp6"] == 0
     assert zero_row["qvec_csv"] == "0,0,0,0"
     assert zero_row["max_err_fp6"] == 0
+
+
+def test_power_iteration_converges_to_svd_direction(spark, sf_dir):
+    """embed_power_iteration_pc1's math claim, checked against numpy SVD:
+    three fixed-point rounds over the planted-shift matrix must align
+    with the true dominant right singular vector (cosine >= 0.99) — the
+    hash oracle pins exactness, this pins that the exact iterate is the
+    RIGHT iterate."""
+    import duckdb
+    import numpy as np
+
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.pipeline.similarity import PLANT_DIMS, PLANT_SHIFT
+
+    emb = (
+        duckdb.connect()
+        .execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+        )
+        .fetchnumpy()["embedding"]
+    )
+    X = np.floor(np.stack([np.array(e, dtype=np.float64) for e in emb]) * 1e6 + 0.5)
+    X[:, :PLANT_DIMS] += PLANT_SHIFT
+    _, _, Vt = np.linalg.svd(X, full_matrices=False)
+    out = (
+        REGISTRY["embed_power_iteration_pc1"].builder(spark, sf_dir).toPandas()
+    )
+    v = out.sort_values("dim")["v_fp6"].values.astype(np.float64)
+    cos = abs(v @ Vt[0]) / (np.linalg.norm(v) * np.linalg.norm(Vt[0]))
+    assert cos >= 0.99, cos
