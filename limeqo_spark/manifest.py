@@ -21,19 +21,21 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: writing ``end-of-round snapshot`` commits after r5, so r6/r7-checked
 #: entries whose files changed later were invisibly escaping the
 #: changed-after-check flag), then RE-RUN AGAIN after the round's second
-#: operator batch (ER family, LOCF gap-fill, z-score pair, int8
-#: quantization, label centroids, boilerplate n-grams, then RFM
-#: segmentation + the inverted index) added eleven more
-#: never-driver-checked entries. Round 7's 50 ``a7_`` aliases are RETIRED
-#: (all targets have green r7 driver rows). The r8 window covers (a) ALL
-#: 25 never-driver-checked entries (q98, q100–q107, the BPE pair, PPS,
-#: CDC merge/diff riding natural, SemDeDup, and the eleven new-batch
-#: operators), then (b) as many changed-after-check entries as fit —
-#: the whole dedup family (dedup.py/cluster.py changed in r8), the gate
-#: builders, q44a as the streaming representative — with the ann_*
-#: family and the cdc_* entries riding the natural alphabetical window
-#: (39 aliases + 7 ann_* + 4 cdc_* = exactly 50). Displaced to r9
-#: (changed-after-check, still sweep-green + unit-tested): the
+#: operator batches (ER family, LOCF gap-fill, z-score pair + streaming
+#: + bucketed variants, int8 quantization, label centroids, power
+#: iteration, boilerplate n-grams, inverted index, RFM segmentation,
+#: Markov transitions) added fourteen more never-driver-checked
+#: entries. Round 7's 50 ``a7_`` aliases are RETIRED (all targets have
+#: green r7 driver rows). The r8 window covers (a) ALL 28
+#: never-driver-checked entries (q98, q100–q108, the BPE pair, PPS,
+#: CDC merge/diff, SemDeDup, and the fourteen new-batch operators),
+#: then (b) as many changed-after-check entries as fit — the whole
+#: dedup family (dedup.py/cluster.py changed in r8), the gate builders,
+#: q44a as the streaming representative — with six of the ann_* family
+#: riding the natural alphabetical window (44 aliases + 6 ann_* =
+#: exactly 50). Displaced to r9 (changed-after-check, still sweep-green
+#: + unit-tested): ann_recall_gate (PROP; its real recall checks run in
+#: pytest), cdc_scd2_history/cdc_upsert_latest (r6-green), the
 #: streaming tail q44b–q54/q86/q96, q97/q99/scale_pruning_gate,
 #: corpus_chunk_windows/corpus_mix_quota_sample, plus the merely-stale
 #: unchanged tail (q84/q85, limeqo_wl_*, mm_*, q01/q02): never-checked
@@ -47,6 +49,8 @@ _ROTATION_R8 = [
     "corpus_pack_bins",
     "corpus_weighted_sample_pps",
     "customer_rfm_segments",
+    "cdc_merge_apply",
+    "cdc_snapshot_diff",
     "dedup_chunk_reconstruct",
     "dedup_cluster_best_quality",
     "dedup_cluster_canonical",
@@ -60,8 +64,10 @@ _ROTATION_R8 = [
     "dedup_substring_spans",
     "embed_centroid_per_label",
     "embed_quantize_int8",
+    "embed_power_iteration_pc1",
     "er_canonical_entities",
     "er_fuzzy_match_blocked",
+    "events_markov_transitions",
     "events_cohort_retention",
     "events_funnel_stages",
     "events_gapfill_locf",
@@ -77,6 +83,7 @@ _ROTATION_R8 = [
     "q105_stream_merge_apply",
     "q106_triangle_count",
     "q107_pagerank_fixed_point",
+    "q108_stream_zscore_anomaly",
     "q44a_stream_tumbling",
     "q98_skew_diagnostics",
     "text_boilerplate_ngrams",
