@@ -723,17 +723,22 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ngram").contains(" "))  # drop the pad gram of 1-token docs
         .distinct()
     )
-    n_docs = d.count()
+    # one-row count frame broadcast onto the 20-row result — keeps the
+    # builder fully lazy and avoids a second scan of documents for a
+    # driver-side count()
+    total = d.agg(F.count("*").alias("n_docs"))
     return (
         grams.groupBy("ngram")
         .agg(F.count("*").cast("bigint").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(BOILERPLATE_TOPK)
+        .crossJoin(F.broadcast(total))
         .select(
             "ngram",
             "doc_freq",
-            F.expr(f"(doc_freq * 10000) DIV {n_docs}").cast("bigint").alias("df_bps"),
+            F.expr("(doc_freq * 10000) DIV n_docs").cast("bigint").alias("df_bps"),
         )
         .orderBy(F.col("doc_freq").desc(), "ngram")
-        .limit(BOILERPLATE_TOPK)
     )
 
 
