@@ -1079,6 +1079,11 @@ def embed_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("dim0") + 1 <= PLANT_DIMS, PLANT_SHIFT).otherwise(0)
         ).alias("x"),
     )
+    # six consumers (two GEMV joins per round) would re-run the scan +
+    # explode per use; materialize the long-form matrix once. Eager
+    # localCheckpoint, not persist: reclaimed by the ContextCleaner with
+    # no pinned cache entry (the q106/q107 edge-frame precedent).
+    X = X.localCheckpoint(eager=True)
     v = X.select("dim").distinct().withColumn("v", F.lit(1_000_000).cast("bigint"))
     for _ in range(POWER_ITERS):
         u = (
