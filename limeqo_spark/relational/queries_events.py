@@ -313,9 +313,16 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("(ts_s DIV 3600) * 3600").alias("hour_s"), "cents"
     )
     hourly = ev.groupBy("user_id", "hour_s").agg(F.sum("cents").alias("cents"))
-    bounds = ev.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
+    # three consumers (bounds, user set, the grid join) would each re-run
+    # the aggregate AND its event scan; materialize the aggregated frame
+    # once (eager localCheckpoint — ContextCleaner-reclaimed, no pinned
+    # cache). bounds and the user set derive from it: hourly preserves
+    # exactly the observed users and hour range, so the raw event stream
+    # is scanned once, not three times
+    hourly = hourly.localCheckpoint(eager=True)
+    bounds = hourly.agg(F.min("hour_s").alias("lo"), F.max("hour_s").alias("hi"))
     grid = (
-        ev.select("user_id")
+        hourly.select("user_id")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
@@ -589,9 +596,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     t = hops.groupBy("src", "dst").agg(F.count("*").cast("bigint").alias("n"))
-    tot = t.groupBy("src").agg(F.sum("n").alias("n_src"))
+    # per-src totals as a window over the types^2 aggregated frame — one
+    # lineage, one event scan (a tot-branch broadcast join would re-run
+    # the window + aggregate just to sum 25 rows)
     return (
-        t.join(F.broadcast(tot), "src")
+        t.withColumn("n_src", F.sum("n").over(W.partitionBy("src")))
         .select(
             "src",
             "dst",
