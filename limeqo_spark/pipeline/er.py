@@ -78,7 +78,11 @@ def _blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("blk_n") <= BLOCK_CAP)
         .select("blk")
     )
-    return names.join(blk_ok, "blk")
+    # the distinct-names aggregate is the only data-sized shuffle and has
+    # 2-4 consumers (both pair sides, the canonical join, the CC edge
+    # build); materialize the vocabulary-sized result once (eager
+    # localCheckpoint, ContextCleaner-reclaimed)
+    return names.join(blk_ok, "blk").localCheckpoint(eager=True)
 
 
 def _match_pairs(blocked: DataFrame) -> DataFrame:

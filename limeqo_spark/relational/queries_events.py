@@ -486,7 +486,9 @@ def events_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn_desc") <= ZSCORE_LOOKBACK)
         .drop("rn_desc")
     )
-    buckets = ev.select("event_type", "bucket").distinct()
+    # every non-empty (type, bucket) has a tail row, so the bucket list
+    # derives from the tiny tails frame — no third scan of the stream
+    buckets = tails.select("event_type", "bucket").distinct()
     # for each target bucket: the 20 most recent rows across ALL earlier
     # buckets (sparse buckets mean the prefix tail can span several)
     wcarry = W.partitionBy("event_type", F.col("tb")).orderBy(
