@@ -24,11 +24,12 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: operator batches (ER family, LOCF gap-fill, z-score pair + streaming
 #: + bucketed variants, int8 quantization, label centroids, power
 #: iteration, boilerplate n-grams, inverted index, RFM segmentation,
-#: Markov transitions) added fourteen more never-driver-checked
-#: entries. Round 7's 50 ``a7_`` aliases are RETIRED (all targets have
-#: green r7 driver rows). The r8 window covers (a) ALL 28
-#: never-driver-checked entries (q98, q100–q108, the BPE pair, PPS,
-#: CDC merge/diff, SemDeDup, and the fourteen new-batch operators),
+#: Markov transitions) added THIRTEEN more never-driver-checked
+#: entries (q108 plus twelve batch operators). Round 7's 50 ``a7_``
+#: aliases are RETIRED (all targets have green r7 driver rows). The r8
+#: window covers (a) ALL 28 never-driver-checked entries — the 15
+#: carried in from r7 (q98, q100–q107, the BPE pair, PPS, CDC
+#: merge/diff, SemDeDup) plus the 13 new —,
 #: then (b) as many changed-after-check entries as fit — the whole
 #: dedup family (dedup.py/cluster.py changed in r8), the gate builders,
 #: q44a as the streaming representative — with six of the ann_* family

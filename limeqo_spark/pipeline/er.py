@@ -23,10 +23,11 @@ need, like `pipeline.dedup`.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
-from limeqo_spark.pipeline.cluster import connected_components_min_label
+from limeqo_spark.pipeline.cluster import connected_components_auto
 from limeqo_spark.relational.registry import query
 
 #: verified-match threshold: unit-cost Levenshtein (identical algorithm in
@@ -63,26 +64,33 @@ _BLOCKED_SQL = f"""
 """
 
 
-def _blocked_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct part names + row support, first-token block key, hot
-    blocks (> BLOCK_CAP distinct names) removed."""
-    names = (
+def _distinct_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL distinct part names + row support + first-token block key.
+    The distinct-names aggregate is the only data-sized shuffle and has
+    2-4 consumers (both pair sides, the canonical join, the CC edge
+    build); materialize the vocabulary-sized result once (eager
+    localCheckpoint, ContextCleaner-reclaimed)."""
+    return (
         table(spark, sf_dir, "part")
         .groupBy(F.col("p_name").alias("name"))
         .agg(F.count("*").cast("bigint").alias("support"))
         .withColumn("blk", F.expr("split_part(name, ' ', 1)"))
+        .localCheckpoint(eager=True)
     )
+
+
+def _cap_hot_blocks(names: DataFrame) -> DataFrame:
+    """Names eligible for PAIRING: hot blocks (> BLOCK_CAP distinct names)
+    removed. The cap bounds the quadratic candidate stage ONLY — a
+    hot-block name still appears in canonicalization output (self-
+    canonical), exactly as the oracle's uncapped `names` CTE does."""
     blk_ok = (
         names.groupBy("blk")
         .agg(F.count("*").alias("blk_n"))
         .filter(F.col("blk_n") <= BLOCK_CAP)
         .select("blk")
     )
-    # the distinct-names aggregate is the only data-sized shuffle and has
-    # 2-4 consumers (both pair sides, the canonical join, the CC edge
-    # build); materialize the vocabulary-sized result once (eager
-    # localCheckpoint, ContextCleaner-reclaimed)
-    return names.join(blk_ok, "blk").localCheckpoint(eager=True)
+    return names.join(blk_ok, "blk")
 
 
 def _match_pairs(blocked: DataFrame) -> DataFrame:
@@ -131,9 +139,9 @@ def er_fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is a plain equi-join on ``blk`` with the distance filter on top
     — no cartesian, no UDF: ``levenshtein`` is a JVM codegen expression
     in Spark and the same unit-cost algorithm in DuckDB."""
-    return _match_pairs(_blocked_names(spark, sf_dir)).orderBy(
-        "name_a", "name_b"
-    )
+    return _match_pairs(
+        _cap_hot_blocks(_distinct_names(spark, sf_dir))
+    ).orderBy("name_a", "name_b")
 
 
 @query(
@@ -160,28 +168,54 @@ def er_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity canonicalization: connected components over the fuzzy match
     graph, canonical form = lexicographically smallest name reachable.
     Names with no match edge canonicalize to themselves via
-    ``coalesce(component, name)`` — the CC loop only ever touches edge
+    ``coalesce(component, nid)`` — the CC kernel only ever touches edge
     endpoints (the SemDeDup fix from round 8: isolated nodes never enter
     the iteration).
 
+    The output covers ALL distinct names — the BLOCK_CAP guard bounds
+    only the pairing stage, so a hot-block name simply canonicalizes to
+    itself (the oracle's uncapped `names` CTE has the same semantics;
+    capping the output too would silently DROP hot-block names from the
+    result, a divergence the fixtures cannot surface because their
+    blocks stay under the cap).
+
     Scale (100 TB): the match graph is vocabulary-sized, tiny next to
-    the fact table; min-label propagation converges in O(cluster
-    diameter) rounds (near-dup name clusters are cliques-ish, diameter
-    ~2). The DuckDB oracle computes the same components by recursive-CTE
-    transitive closure — feasible exactly because the graph is small,
-    which is the point of resolving entities over distinct names.
-    Output re-attaches the support count by one hash join."""
-    blocked = _blocked_names(spark, sf_dir)
-    pairs = _match_pairs(blocked).select(
-        F.col("name_a").alias("a"), F.col("name_b").alias("b")
-    )
-    comp = connected_components_min_label(pairs)
-    return (
-        blocked.join(comp, blocked.name == comp.node, "left")
-        .select(
-            "name",
-            F.coalesce("component", "name").alias("canonical_name"),
-            "support",
+    the fact table. Components come from the size-dispatched
+    `connected_components_auto` over a name→dense-id mapping (ids ranked
+    by name, so the min-id component maps back to the min NAME): the
+    min-label kernel's O(diameter) round cap would abort on long
+    levenshtein chains (versioned/numbered surface forms), while the
+    auto kernel union-finds small frames and switches to the O(log n)
+    two-phase kernel beyond 200k edges. The DuckDB oracle computes the
+    same components by recursive-CTE transitive closure — feasible
+    exactly because the graph is small, which is the point of resolving
+    entities over distinct names. Output re-attaches the support count
+    by one hash join."""
+    names = _distinct_names(spark, sf_dir)
+    pairs = _match_pairs(_cap_hot_blocks(names)).select("name_a", "name_b")
+    # dense ids ranked by name: lexicographic-min name == min id, which is
+    # what the CC kernels minimize. The rank window is over the
+    # vocabulary-sized frame, not the fact table.
+    ids = names.select("name").withColumn(
+        "nid", F.row_number().over(W.orderBy("name")).cast("long")
+    ).localCheckpoint(eager=True)
+    a = ids.select(F.col("name").alias("name_a"), F.col("nid").alias("a"))
+    b = ids.select(F.col("name").alias("name_b"), F.col("nid").alias("b"))
+    edges = pairs.join(a, "name_a").join(b, "name_b").select("a", "b")
+    comp = connected_components_auto(edges)
+    canon = (
+        ids.join(comp, ids.nid == comp.node, "left")
+        .withColumn("cid", F.coalesce("component", "nid"))
+        .join(
+            ids.select(
+                F.col("nid").alias("cid"), F.col("name").alias("canonical_name")
+            ),
+            "cid",
         )
+        .select("name", "canonical_name")
+    )
+    return (
+        names.join(canon, "name")
+        .select("name", "canonical_name", "support")
         .orderBy("canonical_name", "name")
     )

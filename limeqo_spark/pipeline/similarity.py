@@ -1061,10 +1061,12 @@ def embed_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     every distributed Krylov/PageRank-style solver reduces to (q107 is
     the graph sibling); the rescale frames are one row, broadcast. The
     64-row v frame broadcasts onto X, so the vec-keyed join never
-    shuffles X itself. Overflow headroom is engineered, not hoped for:
-    |x|,|v| ≤ 1e6 → per-row products ≤ 1e12, dim-sums ≤ 6.4e13,
-    corpus-sums ≤ 1e12·N — safe under bigint to N ~ 9M vectors per
-    partition-sum, after which the rescale constant simply grows."""
+    shuffles X itself. Overflow headroom is engineered, not hoped for —
+    INCLUDING the plant: |x| ≤ 4e6 (1e6 fp6 + the 3e6 shift), |v|,|u'|
+    ≤ ~1e6 → per-row products ≤ 4e12, dim-sums ≤ 2.6e14, corpus-sums
+    ≤ 4e12·N — safe under bigint to N ~ 2.3M vectors per sum; beyond
+    that the fp6 grid coarsens (5e5 scale) or the sum splits
+    hierarchically."""
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),

@@ -258,6 +258,53 @@ def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZSCORE_LOOKBACK = 20
 ZSCORE_MIN_N = 10
 
+#: the z-score detector's oracle — shared VERBATIM by the flat, bucketed,
+#: and streaming (q108) variants: byte-identity of this string IS the
+#: convergence contract between the three formulations
+ZSCORE_ORACLE_SQL = f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             epoch_ns(ts) // 1000 AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_id, user_id, event_type, cents,
+             COUNT(cents) OVER w AS n,
+             COALESCE(SUM(cents) OVER w, 0) AS s,
+             COALESCE(SUM(cents * cents) OVER w, 0) AS s2
+      FROM ev
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, event_id, user_id, cents, CAST(n AS BIGINT) AS n
+    FROM stats
+    WHERE n >= {ZSCORE_MIN_N}
+      AND (n * cents - s) * (n * cents - s) * (n - 1)
+          > 9 * n * (n * s2 - s * s)
+    ORDER BY event_type, event_id
+    """
+
+
+def zscore_flag_stats(frame, w):
+    """The shared trailing-window statistics triple over window spec ``w``
+    — three aggregates Spark evaluates in one WindowExec pass."""
+    return (
+        F.count("cents").over(w).alias("n"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)).alias("s2"),
+    )
+
+
+def zscore_flag_filter():
+    """The exact-integer 3-sigma test: (n*x - s)^2 (n-1) > 9 n (n*s2 - s^2),
+    with the n >= ZSCORE_MIN_N history floor."""
+    x, n, s, s2 = F.col("cents"), F.col("n"), F.col("s"), F.col("s2")
+    return (n >= ZSCORE_MIN_N) & (
+        (n * x - s) * (n * x - s) * (n - 1) > F.lit(9) * n * (n * s2 - s * s)
+    )
+
+
 
 @query(
     "events_gapfill_locf",
@@ -347,32 +394,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_zscore_anomaly",
-    oracle=f"""
-    WITH ev AS (
-      SELECT event_id, user_id, event_type,
-             epoch_ns(ts) // 1000 AS ts_us,
-             CAST(ROUND(value * 100) AS BIGINT) AS cents
-      FROM events
-    ),
-    stats AS (
-      SELECT event_id, user_id, event_type, cents,
-             COUNT(cents) OVER w AS n,
-             COALESCE(SUM(cents) OVER w, 0) AS s,
-             COALESCE(SUM(cents * cents) OVER w, 0) AS s2
-      FROM ev
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
-                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_type, event_id, user_id, cents, CAST(n AS BIGINT) AS n
-    FROM stats
-    WHERE n >= {ZSCORE_MIN_N}
-      AND (n * cents - s) * (n * cents - s) * (n - 1)
-          > 9 * n * (n * s2 - s * s)
-    ORDER BY event_type, event_id
-    """,
-)
+@query("events_zscore_anomaly", oracle=ZSCORE_ORACLE_SQL)
 def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window anomaly detection: flag an event whose value sits
     more than 3 sample standard deviations from the mean of the previous
@@ -384,8 +406,8 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (100 TB): one window shuffle partitioned by event_type; if a
     type is hot enough to skew, the partition key gains a coarse time
-    bucket (the trailing frame then needs a per-bucket head carry — the
-    streaming analog q44a/q45 handles that shape natively). Three window
+    bucket — ``events_zscore_anomaly_bucketed`` IS that variant,
+    verified against this entry's byte-identical oracle. Three window
     aggregates share one frame, so Spark evaluates them in a single
     WindowExec pass — no triple scan.
     """
@@ -396,29 +418,16 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-ZSCORE_LOOKBACK, -1)
     )
     stats = ev.select(
-        "event_type",
-        "event_id",
-        "user_id",
-        "cents",
-        F.count("cents").over(w).alias("n"),
-        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("s"),
-        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)).alias("s2"),
+        "event_type", "event_id", "user_id", "cents", *zscore_flag_stats(ev, w)
     )
-    x, n, s, s2 = F.col("cents"), F.col("n"), F.col("s"), F.col("s2")
     return (
-        stats.filter(
-            (n >= ZSCORE_MIN_N)
-            & (
-                (n * x - s) * (n * x - s) * (n - 1)
-                > F.lit(9) * n * (n * s2 - s * s)
-            )
-        )
+        stats.filter(zscore_flag_filter())
         .select(
             "event_type",
             "event_id",
             "user_id",
             "cents",
-            n.cast("bigint").alias("n"),
+            F.col("n").cast("bigint").alias("n"),
         )
         .orderBy("event_type", "event_id")
     )
@@ -430,32 +439,11 @@ ZSCORE_BUCKET_US = 7 * 24 * 3600 * 1_000_000
 
 @query(
     "events_zscore_anomaly_bucketed",
-    # IDENTICAL oracle to events_zscore_anomaly: the bucketing is a pure
-    # execution-strategy change (the dedup_ngram_jaccard_capped pattern —
-    # the scale variant must reproduce the flat formulation bit-for-bit)
-    oracle=f"""
-    WITH ev AS (
-      SELECT event_id, user_id, event_type,
-             epoch_ns(ts) // 1000 AS ts_us,
-             CAST(ROUND(value * 100) AS BIGINT) AS cents
-      FROM events
-    ),
-    stats AS (
-      SELECT event_id, user_id, event_type, cents,
-             COUNT(cents) OVER w AS n,
-             COALESCE(SUM(cents) OVER w, 0) AS s,
-             COALESCE(SUM(cents * cents) OVER w, 0) AS s2
-      FROM ev
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
-                   ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_type, event_id, user_id, cents, CAST(n AS BIGINT) AS n
-    FROM stats
-    WHERE n >= {ZSCORE_MIN_N}
-      AND (n * cents - s) * (n * cents - s) * (n - 1)
-          > 9 * n * (n * s2 - s * s)
-    ORDER BY event_type, event_id
-    """,
+    # IDENTICAL oracle to events_zscore_anomaly — same string object: the
+    # bucketing is a pure execution-strategy change (the
+    # dedup_ngram_jaccard_capped pattern; the scale variant must
+    # reproduce the flat formulation bit-for-bit)
+    oracle=ZSCORE_ORACLE_SQL,
 )
 def events_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-bounded z-score anomaly detection — same semantics and
@@ -527,26 +515,16 @@ def events_zscore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "cents",
         "emit",
-        F.count("cents").over(w).alias("n"),
-        F.coalesce(F.sum("cents").over(w), F.lit(0)).alias("s"),
-        F.coalesce(F.sum(F.col("cents") * F.col("cents")).over(w), F.lit(0)).alias("s2"),
+        *zscore_flag_stats(union, w),
     )
-    x, n, s, s2 = F.col("cents"), F.col("n"), F.col("s"), F.col("s2")
     return (
-        stats.filter(
-            (F.col("emit") == 1)
-            & (n >= ZSCORE_MIN_N)
-            & (
-                (n * x - s) * (n * x - s) * (n - 1)
-                > F.lit(9) * n * (n * s2 - s * s)
-            )
-        )
+        stats.filter((F.col("emit") == 1) & zscore_flag_filter())
         .select(
             "event_type",
             "event_id",
             "user_id",
             "cents",
-            n.cast("bigint").alias("n"),
+            F.col("n").cast("bigint").alias("n"),
         )
         .orderBy("event_type", "event_id")
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import scratch_dir, table
+from limeqo_spark.relational.queries_events import ZSCORE_ORACLE_SQL
 from limeqo_spark.relational.registry import query
 
 EVENTS_SCHEMA = (
@@ -881,32 +882,11 @@ def q105_stream_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q108_stream_zscore_anomaly",
-    # IDENTICAL oracle to the batch detector (events_zscore_anomaly): the
-    # stream must converge to exactly the batch answer once all batches
-    # are processed — the strongest check a stateful operator can carry
-    oracle="""
-    WITH ev AS (
-      SELECT event_id, user_id, event_type,
-             epoch_ns(ts) // 1000 AS ts_us,
-             CAST(ROUND(value * 100) AS BIGINT) AS cents
-      FROM events
-    ),
-    stats AS (
-      SELECT event_id, user_id, event_type, cents,
-             COUNT(cents) OVER w AS n,
-             COALESCE(SUM(cents) OVER w, 0) AS s,
-             COALESCE(SUM(cents * cents) OVER w, 0) AS s2
-      FROM ev
-      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
-                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
-    )
-    SELECT event_type, event_id, user_id, cents, CAST(n AS BIGINT) AS n
-    FROM stats
-    WHERE n >= 10
-      AND (n * cents - s) * (n * cents - s) * (n - 1)
-          > 9 * n * (n * s2 - s * s)
-    ORDER BY event_type, event_id
-    """,
+    # IDENTICAL oracle to the batch detector — same string object
+    # (relational.queries_events.ZSCORE_ORACLE_SQL): the stream must
+    # converge to exactly the batch answer once all batches are
+    # processed, the strongest check a stateful operator can carry
+    oracle=ZSCORE_ORACLE_SQL,
 )
 def q108_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming 3σ anomaly detection: the batch detector's exact trailing-
@@ -934,13 +914,20 @@ def q108_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    # three batch writes would each re-run the scan + the global ntile
+    # sort; materialize the terciled frame once and release it after
+    # staging (staging is test plumbing — a real deployment's stream
+    # arrives pre-batched)
     terc = ev.withColumn(
         "b", F.ntile(3).over(Window.orderBy("ts", "event_id"))
-    )
-    for i in (1, 2, 3):
-        terc.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage, f"batch{i - 1}"))
+    ).persist()
+    try:
+        for i in (1, 2, 3):
+            terc.filter(F.col("b") == i).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, f"batch{i - 1}"))
+    finally:
+        terc.unpersist()
     _stamp_batch_order(stage)
 
     stream = _read_stream(spark, stage, one_file_per_batch=True)

@@ -29,6 +29,9 @@ def main() -> None:
     from limeqo_spark.session import get_spark
 
     spark = get_spark("dump_plans", shuffle_partitions=8)
+    unknown = [n for n in explicit if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown manifest entries: {unknown}")
     for name in (explicit or HEADLINE):
         spec = REGISTRY.get(name)
         if spec is None or name.startswith("q44"):  # streaming plans need a run

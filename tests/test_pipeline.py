@@ -1114,3 +1114,45 @@ def test_power_iteration_converges_to_svd_direction(spark, sf_dir):
     v = out.sort_values("dim")["v_fp6"].values.astype(np.float64)
     cos = abs(v @ Vt[0]) / (np.linalg.norm(v) * np.linalg.norm(Vt[0]))
     assert cos >= 0.99, cos
+
+
+def test_er_canonical_covers_hot_block_names(spark, tmp_path):
+    """Regression (r8 code review): the BLOCK_CAP guard must bound the
+    PAIRING stage only — a name in a hot block (> BLOCK_CAP distinct
+    names sharing a first token) still appears in canonicalization
+    output, self-canonical, exactly as the oracle's uncapped names CTE
+    demands. The fixtures can't surface this (their blocks stay under
+    the cap), so drive both engines on a corpus with one genuinely hot
+    block."""
+    import duckdb
+
+    from limeqo_spark.pipeline.er import BLOCK_CAP
+    from limeqo_spark.testing import compare_frames
+
+    rows = [(i, f"hot name{i:04d}") for i in range(BLOCK_CAP + 10)]
+    rows += [(9000, "cool widget"), (9001, "cool widgey"), (9002, "cool gadget")]
+    sf_dir = str(tmp_path / "sf_hot")
+    spark.createDataFrame(rows, "p_partkey bigint, p_name string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf_dir}/part.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/part.parquet/*.parquet')"
+    )
+    spec = __import__("limeqo_spark.manifest", fromlist=["REGISTRY"]).REGISTRY[
+        "er_canonical_entities"
+    ]
+    sp = spec.builder(spark, sf_dir).toPandas()
+    od = con.execute(spec.oracle).fetchdf()
+    ok, msg = compare_frames(sp, od)
+    assert ok, msg
+    # every hot-block name is present and self-canonical
+    hot = sp[sp.name.str.startswith("hot ")]
+    assert len(hot) == BLOCK_CAP + 10
+    assert (hot.name == hot.canonical_name).all()
+    # the cool block still matches within levenshtein <= 4
+    assert (
+        sp.loc[sp.name == "cool widgey", "canonical_name"].iloc[0] == "cool gadget"
+        or sp.loc[sp.name == "cool widgey", "canonical_name"].iloc[0] == "cool widget"
+    )
