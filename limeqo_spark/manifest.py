@@ -24,19 +24,21 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: operator batches (ER family, LOCF gap-fill, z-score pair + streaming
 #: + bucketed variants, int8 quantization, label centroids, power
 #: iteration, boilerplate n-grams, inverted index, RFM segmentation,
-#: Markov transitions) added THIRTEEN more never-driver-checked
-#: entries (q108 plus twelve batch operators). Round 7's 50 ``a7_``
-#: aliases are RETIRED (all targets have green r7 driver rows). The r8
-#: window covers (a) ALL 28 never-driver-checked entries — the 15
-#: carried in from r7 (q98, q100–q107, the BPE pair, PPS, CDC
-#: merge/diff, SemDeDup) plus the 13 new —,
-#: then (b) as many changed-after-check entries as fit — the whole
-#: dedup family (dedup.py/cluster.py changed in r8), the gate builders,
-#: q44a as the streaming representative — with six of the ann_* family
-#: riding the natural alphabetical window (44 aliases + 6 ann_* =
-#: exactly 50). Displaced to r9 (changed-after-check, still sweep-green
-#: + unit-tested): ann_recall_gate (PROP; its real recall checks run in
-#: pytest), cdc_scd2_history/cdc_upsert_latest (r6-green), the
+#: Markov transitions, TWAP, last-touch attribution, Pareto spend)
+#: added SIXTEEN more never-driver-checked entries (q108 plus fifteen
+#: batch operators). Round 7's 50 ``a7_`` aliases are RETIRED (all
+#: targets have green r7 driver rows). The r8 window covers (a) ALL 31
+#: never-driver-checked entries — the 15 carried in from r7 (q98,
+#: q100–q107, the BPE pair, PPS, CDC merge/diff, SemDeDup) plus the 16
+#: new —, then (b) as many changed-after-check entries as fit — the
+#: whole dedup family (dedup.py/cluster.py changed in r8), the gate
+#: builders, q44a as the streaming representative — with three of the
+#: ann_* family riding the natural alphabetical window (47 aliases +
+#: 3 ann_* = exactly 50). Displaced to r9 (changed-after-check, still
+#: sweep-green + unit-tested): ann_ivfpq_partitioned/ann_lsh_bucketed/
+#: ann_pq_adc (file changed, ANN code untouched) and ann_recall_gate
+#: (PROP; its real recall checks run in pytest),
+#: cdc_scd2_history/cdc_upsert_latest (r6-green), the
 #: streaming tail q44b–q54/q86/q96, q97/q99/scale_pruning_gate,
 #: corpus_chunk_windows/corpus_mix_quota_sample, plus the merely-stale
 #: unchanged tail (q84/q85, limeqo_wl_*, mm_*, q01/q02): never-checked
@@ -69,6 +71,8 @@ _ROTATION_R8 = [
     "er_canonical_entities",
     "er_fuzzy_match_blocked",
     "events_markov_transitions",
+    "events_twap_per_user",
+    "events_attribution_last_touch",
     "events_cohort_retention",
     "events_funnel_stages",
     "events_gapfill_locf",
@@ -87,6 +91,7 @@ _ROTATION_R8 = [
     "q108_stream_zscore_anomaly",
     "q44a_stream_tumbling",
     "q98_skew_diagnostics",
+    "supplier_spend_pareto",
     "text_boilerplate_ngrams",
     "text_inverted_index",
     "text_bpe_encode",

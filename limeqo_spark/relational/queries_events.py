@@ -589,3 +589,122 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "events_twap_per_user",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_ns(ts) // 1000 AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    hold AS (
+      SELECT user_id, cents,
+             LEAD(ts_us) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) - ts_us AS dur_us
+      FROM ev
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_us) AS BIGINT) AS held_us,
+           CAST(SUM(cents * dur_us) // SUM(dur_us) AS BIGINT) AS twap_cents
+    FROM hold WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each event's value holds
+    until the user's next event; TWAP = Σ(value·duration) / Σ(duration),
+    computed entirely in exact integers (cents × microseconds products
+    ≤ ~5e16 per interval — bigint-safe — and the final ratio is
+    truncating integer division, identical under Spark ``DIV`` and
+    DuckDB ``//``). The metrics/finance backfill shape: a plain AVG
+    over-weights bursty periods; TWAP is what monitoring and OHLC
+    pipelines actually report.
+
+    Scale (100 TB): one user-keyed window (LEAD) feeding a user-keyed
+    aggregate — Catalyst reuses the single exchange; zero-duration
+    intervals (duplicate timestamps) drop out identically on both
+    engines via ``dur_us > 0``."""
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    hold = ev.select(
+        "user_id",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return (
+        hold.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("held_us"),
+            F.expr("sum(cents * dur_us) DIV sum(dur_us)")
+            .cast("bigint")
+            .alias("twap_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000 AS ts_us,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    attributed AS (
+      SELECT user_id, event_id, cents,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM ev WHERE TRUE
+    )
+    SELECT COALESCE(channel, '(none)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM (SELECT a.* FROM attributed a JOIN ev USING (user_id, event_id)
+          WHERE ev.event_type = 'purchase')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent NON-purchase event type before it (purchases never credit
+    themselves or earlier purchases — the CASE inside the
+    ignore-nulls LAST_VALUE skips them); purchases with no prior
+    touch land in '(none)'. The marketing-analytics primitive behind
+    channel ROI tables.
+
+    Scale (100 TB): one user-keyed window over the full stream, then a
+    channels-sized aggregate; the window evaluates the conditional
+    last_value in the same pass that the sessionizer/Markov entries use,
+    so a combined pipeline shares the exchange. Exact integer cents."""
+    ev = _ev(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_us", "cents")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    attributed = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -856,3 +856,64 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_q"),
     ).orderBy("custkey")
+
+
+@query(
+    "supplier_spend_pareto",
+    oracle="""
+    WITH spend AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT suppkey, spend_cents,
+             SUM(spend_cents) OVER (ORDER BY spend_cents DESC, suppkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             SUM(spend_cents) OVER () AS total_cents
+      FROM spend
+    )
+    SELECT suppkey, spend_cents,
+           CAST((cum_cents * 10000) // total_cents AS BIGINT) AS cum_bps,
+           CAST(CASE WHEN cum_cents * 10 <= total_cents * 8
+                     THEN 1 ELSE 0 END AS INT) AS in_top80
+    FROM ranked ORDER BY spend_cents DESC, suppkey
+    """,
+)
+def supplier_spend_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) spend concentration: suppliers ranked by lifetime
+    spend with exact-integer cumulative share in basis points and a flag
+    for the head that covers ≤80% of total spend (``cum·10 ≤ total·8``
+    — no float ratio near the boundary). The procurement-risk /
+    vendor-consolidation primitive.
+
+    Scale (100 TB): the per-supplier rollup is the only data-sized
+    shuffle (partial-aggregated); the ranking windows run over the
+    SUPPLIER frame. The running sum needs a total order — same
+    trade-off as `customer_rfm_segments`, with the same documented
+    extreme-cardinality swap (range-partitioned cumsum with per-shard
+    offsets, the corpus_weighted_sample_pps pattern)."""
+    li = table(spark, sf_dir, "lineitem")
+    spend = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    w = W.orderBy(F.col("spend_cents").desc(), "suppkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = spend.select(
+        "suppkey",
+        "spend_cents",
+        F.sum("spend_cents").over(w).alias("cum_cents"),
+        F.sum("spend_cents").over(W.partitionBy()).alias("total_cents"),
+    )
+    return ranked.select(
+        "suppkey",
+        "spend_cents",
+        F.expr("(cum_cents * 10000) DIV total_cents").cast("bigint").alias("cum_bps"),
+        F.when(
+            F.col("cum_cents") * 10 <= F.col("total_cents") * 8, 1
+        ).otherwise(0).cast("int").alias("in_top80"),
+    ).orderBy(F.col("spend_cents").desc(), "suppkey")
