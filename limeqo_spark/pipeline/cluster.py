@@ -24,27 +24,14 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 from limeqo_spark.pipeline.corpus import CORPUS_SQL, planted_corpus
-from limeqo_spark.pipeline.dedup import ngram_jaccard_pairs
+from limeqo_spark.pipeline.dedup import JACCARD_COMMON_SQL, ngram_jaccard_pairs
 from limeqo_spark.relational.registry import query
 
-#: the exact-Jaccard pair SQL (tau 0.6) — same text as dedup_ngram_jaccard's
-#: oracle, reused as the edge set of the clustering oracle
+#: the exact-Jaccard pair SQL (tau 0.6): the SAME shared CTE chain as
+#: dedup_ngram_jaccard's oracle (dedup.JACCARD_COMMON_SQL — one
+#: definition, review r8), reused as the edge set of the clustering oracle
 _PAIRS_SQL = f"""
-    corpus AS ({CORPUS_SQL}),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
-    sh AS (
-      SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
-      FROM (
-        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i
-        FROM toks
-      ) z
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    ),
+    {JACCARD_COMMON_SQL},
     pairs AS (
       SELECT a, b
       FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
@@ -141,7 +128,8 @@ def connected_components_auto(
         if stats is not None:
             stats["mode"], stats["n_edges"] = "two_phase", n_edges
         return connected_components_two_phase(
-            e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            e.select(F.col("u").alias("a"), F.col("v").alias("b")),
+            pre_canonicalized=True,
         )
     if stats is not None:
         stats["mode"], stats["n_edges"] = "local_union_find", n_edges
@@ -173,7 +161,10 @@ def connected_components_auto(
 
 
 def connected_components_two_phase(
-    edges: DataFrame, max_iter: int = 20, stats: dict | None = None
+    edges: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
+    pre_canonicalized: bool = False,
 ) -> DataFrame:
     """Connected components via large-star/small-star alternation — the
     O(log n)-round MapReduce algorithm (Kiveris et al. 2014, "Connected
@@ -191,13 +182,20 @@ def connected_components_two_phase(
     Returns ``(node, component)``; ``stats["rounds"]`` records the rounds
     used when a dict is passed.
     """
-    e = (
-        edges.select(F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v"))
-        .filter("u <> v")
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    if pre_canonicalized:
+        # caller (connected_components_auto) already cast/filtered/
+        # canonicalized/deduplicated AND checkpointed this frame — a repeat
+        # costs a redundant full shuffle + second materialization on the
+        # large-graph path (review r8)
+        e = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    else:
+        e = (
+            edges.select(F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v"))
+            .filter("u <> v")
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     prev: tuple | None = None
     rounds = 0
     for _ in range(max_iter):

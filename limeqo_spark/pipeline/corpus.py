@@ -18,6 +18,13 @@ PLANT_N = 30
 PLANT_OFFSET = 10_000
 PLANT_SUFFIX = " zzzdup"
 
+#: planted EMBEDDING clones (the vector analog of the document plant):
+#: every vec_id < EMB_PLANT_N gets an exact copy at vec_id + EMB_PLANT_OFFSET
+#: — ONE definition for dedup_embedding_cosine and dedup_semantic_clusters
+#: (builders and oracles), review r8
+EMB_PLANT_N = 20
+EMB_PLANT_OFFSET = 10_000
+
 #: DuckDB view of the same corpus (oracle side of the contract)
 CORPUS_SQL = f"""
   SELECT doc_id, text, lang FROM documents
@@ -25,6 +32,18 @@ CORPUS_SQL = f"""
   SELECT doc_id + {PLANT_OFFSET} AS doc_id, text || '{PLANT_SUFFIX}' AS text, lang
   FROM documents WHERE doc_id < {PLANT_N}
 """
+
+
+def planted_embeddings(spark: SparkSession, sf_dir: str, cast: str | None = None) -> DataFrame:
+    """Embedding corpus + planted exact clones; ``cast`` optionally casts
+    the vector column (e.g. "array<double>")."""
+    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if cast:
+        base = base.select("vec_id", F.col("embedding").cast(cast).alias("embedding"))
+    clones = base.filter(F.col("vec_id") < EMB_PLANT_N).select(
+        (F.col("vec_id") + EMB_PLANT_OFFSET).alias("vec_id"), "embedding"
+    )
+    return base.unionByName(clones)
 
 
 def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,11 +17,14 @@ from pyspark.sql import functions as F
 from limeqo_spark.io import table
 from limeqo_spark.pipeline.corpus import (
     CORPUS_SQL,
+    EMB_PLANT_N,
+    EMB_PLANT_OFFSET,
     planted_corpus,
+    planted_embeddings,
     shingle_transform_sql,
     token_shingles,
 )
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, retain
 
 
 @query(
@@ -48,10 +51,13 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH corpus AS ({CORPUS_SQL}),
+#: shared exact-Jaccard oracle plumbing: corpus → 3-token shingles →
+#: per-doc sizes → pairwise common-shingle counts. ONE definition feeds
+#: both jaccard entries' oracles AND the clustering oracle's edge set
+#: (cluster._PAIRS_SQL) — the capped variant's contract is that it
+#: reproduces this exact SQL, so the string must not be able to drift.
+JACCARD_COMMON_SQL = f"""
+    corpus AS ({CORPUS_SQL}),
     toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM corpus
     ),
@@ -68,11 +74,22 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
+"""
+
+#: the full exact-Jaccard pair oracle at tau=0.6 — shared verbatim by
+#: dedup_ngram_jaccard and dedup_ngram_jaccard_capped (same string object)
+JACCARD_PAIRS_ORACLE = f"""
+    WITH {JACCARD_COMMON_SQL}
     SELECT a, b, ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
     FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
     WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
     ORDER BY a, b
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=JACCARD_PAIRS_ORACLE,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-token shingle) Jaccard near-dup pairs at tau=0.6 via a
@@ -83,29 +100,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard_capped",
-    oracle=f"""
-    WITH corpus AS ({CORPUS_SQL}),
-    toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM corpus
-    ),
-    sh AS (
-      SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
-      FROM (
-        SELECT doc_id, t, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS i
-        FROM toks
-      ) z
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT a, b, ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
-    FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.6
-    ORDER BY a, b
-    """,
+    oracle=JACCARD_PAIRS_ORACLE,
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-hardened variant of dedup_ngram_jaccard: candidate pairs
@@ -134,7 +129,10 @@ def ngram_jaccard_pairs(
     shingle must clear the df cap), so the correction arrays are tiny.
     Pairs whose entire overlap is hot shingles are missed by construction
     (they cannot reach a useful tau unless the docs are all boilerplate)."""
-    sh = token_shingles(corpus, n).cache()
+    # keyed retention, not a bare cache: four registered entries call this
+    # helper, and a per-invocation cache pin accumulates across a long
+    # driver session (the registry.retain contract, ADVICE r7 / review r8)
+    sh = retain("jaccard_shingles", token_shingles(corpus, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     idx, hot_sets = sh, None
     if max_doc_freq is not None:
@@ -565,9 +563,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = expr.bitwiseOR(vote_bit(f"e{i}_{j}", j))
         return expr.alias(f"es{i}")
 
-    sigs = votes.select(
-        "doc_id", sig_expr.alias("sig"), *[ext_sig(i) for i in range(_SH_BANDS)]
-    ).cache()
+    sigs = retain(
+        "simhash_sigs",
+        votes.select(
+            "doc_id", sig_expr.alias("sig"), *[ext_sig(i) for i in range(_SH_BANDS)]
+        ),
+    )
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -608,11 +609,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 20
+      SELECT vec_id + {EMB_PLANT_OFFSET}, CAST(embedding AS DOUBLE[])
+      FROM embeddings WHERE vec_id < {EMB_PLANT_N}
     )
     SELECT a.vec_id AS a, b.vec_id AS b,
            ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
@@ -643,12 +645,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from limeqo_spark.pipeline.similarity import _hyperplanes
 
-    base = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    e = base.unionByName(
-        base.filter(F.col("vec_id") < 20).select(
-            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
-        )
-    )
+    e = planted_embeddings(spark, sf_dir)
     # Band width SCALES WITH THE CORPUS (round 5; x16 replica probe): with a
     # fixed 16-bit key the random-collision candidate term is N^2/65536 per
     # band — "linear plus true dups" only while N << 65536 (the probe
@@ -665,7 +662,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fewer clones, and a hardcoded +20 would diverge at a ceil(log2(4N))
     # boundary (ADVICE r6, same fix as dedup_simhash). Two pushed-down
     # parquet counts, no vector movement.
-    n_rows = base.count() + base.filter(F.col("vec_id") < 20).count()
+    base = table(spark, sf_dir, "embeddings").select("vec_id")
+    n_rows = base.count() + base.filter(F.col("vec_id") < EMB_PLANT_N).count()
     n_bands = 4
     bits = max(8, math.ceil(math.log2(4 * n_rows)))
     n_planes = n_bands * bits
@@ -1008,13 +1006,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    corpus = base.unionByName(
-        base.filter(F.col("vec_id") < 20).select(
-            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
-        )
-    )
+    corpus = planted_embeddings(spark, sf_dir, cast="array<double>")
     # two pushed-down counts, no vector movement (the simhash N-sizing idiom)
-    n_rows = base.count() + base.filter(F.col("vec_id") < 20).count()
+    n_rows = base.count() + base.filter(F.col("vec_id") < EMB_PLANT_N).count()
     k = max(16, math.ceil(n_rows / 128))
     centers = (
         _train_ivf_centers(spark, sf_dir)

@@ -237,8 +237,11 @@ def corpus_pack_bins_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
+    # conv() returns STRING — cast to bigint BEFORE the multiply (the
+    # curation.md5_bucket hardening, ADVICE r3): the implicit
+    # string->double ride is exact only while the prefix stays 16-bit
     shard = F.expr(
-        f"conv(substring(h, 1, 4), 16, 10) * {PACK_SHARDS} DIV 65536"
+        f"CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) * {PACK_SHARDS} DIV 65536"
     ).cast("bigint")
     w = W.partitionBy("lang", "shard").orderBy("h", "doc_id")
     packed = d.withColumn("shard", shard).withColumn(

@@ -792,9 +792,11 @@ def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is DataFrame composition: the method frames union with a
     tag, hits come from a broadcast join against the 50-row truth frame,
-    recall is one groupBy. Recall normalizes per method by 5 x (number of
-    probes that method actually ran) — `ann_ivf_partitioned` uses 3 probes
-    by design, the others 10 — so every approximate path shares one gate.
+    recall is one groupBy. Recall normalizes per method by 5 x the
+    INTENDED probe count — `ann_ivf_partitioned` uses 3 probes by design,
+    the others 10 — so a method that silently drops probes (or returns
+    nothing at all) scores toward 0 and FAILS, rather than shrinking its
+    own denominator; every approximate path shares one gate.
     The truth frame is persisted so brute force runs once, not once per
     method branch."""
     truth = (
@@ -816,16 +818,31 @@ def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("method"), "probe_id", "vec_id"
         )
         tagged = m if tagged is None else tagged.unionByName(m)
-    bar = F.create_map(*[F.lit(x) for kv in _RECALL_BARS.items() for x in kv])
-    out = (
+    # recall denominators are the INTENDED probe counts per method, not
+    # countDistinct over the method's own output (code review r8): a
+    # regression that drops probes (or returns zero rows for a method)
+    # must shrink recall toward 0 and fail the gate, not shrink the
+    # denominator and pass it — the expected frame left-joins the
+    # observed hits so a missing method lands at recall 0.0, ok=false.
+    expected = spark.createDataFrame(
+        [(name, 3 if name == "ivf_partitioned" else N_PROBES)
+         for name, _ in methods],
+        "method string, n_probes int",
+    )
+    hits = (
         tagged.join(F.broadcast(truth), ["probe_id", "vec_id"], "left")
         .groupBy("method")
-        .agg(
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
+    )
+    bar = F.create_map(*[F.lit(x) for kv in _RECALL_BARS.items() for x in kv])
+    out = (
+        expected.join(hits, "method", "left")
+        .select(
+            "method",
             F.round(
-                F.sum(F.coalesce("hit", F.lit(0)))
-                / (F.countDistinct("probe_id") * F.lit(5.0)),
+                F.coalesce("hits", F.lit(0)) / (F.col("n_probes") * F.lit(5.0)),
                 4,
-            ).alias("recall")
+            ).alias("recall"),
         )
         .withColumn("bar", bar[F.col("method")])
         .withColumn("ok", F.col("recall") >= F.col("bar"))

@@ -10,7 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
-from limeqo_spark.pipeline.corpus import shingle_transform_sql
+from limeqo_spark.pipeline.corpus import PLANT_N, PLANT_OFFSET, PLANT_SUFFIX, shingle_transform_sql
 from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 #: deterministic marker lexicons for the n-gram language-ID heuristic. The
@@ -32,11 +32,11 @@ def _in_list(vals: tuple[str, ...]) -> str:
     "text_langid",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, lang, UNNEST(string_split(LOWER(text), ' ')) AS tok
+      SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok
       FROM documents
     ),
     scores AS (
-      SELECT doc_id, ANY_VALUE(lang) AS lang,
+      SELECT doc_id,
              CAST(SUM(CASE WHEN tok IN ({_in_list(LANG_MARKERS['en'])}) THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
              CAST(SUM(CASE WHEN tok IN ({_in_list(LANG_MARKERS['es'])}) THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
              CAST(SUM(CASE WHEN tok IN ({_in_list(LANG_MARKERS['zh'])}) THEN 1 ELSE 0 END) AS BIGINT) AS s_zh
@@ -54,10 +54,9 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with a fixed tie order (en > es > zh)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
     scores = toks.groupBy("doc_id").agg(
-        F.first("lang").alias("lang"),
         *[
             F.sum(F.when(F.col("tok").isin(*vals), 1).otherwise(0))
             .cast("bigint")
@@ -237,12 +236,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_contamination_overlap",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000 AS doc_id, text || ' zzzdup' AS text
-      FROM documents WHERE doc_id < 30
+      SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+             text || '{PLANT_SUFFIX}' AS text
+      FROM documents WHERE doc_id < {PLANT_N}
     ),
     toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
     sh AS (
@@ -252,8 +252,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
       ) z
     ),
-    eval_sh AS (SELECT doc_id AS eval_doc, gram FROM sh WHERE doc_id < 30),
-    train_sh AS (SELECT doc_id AS train_doc, gram FROM sh WHERE doc_id >= 30)
+    eval_sh AS (SELECT doc_id AS eval_doc, gram FROM sh
+                WHERE doc_id < {PLANT_N}),
+    train_sh AS (SELECT doc_id AS train_doc, gram FROM sh
+                 WHERE doc_id >= {PLANT_N})
     SELECT t.train_doc, e.eval_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM train_sh t JOIN eval_sh e ON t.gram = e.gram
     GROUP BY t.train_doc, e.eval_doc
@@ -269,10 +271,12 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the Jaccard dedup, so no train x eval cross join; at 100 TB the
     eval side (benchmarks are small) broadcasts."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the known-contaminated training docs ARE the shared plant — one
+    # definition (corpus.PLANT_*), not re-hardcoded literals (review r8)
     corpus = d.unionByName(
-        d.filter(F.col("doc_id") < 30).select(
-            (F.col("doc_id") + 10000).alias("doc_id"),
-            F.concat("text", F.lit(" zzzdup")).alias("text"),
+        d.filter(F.col("doc_id") < PLANT_N).select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            F.concat("text", F.lit(PLANT_SUFFIX)).alias("text"),
         )
     )
     t = corpus.select("doc_id", F.split("text", " ").alias("t"))
@@ -280,10 +284,10 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr(shingle_transform_sql("t", 5))).alias("gram"),
     ).distinct()
-    eval_sh = sh.filter(F.col("doc_id") < 30).select(
+    eval_sh = sh.filter(F.col("doc_id") < PLANT_N).select(
         F.col("doc_id").alias("eval_doc"), "gram"
     )
-    train_sh = sh.filter(F.col("doc_id") >= 30).select(
+    train_sh = sh.filter(F.col("doc_id") >= PLANT_N).select(
         F.col("doc_id").alias("train_doc"), "gram"
     )
     return (
