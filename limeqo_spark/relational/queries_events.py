@@ -609,7 +609,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            CAST(SUM(dur_us) AS BIGINT) AS held_us,
-           CAST(SUM(cents * dur_us) // SUM(dur_us) AS BIGINT) AS twap_cents
+           CAST(SUM(CAST(cents AS HUGEINT) * dur_us) // SUM(dur_us) AS BIGINT)
+             AS twap_cents
     FROM hold WHERE dur_us IS NOT NULL AND dur_us > 0
     GROUP BY user_id ORDER BY user_id
     """,
@@ -617,10 +618,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per user: each event's value holds
     until the user's next event; TWAP = Σ(value·duration) / Σ(duration),
-    computed entirely in exact integers (cents × microseconds products
-    ≤ ~5e16 per interval — bigint-safe — and the final ratio is
-    truncating integer division, identical under Spark ``DIV`` and
-    DuckDB ``//``). The metrics/finance backfill shape: a plain AVG
+    computed entirely in exact integers: the product SUM runs widened
+    (DECIMAL(38,0) on Spark, HUGEINT on DuckDB — a bigint sum would
+    overflow for a long-span high-value user on Spark while DuckDB
+    silently widens, review r8) and the final ratio is truncating
+    integer division, identical on both engines. The metrics/finance backfill shape: a plain AVG
     over-weights bursty periods; TWAP is what monitoring and OHLC
     pipelines actually report.
 
@@ -640,7 +642,13 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_intervals"),
             F.sum("dur_us").cast("bigint").alias("held_us"),
-            F.expr("sum(cents * dur_us) DIV sum(dur_us)")
+            # the per-user SUM of products needs widening, not just the
+            # per-interval product (review r8): a long-span high-value
+            # user overflows sum(bigint) on Spark while DuckDB widens to
+            # HUGEINT — DECIMAL(38,0) keeps both engines exact
+            F.expr(
+                "sum(CAST(cents AS DECIMAL(38,0)) * dur_us) DIV sum(dur_us)"
+            )
             .cast("bigint")
             .alias("twap_cents"),
         )
@@ -658,19 +666,18 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     attributed AS (
-      SELECT user_id, event_id, cents,
+      SELECT user_id, event_id, event_type, cents,
              LAST_VALUE(CASE WHEN event_type <> 'purchase'
                              THEN event_type END IGNORE NULLS)
                OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS channel
-      FROM ev WHERE TRUE
+      FROM ev
     )
     SELECT COALESCE(channel, '(none)') AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(SUM(cents) AS BIGINT) AS attributed_cents
-    FROM (SELECT a.* FROM attributed a JOIN ev USING (user_id, event_id)
-          WHERE ev.event_type = 'purchase')
+    FROM attributed WHERE event_type = 'purchase'
     GROUP BY 1 ORDER BY 1
     """,
 )

@@ -875,8 +875,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spend
     )
     SELECT suppkey, spend_cents,
-           CAST((cum_cents * 10000) // total_cents AS BIGINT) AS cum_bps,
-           CAST(CASE WHEN cum_cents * 10 <= total_cents * 8
+           CAST((CAST(cum_cents AS HUGEINT) * 10000) // total_cents AS BIGINT)
+             AS cum_bps,
+           CAST(CASE WHEN CAST(cum_cents AS HUGEINT) * 10
+                          <= CAST(total_cents AS HUGEINT) * 8
                      THEN 1 ELSE 0 END AS INT) AS in_top80
     FROM ranked ORDER BY spend_cents DESC, suppkey
     """,
@@ -909,11 +911,20 @@ def supplier_spend_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("spend_cents").over(w).alias("cum_cents"),
         F.sum("spend_cents").over(W.partitionBy()).alias("total_cents"),
     )
+    # widen BEFORE multiplying (review r8, confirmed by execution): with
+    # bigint math, cum*10000 overflows past ~$9.2T total spend and Spark
+    # (ANSI) aborts while DuckDB's window SUM silently widens to HUGEINT —
+    # a cross-engine divergence at exactly the scale the operator claims.
+    # DECIMAL(38,0) DIV and HUGEINT // both truncate identically.
     return ranked.select(
         "suppkey",
         "spend_cents",
-        F.expr("(cum_cents * 10000) DIV total_cents").cast("bigint").alias("cum_bps"),
+        F.expr("(CAST(cum_cents AS DECIMAL(38,0)) * 10000) DIV total_cents")
+        .cast("bigint")
+        .alias("cum_bps"),
         F.when(
-            F.col("cum_cents") * 10 <= F.col("total_cents") * 8, 1
+            F.col("cum_cents").cast("decimal(38,0)") * 10
+            <= F.col("total_cents").cast("decimal(38,0)") * 8,
+            1,
         ).otherwise(0).cast("int").alias("in_top80"),
     ).orderBy(F.col("spend_cents").desc(), "suppkey")

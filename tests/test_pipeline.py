@@ -1156,3 +1156,50 @@ def test_er_canonical_covers_hot_block_names(spark, tmp_path):
         sp.loc[sp.name == "cool widgey", "canonical_name"].iloc[0] == "cool gadget"
         or sp.loc[sp.name == "cool widgey", "canonical_name"].iloc[0] == "cool widget"
     )
+
+
+def test_pareto_and_twap_survive_overflow_scale(spark, tmp_path):
+    """Regression (r8 review, confirmed by execution pre-fix): with plain
+    bigint math, supplier_spend_pareto's cum_bps multiply overflowed past
+    ~$9.2T total spend — Spark (ANSI) threw ARITHMETIC_OVERFLOW while the
+    DuckDB oracle silently widened to HUGEINT and returned rows. Both
+    sides now widen explicitly; drive them on a corpus the fixtures can't
+    reach (10 suppliers x $2e12 line items) and a TWAP stream whose
+    per-user product SUM exceeds Long.MAX."""
+    import duckdb
+    import pandas as pd
+
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.testing import compare_frames
+
+    sf_dir = str(tmp_path / "sf_overflow")
+    li = spark.createDataFrame(
+        [(i, i % 10 + 1, 2.0e12) for i in range(100)],
+        "l_orderkey bigint, l_suppkey bigint, l_extendedprice double",
+    )
+    li.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
+    # TWAP: one user, 40 intervals of ~1e13 us at 5e7 cents ->
+    # sum(cents*dur) ~ 2e22 >> Long.MAX, each product ~5e20 < HUGEINT
+    rows = [
+        (i, pd.Timestamp("2024-01-01") + pd.Timedelta(microseconds=int(i * 1.0e13)),
+         1, "view", 500_000.0, "{}")
+        for i in range(41)
+    ]
+    ev = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet/*.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    for name in ("supplier_spend_pareto", "events_twap_per_user"):
+        spec = REGISTRY[name]
+        sp = spec.builder(spark, sf_dir).toPandas()
+        od = con.execute(spec.oracle).fetchdf()
+        ok, msg = compare_frames(sp, od)
+        assert ok, f"{name}: {msg}"
+        assert len(sp) > 0
