@@ -20,8 +20,8 @@ from limeqo_spark.relational.registry import query
     "q16_tpch_q1_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
            COUNT(*) AS n
     FROM lineitem
@@ -147,7 +147,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, cnt, spend FROM (
       SELECT o_custkey AS c_custkey, COUNT(*) AS cnt,
-             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS spend
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS spend
       FROM orders GROUP BY o_custkey
     ) t ORDER BY spend DESC, c_custkey LIMIT 10
     """,
@@ -395,7 +395,7 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
            CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY CUBE(r_name, n_name) ORDER BY gid, region, nation
@@ -416,7 +416,7 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
             F.count("*").alias("n_cust"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("bal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2).cast("double").alias("bal"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -519,7 +519,7 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
     )
     SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(val) AS DOUBLE), 2) AS total
+           CAST(ROUND(SUM(val), 2) AS DOUBLE) AS total
     FROM melted GROUP BY metric ORDER BY metric
     """,
 )
@@ -538,7 +538,7 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         melted.groupBy("metric")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("val").cast("double"), 2).alias("total"),
+            F.round(F.sum("val"), 2).cast("double").alias("total"),
         )
         .orderBy("metric")
     )

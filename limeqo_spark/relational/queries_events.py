@@ -144,8 +144,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the part naive ``COUNT(DISTINCT user)``-per-type funnels get wrong —
     a purchase before the first view must not count). Three chained
     (filter → per-user min → join) hops; each per-user stage frame is at
-    most one row per user, so every join broadcasts and the event table
-    is scanned once per stage with the type filter pushed down.
+    most one row per user — small relative to events, but UNBOUNDED in
+    users, so the joins carry no broadcast hint (AQE broadcasts them
+    when they fit; a forced hint would hard-fail past the 8GB broadcast
+    limit at real user counts) and the event table is scanned once per
+    stage with the type filter pushed down.
 
     Scale (100 TB): stage frames shrink monotonically (users, then
     converting users, ...) — the joins get cheaper down the funnel; no
@@ -158,14 +161,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t2 = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(t1), "user_id")
+        # no broadcast hint: the stage frames are PER-USER (unbounded
+        # cardinality) — a forced broadcast turns a planner decision into
+        # a hard 8GB-limit failure at real user counts (review r8); AQE
+        # still broadcasts them at fixture scale on its own
+        .join(t1, "user_id")
         .filter(F.col("ts_us") > F.col("us1"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("us2"))
     )
     t3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .filter(F.col("ts_us") > F.col("us2"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("us3"))
@@ -216,10 +223,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users bucketed by first-seen week (anchored at
     the corpus epoch 2024-01-01), then for each (cohort, week-offset)
-    cell the share of the cohort still active. The per-user firsts frame
-    and the cohort-size frame are both tiny (≤ one row per user / per
-    week), so they broadcast onto the distinct (user, week) activity
-    set; the only full-data shuffles are the two user-keyed aggregates.
+    cell the share of the cohort still active. The per-WEEK size frame
+    is bounded by wall-clock and broadcasts; the per-user firsts frame
+    is unbounded in users so its join carries no hint (AQE broadcasts it
+    while it fits); the only full-data shuffles are the two user-keyed
+    aggregates.
 
     Scale (100 TB): the activity DISTINCT is the dominant shuffle and is
     exactly one pass; a 52×52 retention triangle never needs the raw
@@ -235,7 +243,9 @@ def events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity = ev.distinct()
     sizes = firsts.groupBy("cohort_w").agg(F.count("*").cast("bigint").alias("cohort_n"))
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        # firsts is per-user (unbounded) — no broadcast hint; sizes is
+        # per-WEEK (bounded by wall-clock), safe to force
+        activity.join(firsts, "user_id")
         .join(F.broadcast(sizes), "cohort_w")
         .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("offset_w"))
         .agg(
@@ -298,9 +308,18 @@ def zscore_flag_stats(frame, w):
 
 def zscore_flag_filter():
     """The exact-integer 3-sigma test: (n*x - s)^2 (n-1) > 9 n (n*s2 - s^2),
-    with the n >= ZSCORE_MIN_N history floor."""
-    x, n, s, s2 = F.col("cents"), F.col("n"), F.col("s"), F.col("s2")
-    return (n >= ZSCORE_MIN_N) & (
+    with the n >= ZSCORE_MIN_N history floor. The algebra runs WIDENED —
+    DECIMAL(38,0) here, HUGEINT in the oracle (its window SUMs widen
+    automatically): with bigint terms, 9·n·(n·s2 − s²) crosses 2^63 at
+    cents ≈ 1.1e7 (~$113k values) and Spark (ANSI) would abort where
+    DuckDB returns rows (review r8, the TWAP/Pareto overflow class).
+    Both decimal and HUGEINT are exact integers to ~1e38, so the σ
+    boundary stays engine-independent."""
+    dec = "decimal(38,0)"
+    x = F.col("cents").cast(dec)
+    n = F.col("n").cast(dec)
+    s, s2 = F.col("s").cast(dec), F.col("s2").cast(dec)
+    return (F.col("n") >= ZSCORE_MIN_N) & (
         (n * x - s) * (n * x - s) * (n - 1) > F.lit(9) * n * (n * s2 - s * s)
     )
 

@@ -19,15 +19,20 @@ from limeqo_spark.relational.registry import query
     SELECT p_partkey,
            UPPER(SUBSTR(p_name, 1, 5)) AS head,
            CAST(LENGTH(p_name) AS BIGINT) AS len,
-           CONCAT(p_brand, '#', p_type) AS tag,
+           CONCAT_WS('#', p_brand, p_type) AS tag,
            REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS w,
            CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
-           TRIM(CONCAT(' ', p_brand, ' ')) AS trimmed
+           TRIM(' ' || p_brand || ' ') AS trimmed
     FROM part ORDER BY p_partkey
     """,
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B28 string functions: substr/upper/length/concat/regexp/like/trim."""
+    """B28 string functions: substr/upper/length/concat/regexp/like/trim.
+    NULL semantics are aligned explicitly (review r8): tag uses concat_ws
+    on BOTH engines (skips NULL args AND their separators) and trimmed
+    uses NULL-propagating concatenation on both (Spark F.concat ≡ DuckDB
+    ||) — the previous oracle CONCAT() treated NULLs as empty strings,
+    which the all-populated fixture could never distinguish."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -102,7 +107,7 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_array_explode",
     oracle="""
     SELECT l_orderkey, l_linenumber, COUNT(*) AS n_vals,
-           ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 4) AS sv
+           CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 4) AS DOUBLE) AS sv
     FROM (
       SELECT l_orderkey, l_linenumber, UNNEST([l_quantity, l_discount, l_tax]) AS v
       FROM lineitem
@@ -122,7 +127,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_linenumber")
         .agg(
             F.count("*").alias("n_vals"),
-            F.round(F.sum(F.col("v").cast("decimal(18,6)")).cast("double"), 4).alias("sv"),
+            F.round(F.sum(F.col("v").cast("decimal(18,6)")), 4).cast("double").alias("sv"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -315,7 +320,13 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     frag_files = glob.glob(f"{frag}/*.parquet")
     in_bytes = sum(_os.path.getsize(f) for f in frag_files)
-    target_bytes = 256 * 1024  # stand-in for the 128-256MB production target
+    # stand-in for the 128-256MB production target, but never more than
+    # a quarter of the fragment count: a FIXED 256KB target exceeds 64
+    # output files once the slice passes ~16MB (sf >= ~0.5) and the
+    # "fewer files than before" gate would fail on correct behavior
+    # (review r8) — production compaction sizes target = bytes/target_n
+    # the same way
+    target_bytes = max(256 * 1024, math.ceil(in_bytes / 16))
     n_out = max(1, math.ceil(in_bytes / target_bytes))
 
     src = spark.read.parquet(frag)

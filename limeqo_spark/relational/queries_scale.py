@@ -40,7 +40,7 @@ Z_BITS = 16
     "q97_bloom_semijoin",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
              AS revenue
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
@@ -167,7 +167,7 @@ def box_intersect_fraction(layout_dir: str) -> tuple[int, int]:
     "q99_zorder_box_query",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
              AS spend,
            CAST(MIN(o_orderkey) AS BIGINT) AS mn,
            CAST(MAX(o_orderkey) AS BIGINT) AS mx

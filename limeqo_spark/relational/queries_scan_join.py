@@ -29,7 +29,10 @@ def dec_sum(col: str | F.Column, scale: int = 2, alias: str | None = None) -> F.
     flip. DECIMAL sums are exact and deterministic everywhere.
     """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.round(F.sum(c.cast(f"decimal(18,{scale})")).cast("double"), scale)
+    # round IN DECIMAL, then cast: ROUND(double, n) diverges between
+    # engines on .xx50 repr ties (review r8); decimal HALF_UP is
+    # engine-identical (verified incl. negatives)
+    out = F.round(F.sum(c.cast(f"decimal(18,{scale})")), scale).cast("double")
     return out.alias(alias) if alias else out
 
 
@@ -40,7 +43,7 @@ def dec_sum(col: str | F.Column, scale: int = 2, alias: str | None = None) -> F.
     "q01_parquet_scan_checksum",
     oracle="""
     SELECT COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS s,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS s,
            MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
     FROM lineitem
     """,
@@ -103,8 +106,8 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q04_parquet_sink_roundtrip",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
            COUNT(*) AS n
     FROM lineitem
@@ -185,7 +188,7 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_broadcast_join",
     oracle="""
     SELECT p_brand, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS s
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS s
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand ORDER BY p_brand
     """,
@@ -204,7 +207,7 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q08_ORACLE = """
     SELECT o_orderstatus, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS q
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS q
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
@@ -417,7 +420,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_star_join",
     oracle="""
     SELECT n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -448,9 +451,9 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-                ).cast("double"),
+                ),
                 2,
-            ).alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n"),
         )
         .orderBy("n_name")
@@ -463,7 +466,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dim AS (SELECT DISTINCT event_type, UPPER(event_type) AS label FROM events)
     SELECT d.label,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY d.label ORDER BY d.label
     """,
@@ -488,9 +491,7 @@ def skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("label")
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
         )
         .orderBy("label")
     )
@@ -501,7 +502,7 @@ def skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events
     WHERE CAST(ts AS DATE) = (SELECT CAST(MIN(ts) AS DATE) FROM events)
     GROUP BY event_type ORDER BY event_type
@@ -523,9 +524,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
-            ).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -548,9 +547,12 @@ def partitioned_events(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(out)
 
 
+#: the DECIMAL revenue sum (no double cast here: consumers round IN
+#: DECIMAL first — ROUND(double, 2) diverges between engines on .xx50
+#: repr ties, review r8 — then cast the 2dp-exact result to double)
 REVENUE_SQL = (
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * CAST(1 - l_discount AS DECIMAL(6,2))) AS DOUBLE)"
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - l_discount AS DECIMAL(6,2)))"
 )
 
 
@@ -558,7 +560,7 @@ REVENUE_SQL = (
     "q47_tpch_q3_shipping",
     oracle=f"""
     SELECT l_orderkey,
-           ROUND({REVENUE_SQL}, 2) AS revenue,
+           CAST(ROUND({REVENUE_SQL}, 2) AS DOUBLE) AS revenue,
            STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -583,12 +585,12 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (1 - F.col("l_discount")).cast("decimal(6,2)")
-    ).cast("double")
+    )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -603,7 +605,7 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q48_tpch_q5_local_volume",
     oracle=f"""
-    SELECT n_name, ROUND({REVENUE_SQL}, 2) AS revenue
+    SELECT n_name, CAST(ROUND({REVENUE_SQL}, 2) AS DOUBLE) AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey
@@ -625,7 +627,7 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (1 - F.col("l_discount")).cast("decimal(6,2)")
-    ).cast("double")
+    )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
@@ -634,7 +636,7 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
         .orderBy("n_name")
     )
 
@@ -642,7 +644,7 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q49_tpch_q10_returns",
     oracle=f"""
-    SELECT c_custkey, ROUND({REVENUE_SQL}, 2) AS revenue,
+    SELECT c_custkey, CAST(ROUND({REVENUE_SQL}, 2) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -660,12 +662,12 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (1 - F.col("l_discount")).cast("decimal(6,2)")
-    ).cast("double")
+    )
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey")
-        .agg(F.round(rev, 2).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"), F.count("*").alias("n_items"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -676,8 +678,8 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
@@ -698,8 +700,8 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -864,7 +866,7 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q67_tpch_q7_volume_shipping",
     oracle=f"""
-    SELECT supp_nation, cust_nation, l_year, ROUND({REVENUE_SQL}, 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year, CAST(ROUND({REVENUE_SQL}, 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
@@ -901,7 +903,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (1 - F.col("l_discount")).cast("decimal(6,2)")
-    ).cast("double")
+    )
     pair = (
         (F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY")
     ) | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
@@ -915,7 +917,7 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
         )
-        .agg(F.round(rev, 2).alias("revenue"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -956,7 +958,7 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q69_tpch_q19_bracketed_disjunction",
     oracle=f"""
-    SELECT ROUND({REVENUE_SQL}, 2) AS revenue, CAST(COUNT(*) AS BIGINT) AS n
+    SELECT CAST(ROUND({REVENUE_SQL}, 2) AS DOUBLE) AS revenue, CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 15)
@@ -983,11 +985,11 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.sum(
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (1 - F.col("l_discount")).cast("decimal(6,2)")
-    ).cast("double")
+    )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(b("Brand#1", 1, 15, 1, 15) | b("Brand#2", 10, 30, 10, 25) | b("Brand#3", 20, 50, 20, 35))
-        .agg(F.round(rev, 2).alias("revenue"), F.count("*").cast("bigint").alias("n"))
+        .agg(F.round(rev, 2).cast("double").alias("revenue"), F.count("*").cast("bigint").alias("n"))
     )
 
 
@@ -995,7 +997,7 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q84_orc_sink_roundtrip",
     oracle="""
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
              AS total
     FROM orders WHERE o_orderstatus = 'F'
     GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -1022,7 +1024,7 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double")
             .alias("total"),
         )
         .orderBy("o_orderpriority")
@@ -1035,7 +1037,7 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(CASE WHEN o_orderstatus = 'F' THEN o_orderpriority END,
                     '<pre-evolution>') AS prio,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
              AS total
     FROM orders WHERE o_orderstatus IN ('O', 'F')
     GROUP BY prio ORDER BY prio
@@ -1071,7 +1073,7 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double")
             .alias("total"),
         )
         .orderBy("prio")
@@ -1141,10 +1143,10 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+           CAST(ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT'
                                THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
-                               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
-                 AS DOUBLE), 2) AS total
+                               ELSE CAST(o_totalprice AS DECIMAL(18,2)) END),
+                 2) AS DOUBLE) AS total
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -1182,9 +1184,7 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderpriority")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
-            ).alias("total"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total"),
         )
         .orderBy("o_orderpriority")
     )

@@ -39,10 +39,11 @@ from pyspark.sql import functions as F
 from limeqo_spark.io import table
 from limeqo_spark.relational.registry import query
 
-#: exact decimal revenue sum (matches queries_scan_join.REVENUE_SQL)
+#: exact decimal revenue sum (matches queries_scan_join.REVENUE_SQL):
+#: no double cast here — consumers round IN DECIMAL first (review r8)
 REVENUE_SQL = (
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
-    " * CAST(1 - l_discount AS DECIMAL(6,2))) AS DOUBLE)"
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * CAST(1 - l_discount AS DECIMAL(6,2)))"
 )
 
 
@@ -219,7 +220,7 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q73_tpch_q9_product_profit",
     oracle=f"""
-    SELECT nation, o_year, ROUND({REVENUE_SQL}, 2) AS profit
+    SELECT nation, o_year, CAST(ROUND({REVENUE_SQL}, 2) AS DOUBLE) AS profit
     FROM (
       SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
              l_extendedprice, l_discount
@@ -253,7 +254,7 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.round(F.sum(_rev()).cast("double"), 2).alias("profit"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -271,7 +272,7 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'AFRICA'
       GROUP BY l_partkey
     )
-    SELECT p_key, ROUND(CAST(value AS DOUBLE), 2) AS value
+    SELECT p_key, CAST(ROUND(value, 2) AS DOUBLE) AS value
     FROM vals
     WHERE value * 1000 > (SELECT SUM(value) FROM vals)
     ORDER BY value DESC, p_key
@@ -303,7 +304,7 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         vals.join(F.broadcast(total))
         .filter(F.col("value") * 1000 > F.col("total"))
-        .select("p_key", F.round(F.col("value").cast("double"), 2).alias("value"))
+        .select("p_key", F.round(F.col("value"), 2).cast("double").alias("value"))
         .orderBy(F.desc("value"), "p_key")
     )
 
@@ -390,7 +391,7 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 2) AS total_rev
+    SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_rev
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
     ORDER BY s_suppkey
@@ -417,7 +418,7 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"))
+        .select("s_suppkey", "s_name", F.round(F.col("total_rev"), 2).cast("double").alias("total_rev"))
         .orderBy("s_suppkey")
     )
 
@@ -605,7 +606,7 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     thresh AS (SELECT SUM(bal) AS tot, COUNT(*) AS n FROM cust WHERE bal > 0)
     SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS totacctbal
+           CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS totacctbal
     FROM cust, thresh
     WHERE bal * n > tot
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -641,7 +642,7 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count("*").cast("bigint").alias("numcust"),
-            F.round(F.sum("bal").cast("double"), 2).alias("totacctbal"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )

@@ -70,13 +70,21 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
         cents = (pdf["o_totalprice"] * 100).round().astype("int64")
         mean = (cents.sum() / 100.0) / len(pdf)
+        # round the TRUE binary value half-away-from-zero (what DuckDB's
+        # ROUND(double, 4) does) — python round() is half-even and would
+        # diverge at exact binary ties like cents/1600 (review r8)
+        rounded = float(
+            Decimal(mean).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
         return pd.DataFrame(
             {
                 "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
                 "n": [len(pdf)],
-                "mean_price": [round(mean, 4)],
+                "mean_price": [rounded],
             }
         )
 
@@ -153,11 +161,18 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q52_python_udtf_lateral",
     oracle="""
-    WITH toks AS (SELECT p_partkey, string_split(p_name, ' ') AS ts FROM part)
-    SELECT p_partkey,
-           CAST(generate_subscripts(ts, 1) - 1 AS INT) AS pos,
-           UNNEST(ts) AS token
-    FROM toks ORDER BY p_partkey, pos
+    WITH toks AS (SELECT p_partkey, string_split(p_name, ' ') AS ts FROM part),
+    ex AS (
+      SELECT p_partkey,
+             CAST(generate_subscripts(ts, 1) - 1 AS INT) AS pos,
+             UNNEST(ts) AS token
+      FROM toks
+    )
+    -- the UDTF skips empty tokens (consecutive/leading spaces); the
+    -- oracle must too, or a double-spaced name diverges (review r8; the
+    -- q40 tok <> '' precedent)
+    SELECT p_partkey, pos, token FROM ex WHERE token <> ''
+    ORDER BY p_partkey, pos
     """,
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:

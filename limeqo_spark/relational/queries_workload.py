@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from limeqo_spark import workload as wlops
 from limeqo_spark.io import table
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 #: the long-form projection, DuckDB side
 LONG_SQL = """
@@ -83,7 +83,7 @@ def wl_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/A13: default-column total vs oracle (per-query min) total."""
     df = long_df(spark, sf_dir)
     default = df.filter("hint_id = 0").agg(
-        F.round(F.sum(F.col("latency").cast("decimal(18,2)")).cast("double"), 2).alias(
+        F.round(F.sum(F.col("latency").cast("decimal(18,2)")), 2).cast("double").alias(
             "default_time"
         )
     )
@@ -91,7 +91,7 @@ def wl_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("query_idx")
         .agg(F.min("latency").alias("m"))
         .agg(
-            F.round(F.sum(F.col("m").cast("decimal(18,2)")).cast("double"), 2).alias(
+            F.round(F.sum(F.col("m").cast("decimal(18,2)")), 2).cast("double").alias(
                 "opt_time"
             )
         )
@@ -129,7 +129,11 @@ def wl_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT l.observed
     )
     SELECT query_idx, hint_id, ROUND(improve, 4) AS improve
-    FROM cand ORDER BY improve DESC, query_idx, hint_id LIMIT 20
+    -- ORDER BY the qualified RAW column: a bare `improve` resolves to the
+    -- rounded output alias in DuckDB, while the Spark side selects the
+    -- top-20 by the unrounded value — 4dp collisions would pick/order
+    -- different rows (review r8)
+    FROM cand ORDER BY cand.improve DESC, query_idx, hint_id LIMIT 20
     """,
 )
 def wl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +216,12 @@ def wl_mllib_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = set(rank_cells_by_improvement(pred, wl.mask, mo, k))
     overlap = len(a & b) / max(len(a), 1)
     bar = 0.5
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [(k, round(overlap, 4), bar, overlap >= bar)],
         "k int, overlap double, bar double, ok boolean",
     )
+    # raise on a failed bar so the driver's rows-only PROP check records a
+    # non-null err instead of an unchanged 1-row count (review r8 — the
+    # ann_recall_gate / scale_pruning_gate pattern; this entry previously
+    # returned its ok=false row silently)
+    return raise_on_failed_gates(out, "limeqo_mllib_complete_agree")

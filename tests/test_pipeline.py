@@ -1180,9 +1180,13 @@ def test_pareto_and_twap_survive_overflow_scale(spark, tmp_path):
     li.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/lineitem.parquet")
     # TWAP: one user, 40 intervals of ~1e13 us at 5e7 cents ->
     # sum(cents*dur) ~ 2e22 >> Long.MAX, each product ~5e20 < HUGEINT
+    # varied huge values: exercises the z-score filter's widened algebra
+    # too (9*n*(n*s2 - s^2) crosses 2^63 around cents ~1.1e7; these sit
+    # at ~5e7 with real variance so flags actually fire or not — either
+    # way both engines must agree instead of Spark aborting)
     rows = [
         (i, pd.Timestamp("2024-01-01") + pd.Timedelta(microseconds=int(i * 1.0e13)),
-         1, "view", 500_000.0, "{}")
+         1, "view", 500_000.0 + (i % 7) * 9_137.25 + (250_000.0 if i % 13 == 0 else 0.0), "{}")
         for i in range(41)
     ]
     ev = spark.createDataFrame(
@@ -1196,10 +1200,48 @@ def test_pareto_and_twap_survive_overflow_scale(spark, tmp_path):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet/*.parquet')"
     )
-    for name in ("supplier_spend_pareto", "events_twap_per_user"):
+    for name in (
+        "supplier_spend_pareto",
+        "events_twap_per_user",
+        "events_zscore_anomaly",
+        "events_zscore_anomaly_bucketed",
+    ):
         spec = REGISTRY[name]
         sp = spec.builder(spark, sf_dir).toPandas()
         od = con.execute(spec.oracle).fetchdf()
         ok, msg = compare_frames(sp, od)
         assert ok, f"{name}: {msg}"
-        assert len(sp) > 0
+        if not name.startswith("events_zscore"):
+            assert len(sp) > 0
+
+
+def test_string_battery_and_udtf_on_nulls_and_double_spaces(spark, tmp_path):
+    """Regression (r8 review): q28's tag/trimmed NULL semantics and q52's
+    empty-token handling diverged from their oracles on inputs the
+    all-populated single-spaced fixture can never produce — a NULL p_type
+    and a double-spaced p_name."""
+    import duckdb
+
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.testing import compare_frames
+
+    sf_dir = str(tmp_path / "sf_nulls")
+    spark.createDataFrame(
+        [
+            (1, "small  ring", "Brand#13", None),
+            (2, "red widget", None, "PROMO"),
+            (3, " padded name ", "Brand#42", "STANDARD"),
+        ],
+        "p_partkey bigint, p_name string, p_brand string, p_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/part.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/part.parquet/*.parquet')"
+    )
+    for name in ("q28_string_battery", "q52_python_udtf_lateral"):
+        spec = REGISTRY[name]
+        sp = spec.builder(spark, sf_dir).toPandas()
+        od = con.execute(spec.oracle).fetchdf()
+        ok, msg = compare_frames(sp, od)
+        assert ok, f"{name}: {msg}"
