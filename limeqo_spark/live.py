@@ -132,18 +132,22 @@ class LiveSteeringSession:
             if runs[-1].latency is None:  # censored: don't pay the budget again
                 break
         run = runs[-1]
-        latency = (
-            None
-            if run.latency is None
-            else float(np.median([r.latency for r in runs]))
-        )
-        self._record(qi, hj, latency, run.censor_cutoff, run.plan_hash, True)
+        # a cell is censored only if EVERY run timed out: a completed run
+        # is a real observation, and recording "latency >= cutoff" after
+        # having MEASURED a latency below the cutoff would be a provably
+        # false bound that the censored-ALS repair pass then propagates
+        # (review r8 — previously a timeout on any later repeat discarded
+        # the earlier successful measurement)
+        completed = [r.latency for r in runs if r.latency is not None]
+        latency = float(np.median(completed)) if completed else None
+        cutoff = None if completed else run.censor_cutoff
+        self._record(qi, hj, latency, cutoff, run.plan_hash, True)
         # inherited cells must carry the SAME median-of-N value as the
         # measured cell, not the last run's latency — otherwise a plan
         # equivalence class holds internally inconsistent observations
         for other_hj, fp in self._fingerprints(qi).items():
             if other_hj != hj and fp == run.plan_hash and self.explored[qi, other_hj] == 0:
-                self._record(qi, other_hj, latency, run.censor_cutoff, fp, False)
+                self._record(qi, other_hj, latency, cutoff, fp, False)
 
     def add_queries(self, queries: dict[str, Callable[[], DataFrame]]) -> None:
         """Grow the workload mid-session — the live analog of the datashift

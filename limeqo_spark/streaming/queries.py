@@ -21,8 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import scratch_dir, table
+from limeqo_spark.pipeline.corpus import PLANT_N, PLANT_OFFSET, PLANT_SUFFIX
 from limeqo_spark.relational.queries_events import ZSCORE_ORACLE_SQL
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, "
@@ -102,7 +103,14 @@ def _run_stream(agg: DataFrame, mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return agg.sparkSession.table(name)
+    spark = agg.sparkSession
+    # copy the sink rows out (eager localCheckpoint, ContextCleaner-
+    # reclaimed) and DROP the uuid-named memory sink: every invocation
+    # otherwise pins a full result set in driver memory for the session
+    # lifetime — the retain()/release leak class, review r8
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def _read_stream(spark: SparkSession, stage: str, one_file_per_batch: bool = False):
@@ -169,14 +177,17 @@ def q44b(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q44c_stream_session",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                        >= 900 THEN 1 ELSE 0 END AS brk
       FROM events
     ),
     islands AS (
       SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             -- event_id tiebreak: without it the running SUM's frame is
+             -- nondeterministic on duplicate (user, ts) pairs and a
+             -- session-opening row could swap with its follower (review r8)
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
       FROM ordered
     )
@@ -218,32 +229,28 @@ def q44d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
     dups = ev.filter(F.col("event_id") < 500)
-    with_dups = ev.unionByName(dups)
-    with_dups.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch0"))
-    n_input = with_dups.count()
+    # originals and duplicates arrive in SEPARATE micro-batches (stamped
+    # mtimes + maxFilesPerTrigger=1): single-batch staging degenerated
+    # the operator to within-batch dedup, so a regression in cross-batch
+    # watermark-scoped state could never fail this gate (review r8)
+    ev.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch0"))
+    dups.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "batch1"))
+    _stamp_batch_order(stage)
+    n_input = ev.count() + dups.count()
     n_expected = ev.select("event_id").distinct().count()
 
-    stream = _read_stream(spark, stage)
+    stream = _read_stream(spark, stage, one_file_per_batch=True)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    name = f"limeqo_dd_{uuid.uuid4().hex[:10]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    n_surv = spark.table(name).count()
-    return spark.createDataFrame(
+    n_surv = _run_stream(deduped, "append").count()
+    out = spark.createDataFrame(
         [(n_input, n_surv, n_expected, n_surv == n_expected)],
         "n_input bigint, n_survivors bigint, n_expected bigint, ok boolean",
     )
+    # a failed dedup must surface as a driver-visible err, not a silent
+    # ok=false row the rows-only PROP check cannot see (review r8)
+    return raise_on_failed_gates(out, "q44d_stream_dedup_watermark")
 
 
 @query(
@@ -580,14 +587,16 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q86_stream_incremental_dedup",
-    oracle="""
+    oracle=f"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 10000, text || ' zzzdup' FROM documents WHERE doc_id < 30
+      SELECT doc_id + {PLANT_OFFSET}, text || '{PLANT_SUFFIX}'
+      FROM documents WHERE doc_id < {PLANT_N}
       UNION ALL
-      -- wave-2 re-ingestion: the same 30 documents arrive again byte-identical
-      SELECT doc_id + 20000, text FROM documents WHERE doc_id < 30
+      -- wave-2 re-ingestion: the same docs arrive again byte-identical
+      SELECT doc_id + {2 * PLANT_OFFSET}, text
+      FROM documents WHERE doc_id < {PLANT_N}
     )
     SELECT MD5(text) AS h, MIN(doc_id) AS keep_doc
     FROM corpus GROUP BY h ORDER BY h
@@ -615,8 +624,8 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the store anti-join must actually drop (keep_doc stays the wave-1
     # id), so first-seen == global min doc_id
     resent = (
-        corpus.filter(F.col("doc_id") < 30)
-        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        corpus.filter(F.col("doc_id") < PLANT_N)
+        .select((F.col("doc_id") + 2 * PLANT_OFFSET).alias("doc_id"), "text")
     )
     corpus.filter(F.col("doc_id") < 250).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(stage, "batch0")
@@ -728,6 +737,12 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         # byte-identical signatures/keys); persisted because two actions
         # consume it per batch (dup-log write + store append)
         bands = minhash_band_rows(batch_df).persist()
+        try:
+            _merge_batch_body(s, bands)
+        finally:
+            bands.unpersist()
+
+    def _merge_batch_body(s, bands: DataFrame) -> None:
         seen = s.read.parquet(store)
         hits = bands.join(seen, ["band"] + key_names).select(
             F.col("owner").alias("a"),
@@ -751,7 +766,6 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("owner"),
             *[F.col(n).alias(f"o_{n}") for n in sig_names],
         ).write.mode("append").parquet(store)
-        bands.unpersist()
 
     q = (
         spark.readStream.schema("doc_id bigint, text string")
@@ -932,7 +946,10 @@ def q108_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _read_stream(spark, stage, one_file_per_batch=True)
 
-    LOOKBACK, MIN_N = 20, 10
+    # the SAME constants the shared oracle is built from — retuning the
+    # batch detector must retune the streaming port with it (review r8)
+    from limeqo_spark.relational.queries_events import ZSCORE_LOOKBACK as LOOKBACK
+    from limeqo_spark.relational.queries_events import ZSCORE_MIN_N as MIN_N
 
     def detect(key, pdfs, state: GroupState):
         hist: list[tuple[int, int, int]] = (

@@ -88,7 +88,17 @@ class Workload:
             .set_index("query_id")
             .sort_index()
         )
-        pdf = pdf[sorted(pdf.columns, key=int)]
+        # REINDEX to the dense 0..max(hint_id) range: a live log that only
+        # contains EXPLORED cells pivots to a gap-compressed matrix whose
+        # column k is NOT hint k — argmin/best-hint indices on the rebuilt
+        # workload would name the wrong HintSets (review r8). Missing
+        # hints become all-NaN (unobserved) columns. Censored cells
+        # (latency NULL but cutoff > 0 in a live observations table) are
+        # indistinguishable from unexplored here — the sim Workload
+        # carries no cutoff matrix; re-exploration treats them as fresh.
+        cols = [int(c) for c in pdf.columns]
+        pdf.columns = cols
+        pdf = pdf.reindex(columns=range(max(cols) + 1))
         m = pdf.to_numpy(dtype=np.float64)
         mask = (~np.isnan(m)).astype(np.float64)
         return cls(np.nan_to_num(m, nan=0.0), mask, list(pdf.index))

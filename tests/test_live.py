@@ -243,3 +243,30 @@ def test_save_restore_roundtrip(spark, tmp_path):
     assert np.allclose(np.nan_to_num(s.matrix), np.nan_to_num(s2.matrix))
     assert np.array_equal(s.explored, s2.explored)
     assert np.allclose(s.cutoffs, s2.cutoffs)
+
+
+def test_mixed_timeout_repeats_keep_the_completed_observation(spark, monkeypatch):
+    """Regression (r8 review): with repeats=3, a completed 9s run followed
+    by a timed-out repeat must record an OBSERVED 9s latency — not discard
+    the paid measurement and assert the provably false censor bound
+    'latency >= cutoff' that the censored-ALS repair pass would then
+    propagate."""
+    import limeqo_spark.live as live_mod
+
+    results = iter(
+        [
+            type("R", (), {"latency": 9.0, "censor_cutoff": None, "plan_hash": "fp1"})(),
+            type("R", (), {"latency": None, "censor_cutoff": 10.0, "plan_hash": "fp1"})(),
+        ]
+    )
+    monkeypatch.setattr(
+        live_mod, "run_steered", lambda *a, **k: next(results)
+    )
+    s = live_mod.LiveSteeringSession(
+        spark, {"q": lambda: spark.range(3).toDF("x")}, iters=1, repeats=3
+    )
+    s.execute_cell(0, 0, timeout_s=10.0)
+    assert s.matrix[0, 0] == 9.0, "the completed run must be the observation"
+    assert s.cutoffs[0, 0] == 0.0, "no censor bound when a run completed"
+    obs = s.observations[-1]
+    assert obs.latency == 9.0 and obs.censor_cutoff is None

@@ -147,3 +147,23 @@ def test_bench_cpu_calibration_token():
                 "repeatability bound unreliable"
             )
     assert max(a, b) / min(a, b) < CAL_CONTENDED_RATIO
+
+
+def test_from_long_df_aligns_sparse_hint_columns(spark):
+    """Regression (r8 review): a live log that only contains EXPLORED
+    cells (hint ids with gaps) must rebuild into a matrix whose column k
+    IS hint k — the old pivot gap-compressed columns, so argmin/best-hint
+    indices named the wrong HintSets."""
+    import numpy as np
+
+    from limeqo_spark.workload import Workload
+
+    wl = Workload.synthetic_low_rank(n_rows=6, n_cols=8, rank=2, seed=3, density=0.9)
+    sparse = wl.to_long_df(spark).filter("observed AND hint_id IN (0, 3, 7)")
+    rb = Workload.from_long_df(sparse)
+    assert rb.matrix.shape == (6, 8)
+    for h in (0, 3, 7):
+        want = np.where(wl.mask[:, h] > 0, wl.matrix[:, h], 0)
+        got = np.where(rb.mask[:, h] > 0, rb.matrix[:, h], 0)
+        assert np.allclose(got, want), f"hint {h} misaligned"
+    assert rb.mask[:, [1, 2, 4, 5, 6]].sum() == 0, "gap hints must be unobserved"
