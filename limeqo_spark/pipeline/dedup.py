@@ -131,8 +131,11 @@ def ngram_jaccard_pairs(
     (they cannot reach a useful tau unless the docs are all boilerplate)."""
     # keyed retention, not a bare cache: four registered entries call this
     # helper, and a per-invocation cache pin accumulates across a long
-    # driver session (the registry.retain contract, ADVICE r7 / review r8)
-    sh = retain("jaccard_shingles", token_shingles(corpus, n))
+    # driver session (the registry.retain contract, ADVICE r7 / review r8).
+    # The key carries the corpus plan identity (ADVICE r8): a fixed key would
+    # let a second jaccard entry over a DIFFERENT corpus evict the first
+    # entry's still-referenced shingle cache mid-session.
+    sh = retain(f"jaccard_shingles_{n}_{corpus.semanticHash()}", token_shingles(corpus, n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     idx, hot_sets = sh, None
     if max_doc_freq is not None:

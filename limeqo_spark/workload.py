@@ -97,6 +97,8 @@ class Workload:
         # indistinguishable from unexplored here — the sim Workload
         # carries no cutoff matrix; re-exploration treats them as fresh.
         cols = [int(c) for c in pdf.columns]
+        if not cols:  # empty log (live session saved before any exploration)
+            return cls(np.zeros((len(pdf), 0)), np.zeros((len(pdf), 0)), list(pdf.index))
         pdf.columns = cols
         pdf = pdf.reindex(columns=range(max(cols) + 1))
         m = pdf.to_numpy(dtype=np.float64)

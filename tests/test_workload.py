@@ -167,3 +167,17 @@ def test_from_long_df_aligns_sparse_hint_columns(spark):
         got = np.where(rb.mask[:, h] > 0, rb.matrix[:, h], 0)
         assert np.allclose(got, want), f"hint {h} misaligned"
     assert rb.mask[:, [1, 2, 4, 5, 6]].sum() == 0, "gap hints must be unobserved"
+
+
+def test_from_long_df_empty_log(spark):
+    """Regression (ADVICE r8): an observations log with zero rows (a live
+    session saved before any cell was explored, or a fully-filtered long df)
+    must rebuild into an empty Workload, not raise max() on no columns."""
+    from limeqo_spark.workload import Workload
+
+    wl = Workload.synthetic_low_rank(n_rows=4, n_cols=5, rank=2, seed=1)
+    empty = wl.to_long_df(spark).filter("hint_id < 0")
+    rb = Workload.from_long_df(empty)
+    assert rb.matrix.shape == (0, 0)
+    assert rb.mask.shape == (0, 0)
+    assert rb.query_ids == []
