@@ -944,7 +944,7 @@ def _train_semantic_centers(spark: SparkSession, sf_dir: str, k: int):
     """Wider-than-IVF KMeans codebook for above-floor corpora: seeded
     k-means|| (one init step, 5 Lloyd iterations) on a deterministic
     bounded sample — centroids need the density shape, not every vector
-    (same rationale as ``similarity._train_ivf_centers``); only the k
+    (same rationale as ``similarity.train_ivf_centers_distributed``); only the k
     trained centroids reach the driver."""
     import numpy as np
 
@@ -1003,7 +1003,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     from limeqo_spark.pipeline.cluster import connected_components_auto
-    from limeqo_spark.pipeline.similarity import _train_ivf_centers
+    from limeqo_spark.pipeline.similarity import _ivf_centers
     from limeqo_spark.relational.registry import retain
 
     base = table(spark, sf_dir, "embeddings").select(
@@ -1014,9 +1014,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = base.count() + base.filter(F.col("vec_id") < EMB_PLANT_N).count()
     k = max(16, math.ceil(n_rows / 128))
     centers = (
-        _train_ivf_centers(spark, sf_dir)
-        if k == 16
-        else _train_semantic_centers(spark, sf_dir, k)
+        _ivf_centers() if k == 16 else _train_semantic_centers(spark, sf_dir, k)
     )
     nlist = len(centers)
     if nlist <= 64:

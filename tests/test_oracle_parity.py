@@ -37,7 +37,7 @@ PROP_MIN_ROWS = {
     "text_quality_classifier": 1,
     "ann_ivf_topk": 50,
     "ann_pq_adc": 50,
-    "ann_ivfpq_partitioned": 50,
+    "ann_ivfpq_partitioned": 15,
     "q18_approx_count_distinct": 1,
     "q20_partial_agg_plan": 1,
     "q87_compact_small_files": 1,

@@ -173,6 +173,48 @@ def test_srp_lsh_projection_margins(sf_dir):
     assert frac.min() > 1e-6, "a cosine sits on a 4-dp rounding boundary"
 
 
+def test_ivf_assignment_margins(sf_dir):
+    """Guard for the IVF hash-parity contract (r9, pinned centroids): cell
+    ranking is by centroid distance, computed with different summation
+    orders in Spark (aggregate/zip_with), DuckDB (list_distance), and the
+    driver-side numpy path — a rank flip at the decision boundaries would
+    desync engines. The boundaries that matter: corpus rank-2 vs rank-3
+    (spill-2 assignment set) and probe rank-6 vs rank-7 (nprobe cut).
+    Reassociation noise for 64-dim O(1) vectors is ~1e-13; require >=1e-7."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from limeqo_spark.pipeline.similarity import (
+        _IVF_NPROBE,
+        _IVF_SPILL,
+        _ivf_centers,
+        N_PROBES,
+    )
+
+    emb = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    d2 = np.sort(((emb[:, None, :] - _ivf_centers()[None]) ** 2).sum(-1), axis=1)
+    spill_gap = (d2[:, _IVF_SPILL] - d2[:, _IVF_SPILL - 1]).min()
+    probe_gap = (d2[:N_PROBES, _IVF_NPROBE] - d2[:N_PROBES, _IVF_NPROBE - 1]).min()
+    assert spill_gap > 1e-7, f"corpus spill boundary gap {spill_gap:.2e}"
+    assert probe_gap > 1e-7, f"probe nprobe boundary gap {probe_gap:.2e}"
+
+
+def test_distributed_ivf_refit_path(spark, sf_dir):
+    """The 100 TB refit path stays executable: the MLlib KMeans trainer
+    returns k finite 64-dim centroids without collecting vectors (only
+    model coefficients reach the driver)."""
+    import numpy as np
+
+    from limeqo_spark.pipeline.similarity import train_ivf_centers_distributed
+
+    c = train_ivf_centers_distributed(spark, sf_dir, k=8)
+    assert c.shape == (8, 64)
+    assert np.isfinite(c).all()
+
+
 def test_minhash_mllib_recalls_planted_pairs(spark, sf_dir):
     """The MLlib MinHashLSH reference path (engine-specific hashes, so
     prop-checked here rather than oracle-hashed like the registered
@@ -305,7 +347,8 @@ def test_ann_ivfpq_agrees_with_brute_force(spark, sf_dir):
     ivfpq = REGISTRY["ann_ivfpq_partitioned"].builder(spark, sf_dir).collect()
     brute_sets, got_sets = {}, {}
     for r in brute:
-        brute_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        if r["probe_id"] < 3:  # ivfpq runs 3 probes (pruning visibility)
+            brute_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
     for r in ivfpq:
         got_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
         assert r["ok"], f"self-assertion failed on {r}"
@@ -338,9 +381,13 @@ def test_ivf_partitioned_matches_ivf_and_prunes(spark, sf_dir):
     plan = explain_formatted(part_df)
     import re
 
-    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", plan)
+    # >10 values renders as INSET (inSetConversionThreshold), <=10 as IN (...)
+    m = re.search(
+        r"PartitionFilters: \[cell_id#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+?)(?:,\s*isnotnull|\]))",
+        plan,
+    )
     assert m, "scan carries no static cell_id partition filter"
-    n_cells = len(m.group(1).split(","))
+    n_cells = len((m.group(1) or m.group(2)).split(","))
     assert n_cells < 16, f"IN-list covers all {n_cells} cells — nothing pruned"
 
 

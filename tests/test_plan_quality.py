@@ -154,9 +154,13 @@ def test_ivfpq_code_scan_prunes_and_stays_narrow(spark):
     from limeqo_spark.plans import explain_formatted
 
     text = explain_formatted(REGISTRY["ann_ivfpq_partitioned"].builder(spark, SF))
-    m = re.search(r"PartitionFilters: \[cell_id#\d+ IN \(([\d,]+)\)", text)
+    # >10 values renders as INSET (inSetConversionThreshold), <=10 as IN (...)
+    m = re.search(
+        r"PartitionFilters: \[cell_id#\d+ (?:IN \(([\d,]+)\)|INSET ([\d, ]+?)(?:,\s*isnotnull|\]))",
+        text,
+    )
     assert m, "code scan carries no static cell_id partition filter"
-    assert len(m.group(1).split(",")) < 16, "IN-list covers all cells"
+    assert len((m.group(1) or m.group(2)).split(",")) < 16, "IN-list covers all cells"
     code_scan = next(
         s for s in text.split("ReadSchema: ")[1:] if "codes" in s.splitlines()[0]
     )
