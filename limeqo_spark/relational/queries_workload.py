@@ -177,6 +177,57 @@ def wl_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "limeqo_wl_roundtrip_long",
+    oracle=f"""
+    WITH long AS ({LONG_SQL}),
+    obs AS (
+      SELECT lpad(CAST(query_idx AS VARCHAR), 8, '0') AS query_id,
+             hint_id, MIN(latency) AS latency
+      FROM long WHERE observed GROUP BY 1, 2
+    ),
+    queries AS (
+      SELECT query_id, CAST(DENSE_RANK() OVER (ORDER BY query_id) - 1 AS BIGINT) AS query_idx
+      FROM (SELECT DISTINCT query_id FROM obs) q
+    ),
+    hints AS (
+      SELECT UNNEST(generate_series(0, (SELECT MAX(hint_id) FROM obs))) AS hint_id
+    )
+    SELECT q.query_idx, q.query_id, CAST(h.hint_id AS INT) AS hint_id,
+           o.latency, o.latency IS NOT NULL AS observed
+    FROM queries q CROSS JOIN hints h
+    LEFT JOIN obs o ON o.query_id = q.query_id AND o.hint_id = h.hint_id
+    ORDER BY q.query_idx, h.hint_id
+    """,
+)
+def wl_roundtrip_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A30 state surface round-trip, driver-hashed (VERDICT r8 #6):
+    a live observations log (observed cells only) rebuilds into the dense
+    driver Workload via ``Workload.from_long_df`` — NULL-latency
+    unobserved cells, gap hints reindexed, lexicographic query order —
+    and projects back out through ``to_long_df``. The oracle reconstructs
+    the same dense grid relationally, so the pivot/reindex/mask mechanics
+    the sim loop and live steering sessions rely on get a cross-engine
+    value check, not just unit tests. query_id is zero-padded so the
+    pandas lexicographic index sort equals numeric order on both sides."""
+    from limeqo_spark.workload import Workload
+
+    obs = (
+        long_df(spark, sf_dir)
+        .filter("observed")
+        .select(
+            F.lpad(F.col("query_idx").cast("string"), 8, "0").alias("query_id"),
+            "hint_id",
+            "latency",
+        )
+    )
+    back = Workload.from_long_df(obs).to_long_df(spark)
+    return back.select(
+        "query_idx", "query_id", F.col("hint_id").cast("int").alias("hint_id"),
+        "latency", "observed"
+    ).orderBy("query_idx", "hint_id")
+
+
 @query("limeqo_mllib_complete_agree", oracle=None, check="prop")
 def wl_mllib_agree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A19's DISTRIBUTED completion path (MLlib ALS, `complete.
