@@ -249,6 +249,13 @@ def train_ivf_centers_distributed(
     return np.asarray(km.fit(sample).clusterCenters())
 
 
+def _ivf_centers_values_sql() -> str:
+    return ",\n      ".join(
+        f"({i}, CAST([{', '.join(repr(float(v)) for v in row)}] AS DOUBLE[]))"
+        for i, row in enumerate(_ivf_centers())
+    )
+
+
 def _ivf_oracle_sql(n_probes: int) -> str:
     """DuckDB oracle for the IVF family: the pinned centroids are embedded
     as literals, cell ranking is ROW_NUMBER over (distance, cell-index) —
@@ -258,10 +265,7 @@ def _ivf_oracle_sql(n_probes: int) -> str:
     ``test_ivf_assignment_margins`` guards the cross-engine float concern:
     the smallest corpus rank-2/rank-3 and probe rank-6/rank-7 distance
     gaps sit orders of magnitude above reassociation noise."""
-    rows = ",\n      ".join(
-        f"({i}, CAST([{', '.join(repr(float(v)) for v in row)}] AS DOUBLE[]))"
-        for i, row in enumerate(_ivf_centers())
-    )
+    rows = _ivf_centers_values_sql()
     return f"""
     WITH centers(i, c) AS (VALUES
       {rows}
@@ -372,12 +376,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _topk_with_ok(cand: DataFrame, k: int = 5, with_ok: bool = True) -> DataFrame:
-    """Shared ANN top-k tail. With ``with_ok`` a self-asserting ``ok``
-    column rides along (cosine in [-1, 1] and non-increasing down each
-    probe's ranking) so the driver's rows-only PROP check surfaces a
-    structural regression as ``ok=false`` rows; the HASH entries (IVF
-    family, r9) drop it — their exact-value oracle subsumes the
-    self-assertion and the compare needs identical schemas."""
+    """Shared ANN top-k tail. ``with_ok`` rides a self-asserting ``ok``
+    column along (cosine in [-1, 1] and non-increasing down each probe's
+    ranking) — the r5-r8 PROP-era compensator, kept for ad-hoc callers;
+    as of r9 every registered ANN entry is HASH (pinned centroids +
+    codebooks) and passes with_ok=False — the exact-value oracle subsumes
+    the self-assertion and the compare needs identical schemas."""
     w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     # rank-ONLY window first, lag second: a window mixing row_number with
     # lag blocks Spark's InsertWindowGroupLimit rule, so the rank filter
@@ -417,24 +421,18 @@ def _topk_with_ok(cand: DataFrame, k: int = 5, with_ok: bool = True) -> DataFram
 # sf0.001/0.01/0.1 vs brute force (M=8 subspaces measured 0.76 — under bar).
 _PQ_M, _PQ_K, _PQ_SUB, _PQ_SEED = 16, 16, 4, 99
 _PQ_SHORTLIST = 100
-_PQ_CODEBOOK_CACHE: dict[str, np.ndarray] = {}
+def _pq_codebooks() -> np.ndarray:
+    """The pinned per-subspace codebooks, shape (M, K, SUB) — model
+    artifacts like the IVF centroids (``scripts/train_pq_codebooks.py``);
+    the same floats the DuckDB oracles embed. Standard PQ practice (and
+    the same boundedness argument as :func:`train_ivf_centers_distributed`):
+    codebooks are MODEL PARAMETERS fit once on a ~2k-row bounded sample —
+    at 100 TB nothing about the fit changes; after a refit
+    (:func:`_lloyd_subspace_codebooks` over :func:`_pq_training_sample`)
+    the new floats get pinned the same way."""
+    from limeqo_spark.pipeline._pq_codebooks import PQ_CODEBOOKS
 
-
-def _train_pq_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Per-subspace Lloyd k-means on a bounded deterministic sample.
-
-    Standard PQ practice (and the same boundedness argument as
-    :func:`train_ivf_centers_distributed`): codebooks are MODEL PARAMETERS fit on a
-    fixed-size sample — at 100 TB you still train on ~2k-100k sampled rows;
-    only the sample (2048 x 64 doubles, ~1 MB, constant in corpus size)
-    reaches the driver, never the corpus. orderBy before limit keeps the
-    sample — and therefore the codebooks and every downstream result —
-    deterministic. Returns shape (M, K, SUB)."""
-    cb = _PQ_CODEBOOK_CACHE.get(sf_dir)
-    if cb is None:
-        cb = _lloyd_subspace_codebooks(_pq_training_sample(spark, sf_dir))
-        _PQ_CODEBOOK_CACHE[sf_dir] = cb
-    return cb
+    return np.asarray(PQ_CODEBOOKS, dtype=np.float64)
 
 
 def _pq_training_sample(spark: SparkSession, sf_dir: str) -> np.ndarray:
@@ -512,7 +510,78 @@ def _pq_codes_expr() -> str:
     )
 
 
-@query("ann_pq_adc", oracle=None, check="prop")
+def _codebook_values_sql(cb: np.ndarray) -> str:
+    """(m, k, codeword) VALUES rows for a (M, K, SUB) codebook literal."""
+    return ",\n      ".join(
+        f"({m}, {k}, CAST([{', '.join(repr(float(v)) for v in cb[m][k])}] AS DOUBLE[]))"
+        for m in range(cb.shape[0])
+        for k in range(cb.shape[1])
+    )
+
+
+def _pq_adc_oracle_sql() -> str:
+    """DuckDB oracle for ann_pq_adc (r9): the pinned codebooks are embedded
+    as literals; code assignment is the same argmin-with-lowest-k tiebreak,
+    and ADC decomposes as <p, reconstruct(x)> / (|p| * |reconstruct(x)|) —
+    algebraically identical to the builder's lookup-table sums (subspaces
+    are disjoint coordinates). Cross-engine float margins are measured, not
+    assumed: min code-assignment gap 8.0e-7, min shortlist-cut gap 4.7e-6
+    across fixtures vs ~1e-13 reassociation noise (``test_pq_margins``)."""
+    rows = _codebook_values_sql(_pq_codebooks())
+    return f"""
+    WITH cb(m, k, c) AS (VALUES
+      {rows}
+    ),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    dists AS (
+      SELECT b.vec_id, cb.m, cb.k,
+             list_distance(list_slice(b.emb, cb.m * 4 + 1, cb.m * 4 + 4), cb.c) AS d
+      FROM base b CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, k FROM (
+        SELECT vec_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM dists) z WHERE rn = 1
+    ),
+    recon AS (
+      SELECT codes.vec_id,
+             flatten(list(cb.c ORDER BY codes.m)) AS v,
+             SUM(list_dot_product(cb.c, cb.c)) AS an2
+      FROM codes JOIN cb ON cb.m = codes.m AND cb.k = codes.k
+      GROUP BY codes.vec_id
+    ),
+    probes AS (SELECT vec_id AS probe_id, emb AS pe FROM base WHERE vec_id < {N_PROBES}),
+    adc AS (
+      SELECT p.probe_id, r.vec_id,
+             list_dot_product(p.pe, r.v)
+               / (sqrt(list_dot_product(p.pe, p.pe)) * sqrt(greatest(r.an2, 1e-12))) AS a
+      FROM probes p JOIN recon r ON r.vec_id <> p.probe_id
+    ),
+    shortlist AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY a DESC, vec_id) AS arn
+        FROM adc) z WHERE arn <= {_PQ_SHORTLIST}
+    ),
+    scored AS (
+      SELECT s.probe_id, s.vec_id,
+             CAST(list_cosine_similarity(pb.emb, cv.emb) AS DOUBLE) AS cos
+      FROM shortlist s
+      JOIN base pb ON pb.vec_id = s.probe_id
+      JOIN base cv ON cv.vec_id = s.vec_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rn, ROUND(cos, 4) AS cos_sim
+    FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn
+    """
+
+
+@query("ann_pq_adc", oracle=_pq_adc_oracle_sql())
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN, PQ flavor (Jegou et al. 2011): the corpus is encoded
     once into 16 four-bit codes per vector (32x smaller than float32 — at
@@ -526,9 +595,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured ~1000x slower per row); LUT scoring is a JVM expression; no
     shuffle before the final top-k windows; the probe LUTs are driver math
     on the QUERY (N_PROBES x M x K doubles), not the data.
-    PROP: recall >= 0.8 vs brute force + ADC monotonicity asserted in
-    tests (codebooks are engine-local, so no cross-engine oracle)."""
-    cb = _train_pq_codebooks(spark, sf_dir)
+    HASH (r9): codebooks are pinned literals, so codes, ADC ranking, and
+    the rescored top-5 are value-checked against the DuckDB oracle
+    embedding the same floats; recall >= 0.8 vs brute force stays
+    asserted in tests and ann_recall_gate."""
+    cb = _pq_codebooks()
     e = table(spark, sf_dir, "embeddings")
     # squared norms of each codeword: reconstructed-vector norm is
     # sqrt(sum_m ||cb[m][code_m]||^2) since subspaces are orthogonal
@@ -590,34 +661,22 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pe_df), "probe_id")
         .withColumn("cos", F.expr(_cosine_expr()))
     )
-    return _topk_with_ok(cand)
+    return _topk_with_ok(cand, with_ok=False)
 
 
 _IVFPQ_LAYOUT_CACHE: dict[str, str] = {}
-_IVFPQ_RESIDUAL_CB_CACHE: dict[str, np.ndarray] = {}
 
 
-def _train_residual_codebooks(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """PQ codebooks trained on IVF RESIDUALS (x - nearest centroid) — the
-    paper's by_residual design: within a cell the vectors share the cell
-    mean, so quantizing residuals spends the 8 bytes on the within-cell
-    variation that actually separates neighbors. Measured here: raw-vector
-    codes gave top-5 recall 0.66 at sf0.1; residual codes clear the 0.8
-    bar. Same bounded 2048-row sample as :func:`_train_pq_codebooks`."""
-    cb = _IVFPQ_RESIDUAL_CB_CACHE.get(sf_dir)
-    if cb is None:
-        x = _pq_training_sample(spark, sf_dir)
-        centers = _ivf_centers()
-        # train on the residuals of ALL spill assignments (rank-1 and
-        # rank-2 cells): the codes layout stores a residual per assigned
-        # cell, so the codebook must cover the larger rank-2 residuals too
-        order = ((x[:, None, :] - centers[None]) ** 2).sum(-1).argsort(1)
-        res = np.concatenate(
-            [x - centers[order[:, s]] for s in range(_IVF_SPILL)], axis=0
-        )
-        cb = _lloyd_subspace_codebooks(res)
-        _IVFPQ_RESIDUAL_CB_CACHE[sf_dir] = cb
-    return cb
+def _residual_codebooks() -> np.ndarray:
+    """The pinned residual codebooks (x - assigned-cell centroid, both
+    spill ranks) — the paper's by_residual design: within a cell the
+    vectors share the cell mean, so quantizing residuals spends the 8
+    bytes on the within-cell variation that actually separates neighbors
+    (raw-vector codes measured top-5 recall 0.66 at sf0.1 — under bar).
+    Pinned like :func:`_pq_codebooks`; see scripts/train_pq_codebooks.py."""
+    from limeqo_spark.pipeline._pq_codebooks import PQ_RESIDUAL_CODEBOOKS
+
+    return np.asarray(PQ_RESIDUAL_CODEBOOKS, dtype=np.float64)
 
 
 def _residual_encode_udf(cb: np.ndarray, centers: np.ndarray):
@@ -667,7 +726,7 @@ def ivfpq_partitioned_codes(spark: SparkSession, sf_dir: str) -> str:
     out = _IVFPQ_LAYOUT_CACHE.get(sf_dir)
     if out is None or not os.path.isdir(out):
         centers = _ivf_centers()
-        cb = _train_residual_codebooks(spark, sf_dir)
+        cb = _residual_codebooks()
         e = table(spark, sf_dir, "embeddings")
         coded = (
             e.withColumn(
@@ -682,7 +741,98 @@ def ivfpq_partitioned_codes(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@query("ann_ivfpq_partitioned", oracle=None, check="prop")
+def _ivfpq_oracle_sql(n_probes: int = 3) -> str:
+    """DuckDB oracle for ann_ivfpq_partitioned (r9): pinned centroids AND
+    pinned residual codebooks as literals. The approximate vector is
+    reconstructed directly — v = center[cell] + concat(residual codewords)
+    — which equals the builder's decomposed lookup-table algebra exactly
+    (disjoint subspace coordinates); candidate rows keep spill duplicates
+    so the top-100 ranking matches the builder row-for-row, then DISTINCT
+    before the exact rescore. Margins measured: residual code gap >=
+    7.3e-7, shortlist cut gap >= 7.7e-5 across fixtures
+    (``test_pq_margins``)."""
+    c_rows = _ivf_centers_values_sql()
+    r_rows = _codebook_values_sql(_residual_codebooks())
+    return f"""
+    WITH centers(i, c) AS (VALUES
+      {c_rows}
+    ),
+    rcb(m, k, c) AS (VALUES
+      {r_rows}
+    ),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    ranked_cells AS (
+      SELECT b.vec_id, b.emb, ct.i AS cell_id, ct.c AS cc,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY list_distance(ct.c, b.emb), ct.i) AS cr
+      FROM base b CROSS JOIN centers ct
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id, cc,
+             list_transform(list_zip(emb, cc), s -> s[1] - s[2]) AS resid
+      FROM ranked_cells WHERE cr <= {_IVF_SPILL}
+    ),
+    dists AS (
+      SELECT a.vec_id, a.cell_id, rcb.m, rcb.k,
+             list_distance(list_slice(a.resid, rcb.m * 4 + 1, rcb.m * 4 + 4), rcb.c) AS d
+      FROM assigned a CROSS JOIN rcb
+    ),
+    codes AS (
+      SELECT vec_id, cell_id, m, k FROM (
+        SELECT vec_id, cell_id, m, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, cell_id, m ORDER BY d, k) AS rn
+        FROM dists) z WHERE rn = 1
+    ),
+    recon_res AS (
+      SELECT codes.vec_id, codes.cell_id,
+             flatten(list(rcb.c ORDER BY codes.m)) AS rv
+      FROM codes JOIN rcb ON rcb.m = codes.m AND rcb.k = codes.k
+      GROUP BY codes.vec_id, codes.cell_id
+    ),
+    approx AS (
+      SELECT a.vec_id, a.cell_id,
+             list_transform(list_zip(a.cc, rr.rv), s -> s[1] + s[2]) AS v
+      FROM assigned a
+      JOIN recon_res rr ON rr.vec_id = a.vec_id AND rr.cell_id = a.cell_id
+    ),
+    probe_cells AS (
+      SELECT vec_id AS probe_id, cell_id FROM ranked_cells
+      WHERE vec_id < {n_probes} AND cr <= {_IVF_NPROBE}
+    ),
+    adc AS (
+      SELECT p.probe_id, ap.vec_id,
+             list_dot_product(b.emb, ap.v)
+               / (sqrt(list_dot_product(b.emb, b.emb))
+                  * sqrt(greatest(list_dot_product(ap.v, ap.v), 1e-12))) AS a
+      FROM approx ap
+      JOIN probe_cells p ON p.cell_id = ap.cell_id
+      JOIN base b ON b.vec_id = p.probe_id
+      WHERE ap.vec_id <> p.probe_id
+    ),
+    shortlist AS (
+      SELECT DISTINCT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY a DESC, vec_id) AS arn
+        FROM adc) z WHERE arn <= {_PQ_SHORTLIST}
+    ),
+    scored AS (
+      SELECT s.probe_id, s.vec_id,
+             CAST(list_cosine_similarity(pb.emb, cv.emb) AS DOUBLE) AS cos
+      FROM shortlist s
+      JOIN base pb ON pb.vec_id = s.probe_id
+      JOIN base cv ON cv.vec_id = s.vec_id
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT probe_id, vec_id, CAST(rn AS BIGINT) AS rn, ROUND(cos, 4) AS cos_sim
+    FROM ranked WHERE rn <= 5 ORDER BY probe_id, rn
+    """
+
+
+@query("ann_ivfpq_partitioned", oracle=_ivfpq_oracle_sql())
 def ann_ivfpq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC end-to-end — the composition the 100 TB ANN story actually
     deploys (FAISS's default index family): IVF partition pruning picks
@@ -697,13 +847,15 @@ def ann_ivfpq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ||x||^2 ~ ||c||^2 + 2 sum_m <c_m,cb_m[code]> + sum_m ||cb_m[code]||^2
     — every table is probe- or cell-constant, computed on the driver from
     the probe set and the 16 centroids, never from the data.
-    PROP: recall >= 0.8 vs brute force + self-asserting ok column; plan
-    gate asserts PartitionFilters prune the code scan. 3 probes (like
+    HASH (r9): pinned centroids + residual codebooks make the whole path
+    value-checked against the DuckDB oracle; recall >= 0.8 vs brute force
+    stays asserted in tests and ann_recall_gate; the plan gate asserts
+    PartitionFilters prune the code scan. 3 probes (like
     `ann_ivf_partitioned`): with spill-2 balanced cells, 10 probes' nprobe
     union covers all 16 cells at fixture scale, which would make the
     pruning invisible in PartitionCount."""
     n_probes = 3
-    cb = _train_residual_codebooks(spark, sf_dir)
+    cb = _residual_codebooks()
     centers = _ivf_centers()
     codes = spark.read.parquet(ivfpq_partitioned_codes(spark, sf_dir))
     probes = (
@@ -790,7 +942,7 @@ def ann_ivfpq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(pe_df), "probe_id")
         .withColumn("cos", F.expr(_cosine_expr()))
     )
-    return _topk_with_ok(cand)
+    return _topk_with_ok(cand, with_ok=False)
 
 
 _IVF_LAYOUT_CACHE: dict[str, str] = {}

@@ -432,6 +432,10 @@ class LimeQOPlusStrategy(LimeQOStrategy):
     #: TCNN explorer's per-measurement spend ceiling as a fraction of the
     #: exploration budget (see :meth:`tolerance`)
     tolerance_budget_frac = 0.02
+    #: ensemble gate config (see :meth:`_select_agreement_gated`): the ALS
+    #: veto list is gate_width*k deep; unfilled slots come from this model
+    ensemble_gate_width = 4
+    ensemble_fill = "als"
 
     def __init__(
         self, *args, rank: int = 5, iters: int = 50, lam: float = 0.2,
@@ -479,6 +483,20 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         if self.model == "tcnn":
             self._fit_tcnn()
             return
+        if self.model == "ensemble":
+            # selection-level ensemble (VERDICT r8 #5b): fit BOTH models.
+            # Prediction-level averaging was a measured NEGATIVE (r3-r6,
+            # docs/tcnn_sim_study_r3.json — it destroys the TCNN explorer's
+            # edge), so the combination happens in select(), not here.
+            self._fit_tcnn()
+            self._tcnn_pred = self.pred
+            self._fit_als()
+            self._als_pred = self.pred
+            self.pred = self._tcnn_pred  # primary estimator stays the TCNN
+            return
+        self._fit_als()
+
+    def _fit_als(self) -> None:
         st = self.state
         log_m = np.log1p(np.where(st.mask > 0, self.wl.matrix, 0.0))
         log_cut = np.log1p(st.cutoffs)
@@ -539,6 +557,8 @@ class LimeQOPlusStrategy(LimeQOStrategy):
     def select(self) -> list[tuple[int, int]]:
         st = self.state
         assert self.pred is not None
+        if self.model == "ensemble":
+            return self.random_fill(self._select_agreement_gated())
         # the free-form TCNN needs the absolute-gain guard (see
         # rank_cells_by_improvement); the multiplicative ALS does not
         min_gain = 0.01 if self.model == "tcnn" else 0.0
@@ -546,6 +566,32 @@ class LimeQOPlusStrategy(LimeQOStrategy):
             self.pred, st.explored, st.min_observed(), self.k, min_gain=min_gain
         )
         return self.random_fill(out)
+
+    def _select_agreement_gated(self) -> list[tuple[int, int]]:
+        """Agreement-gated batch (VERDICT r8 #5b): a TCNN pick enters the
+        batch only if the restart-averaged censored ALS ALSO ranks it in
+        its own extended top list — the TCNN keeps its precise ordering,
+        the ALS veto filters the init-noise picks that cost mid-checkpoint
+        budget; the remainder fills from the ALS ranking (the robust
+        explorer — plain-LimeQO beats ITS baseline on CEB), then TCNN."""
+        st = self.state
+        mo = st.min_observed()
+        wide = self.ensemble_gate_width * self.k
+        t_ranked = rank_cells_by_improvement(
+            self._tcnn_pred, st.explored, mo, wide, min_gain=0.01
+        )
+        a_ranked = rank_cells_by_improvement(self._als_pred, st.explored, mo, wide)
+        a_set = set(a_ranked)
+        out = [c for c in t_ranked if c in a_set][: self.k]
+        fills = (
+            a_ranked + t_ranked if self.ensemble_fill == "als" else t_ranked + a_ranked
+        )
+        for c in fills:
+            if len(out) >= self.k:
+                break
+            if c not in out:
+                out.append(c)
+        return out
 
     #: floor (seconds of exploration spend) under which the spent-scaled
     #: cap stops tightening — early probes may cost up to 2% x 300 s
@@ -580,7 +626,7 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         explorer; the ALS strategies never exhibit the failure and keep
         the reference's exact guard."""
         tol = super().tolerance(i, j)
-        if self.model == "tcnn":
+        if self.model in ("tcnn", "ensemble"):
             anchor = max(self.state.spent, self.tolerance_spent_floor)
             tol = min(tol, self.tolerance_budget_frac * anchor)
         return tol
