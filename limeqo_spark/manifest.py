@@ -12,93 +12,87 @@ except ImportError:  # pragma: no cover
 
 from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 
-#: Rotation aliases (round 8). The driver's CORRECTNESS gate verifies the
-#: first 50 manifest entries in alphabetical order; each name below gets an
-#: ``a8_``-prefixed alias (sorts ahead of ``ann_*``) pointing at the *same*
-#: builder/oracle. Window computed by ``scripts/rotation_plan.py`` against
-#: the live registry + git history (VERDICT r7 next-round #1), RE-RUN at
-#: round-8 end after the planner's boundary fix (the driver stopped
-#: writing ``end-of-round snapshot`` commits after r5, so r6/r7-checked
-#: entries whose files changed later were invisibly escaping the
-#: changed-after-check flag), then RE-RUN AGAIN after the round's second
-#: operator batches (ER family, LOCF gap-fill, z-score pair + streaming
-#: + bucketed variants, int8 quantization, label centroids, power
-#: iteration, boilerplate n-grams, inverted index, RFM segmentation,
-#: Markov transitions, TWAP, last-touch attribution, Pareto spend)
-#: added SIXTEEN more never-driver-checked entries (q108 plus fifteen
-#: batch operators). Round 7's 50 ``a7_`` aliases are RETIRED (all
-#: targets have green r7 driver rows). The r8 window covers (a) ALL 31
-#: never-driver-checked entries — the 15 carried in from r7 (q98,
-#: q100–q107, the BPE pair, PPS, CDC merge/diff, SemDeDup) plus the 16
-#: new —, then (b) as many changed-after-check entries as fit — the
-#: whole dedup family (dedup.py/cluster.py changed in r8), the gate
-#: builders, q44a as the streaming representative — with three of the
-#: ann_* family riding the natural alphabetical window (47 aliases +
-#: 3 ann_* = exactly 50). Displaced to r9 (changed-after-check, still
-#: sweep-green + unit-tested): ann_ivfpq_partitioned/ann_lsh_bucketed/
-#: ann_pq_adc (file changed, ANN code untouched) and ann_recall_gate
-#: (PROP; its real recall checks run in pytest),
-#: cdc_scd2_history/cdc_upsert_latest (r6-green), the
-#: streaming tail q44b–q54/q86/q96, q97/q99/scale_pruning_gate,
-#: corpus_chunk_windows/corpus_mix_quota_sample, plus the merely-stale
-#: unchanged tail (q84/q85, limeqo_wl_*, mm_*, q01/q02): never-checked
-#: outranks changed, which outranks old-but-valid, for the 50 slots. Canonical
-#: names stay registered; local tests skip the aliases (identical spec)
-#: to avoid double-running.
-ROTATION_ALIAS_PREFIX = "a8_"
+#: Rotation aliases (round 9). The driver's CORRECTNESS gate verifies the
+#: first 50 manifest entries alphabetically; each name below gets an
+#: ``a9_`` alias (sorts ahead of ``ann_*``) pointing at the same
+#: builder/oracle. Window computed by ``scripts/rotation_plan.py
+#: --prefix a9_`` with the r9 planner fix (within the changed-after-check
+#: class, OLDEST driver evidence first — 142 entries were re-flagged
+#: changed this round because the session touched dedup/similarity/
+#: workload/scan-join families, far over the 50 slots). Coverage: the
+#: never-checked ``limeqo_wl_roundtrip_long``; the r4/r5-checked changed
+#: tail (q01–q22 scan/join/agg surface, q84/q85 sinks, ``limeqo_wl_*``);
+#: the r6-checked changed tail (q86–q96 incl. the streaming store-probe
+#: pair, cdc_upsert_latest, limeqo_mllib_complete_agree); and the ANN
+#: family whose geometry was re-pinned this round (ann_pq_adc /
+#: ann_ivfpq_partitioned / ann_lsh_bucketed / ann_recall_gate from the
+#: planner, plus a documented judgment swap: ann_ivf_topk and
+#: ann_ivf_partitioned — the round's PROP→HASH headline upgrade, highest
+#: regression risk — replace the low-risk r5 pair q21_sort_limit /
+#: q22_topk_by_spend, which return next round). Every a8_ alias is
+#: RETIRED (all 50 targets carry green r8 driver rows). Displaced to
+#: r10 (changed-after-check, sweep-green + unit-tested locally): the
+#: remaining dedup/corpus/events/text families re-flagged by this
+#: session's edits, the streaming tail q44b–q54/q82, q97/q99, and
+#: q23–q81's older changed rows. Canonical names stay registered; local
+#: tests skip the aliases (identical spec) to avoid double-running.
+ROTATION_ALIAS_PREFIX = "a9_"
 #: every alias prefix in use this round (local tests skip all of them)
-ROTATION_ALIAS_PREFIXES = ("a8_",)
-_ROTATION_R8 = [
-    "corpus_pack_bins",
-    "corpus_weighted_sample_pps",
-    "customer_rfm_segments",
-    "cdc_merge_apply",
-    "cdc_snapshot_diff",
-    "dedup_chunk_reconstruct",
-    "dedup_cluster_best_quality",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_semantic_clusters",
-    "dedup_simhash",
-    "dedup_substring_spans",
-    "embed_centroid_per_label",
-    "embed_quantize_int8",
-    "embed_power_iteration_pc1",
-    "er_canonical_entities",
-    "er_fuzzy_match_blocked",
-    "events_markov_transitions",
-    "events_twap_per_user",
-    "events_attribution_last_touch",
-    "events_cohort_retention",
-    "events_funnel_stages",
-    "events_gapfill_locf",
-    "events_sessionize_gap",
-    "events_zscore_anomaly",
-    "events_zscore_anomaly_bucketed",
-    "prop_gates",
-    "q100_data_quality_checks",
-    "q101_frequent_pairs_apriori",
-    "q102_recursive_cte_bom",
-    "q103_python_datasource",
-    "q104_table_stats_profile",
-    "q105_stream_merge_apply",
-    "q106_triangle_count",
-    "q107_pagerank_fixed_point",
-    "q108_stream_zscore_anomaly",
-    "q44a_stream_tumbling",
-    "q98_skew_diagnostics",
-    "supplier_spend_pareto",
-    "text_boilerplate_ngrams",
-    "text_inverted_index",
-    "text_bpe_encode",
-    "text_bpe_vocab_merges",
+ROTATION_ALIAS_PREFIXES = ("a9_",)
+_ROTATION_R9 = [
+    "ann_ivf_partitioned",
+    "ann_ivf_topk",
+    "ann_ivfpq_partitioned",
+    "ann_lsh_bucketed",
+    "ann_pq_adc",
+    "ann_recall_gate",
+    "cdc_upsert_latest",
+    "limeqo_mllib_complete_agree",
+    "limeqo_wl_argmin_per_query",
+    "limeqo_wl_default_vs_opt",
+    "limeqo_wl_equivalence_groups",
+    "limeqo_wl_min_observed",
+    "limeqo_wl_percentiles",
+    "limeqo_wl_roundtrip_long",
+    "limeqo_wl_topk_improvement",
+    "q01_parquet_scan_checksum",
+    "q02_csv_roundtrip",
+    "q03_json_props",
+    "q04_parquet_sink_roundtrip",
+    "q05_projection_charge",
+    "q06_compound_filter",
+    "q07_broadcast_join",
+    "q08_sortmerge_join",
+    "q09_shufflehash_join",
+    "q10_cross_join",
+    "q11_nonequi_join",
+    "q12_left_join",
+    "q12b_right_join",
+    "q12c_full_join",
+    "q13_semi_anti_join",
+    "q14_asof_join",
+    "q15_star_join",
+    "q16_tpch_q1_agg",
+    "q17_count_distinct",
+    "q18_approx_count_distinct",
+    "q19_rollup",
+    "q20_partial_agg_plan",
+    "q84_orc_sink_roundtrip",
+    "q85_schema_evolution_merge",
+    "q86_stream_incremental_dedup",
+    "q87_compact_small_files",
+    "q88_xml_source",
+    "q89_text_source_lines",
+    "q90_try_arithmetic",
+    "q91_dynamic_partition_overwrite",
+    "q92_unpivot_melt",
+    "q93_forward_fill",
+    "q94_null_safe_join",
+    "q95_map_battery",
+    "q96_stream_neardup_minhash",
 ]
 
-for _name in _ROTATION_R8:
+for _name in _ROTATION_R9:
     _spec = REGISTRY[_name]
     _alias = ROTATION_ALIAS_PREFIX + _name
     REGISTRY[_alias] = QuerySpec(

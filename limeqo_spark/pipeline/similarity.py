@@ -1058,7 +1058,8 @@ def ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is DataFrame composition: the method frames union with a
     tag, hits come from a broadcast join against the 50-row truth frame,
     recall is one groupBy. Recall normalizes per method by 5 x the
-    INTENDED probe count — `ann_ivf_partitioned` uses 3 probes by design,
+    INTENDED probe count — `ann_ivf_partitioned` and
+    `ann_ivfpq_partitioned` use 3 probes by design (pruning visibility),
     the others 10 — so a method that silently drops probes (or returns
     nothing at all) scores toward 0 and FAILS, rather than shrinking its
     own denominator; every approximate path shares one gate.

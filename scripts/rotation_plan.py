@@ -126,6 +126,11 @@ def main() -> None:
         src = entry_source_file(m.REGISTRY[n])
         if boundary and src and changed_after(boundary, src):
             changed.append(n)
+    # Oldest driver evidence first: when changed > window (r9: a session
+    # touching dedup/similarity/workload re-flags whole families), the
+    # tail-pop must discard entries whose last green row is RECENT, not
+    # whichever sorts alphabetically last.
+    changed.sort(key=lambda n: (checked_round[n], n))
 
     stale = sorted(
         (

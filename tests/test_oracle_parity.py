@@ -31,13 +31,9 @@ def test_hash_parity(spark, ddb, sf_dir, name):
 # minimum row counts at sf0.01 — a prop query silently returning an empty
 # frame must fail the gate, not slide past it (VERDICT r2 §wrong.2)
 PROP_MIN_ROWS = {
-    "ann_ivf_partitioned": 15,
     "corpus_sketch_profile": 5,
     "corpus_mix_quota_threshold": 5,
     "text_quality_classifier": 1,
-    "ann_ivf_topk": 50,
-    "ann_pq_adc": 50,
-    "ann_ivfpq_partitioned": 15,
     "q18_approx_count_distinct": 1,
     "q20_partial_agg_plan": 1,
     "q87_compact_small_files": 1,

@@ -249,3 +249,30 @@ def test_tcnn_budget_rationality_cap(job):
     free = LimeQOPlusStrategy(job, model="tcnn", net_seed=1)
     free.pred = np.full(job.matrix.shape, 1e9)
     assert free.tolerance(heavy, 1) <= floor_cap + 1e-9
+
+
+def test_ensemble_model_runs_and_respects_batch_contract(job):
+    """The r9 agreement-gated ensemble config (measured NEGATIVE for the
+    CEB mid-checkpoints — docs/ensemble_lab_r9.json — but kept as a
+    documented configuration): fits both models, selects at most k
+    distinct unexplored cells, applies the TCNN spend cap, and completes
+    a budgeted run without error."""
+    from limeqo_spark.strategies import LimeQOPlusStrategy
+
+    s = LimeQOPlusStrategy(
+        job, model="ensemble", net_seed=1, time_budget=30.0, max_rounds=50
+    )
+    rec = s.run()
+    assert len(rec) >= 2
+    assert rec[-1]["total_latency"] <= rec[0]["total_latency"] + 1e-9
+    # selection contract on a fresh fit: k distinct unexplored cells
+    s2 = LimeQOPlusStrategy(job, model="ensemble", net_seed=1)
+    s2.fit()
+    cells = s2.select()
+    assert len(cells) == len(set(cells)) <= s2.k
+    for i, j in cells:
+        assert s2.state.explored[i, j] == 0
+    # the spent-scaled cap applies to the ensemble explorer too
+    s2.pred = __import__("numpy").full(job.matrix.shape, 1e9)
+    floor_cap = s2.tolerance_budget_frac * s2.tolerance_spent_floor
+    assert s2.tolerance(0, 1) <= floor_cap + 1e-9
