@@ -261,7 +261,35 @@ def corpus_pack_bins_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("corpus_mix_quota_threshold", oracle=None, check="prop")
+@query(
+    "corpus_mix_quota_threshold",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    thresholds AS (
+      SELECT lang, n, ({_quota_case()}) AS quota,
+             -- Spark computes t as CAST(double AS BIGINT), which TRUNCATES;
+             -- DuckDB's cast rounds, so trunc() is spelled out (FIXTURES §3)
+             CAST(trunc((({_quota_case()}) * 4294967296.0) / n) AS BIGINT) AS t
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN thresholds th ON th.lang = d.lang
+      WHERE CAST(concat('0x', substr(MD5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            < th.t
+    ),
+    per_lang AS (SELECT lang, COUNT(*) AS realized FROM kept GROUP BY lang)
+    SELECT th.lang,
+           CAST(th.quota AS BIGINT) AS quota,
+           CAST(COALESCE(p.realized, 0) AS BIGINT) AS realized,
+           ABS(COALESCE(p.realized, 0) - th.quota)
+             <= 4 * sqrt(CAST(th.quota AS DOUBLE)) + 1 AS quota_ok
+    FROM thresholds th LEFT JOIN per_lang p ON p.lang = th.lang
+    ORDER BY th.lang
+    """,
+)
 def corpus_mix_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quota sampling, window-free — the EXECUTABLE form of the scale swap
     corpus_mix_quota_sample documents: instead of ranking each language by
@@ -271,8 +299,11 @@ def corpus_mix_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds, NO window — the plan the same operator runs at 100 TB.
     Being a threshold on a uniform hash, the realized count is binomial
     around the quota rather than exact; each row carries its language's
-    realized count, quota, and a 4-sigma ``ok`` bound the prop gate
-    asserts."""
+    realized count, quota, and a 4-sigma ``ok`` bound (also rolled into
+    ``prop_gates``). HASH (r9): every stage is deterministic md5/threshold
+    arithmetic, so realized counts and the bound are value-checked against
+    the identical DuckDB SQL — truncating division spelled out on both
+    engines (FIXTURES §3)."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = d.groupBy("lang").agg(F.count("*").alias("n"))
     quota = F.expr(_quota_case())
@@ -297,7 +328,7 @@ def corpus_mix_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         thresholds.join(per_lang, "lang", "left")
         .select(
             "lang",
-            "quota",
+            F.col("quota").cast("bigint").alias("quota"),
             F.coalesce("realized", F.lit(0)).cast("bigint").alias("realized"),
             (
                 F.abs(F.coalesce("realized", F.lit(0)) - F.col("quota"))

@@ -32,7 +32,6 @@ def test_hash_parity(spark, ddb, sf_dir, name):
 # frame must fail the gate, not slide past it (VERDICT r2 §wrong.2)
 PROP_MIN_ROWS = {
     "corpus_sketch_profile": 5,
-    "corpus_mix_quota_threshold": 5,
     "text_quality_classifier": 1,
     "q18_approx_count_distinct": 1,
     "q20_partial_agg_plan": 1,
