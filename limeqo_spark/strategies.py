@@ -573,7 +573,11 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         its own extended top list — the TCNN keeps its precise ordering,
         the ALS veto filters the init-noise picks that cost mid-checkpoint
         budget; the remainder fills from the ALS ranking (the robust
-        explorer — plain-LimeQO beats ITS baseline on CEB), then TCNN."""
+        explorer — plain-LimeQO beats ITS baseline on CEB), then TCNN.
+        MEASURED NEGATIVE on CEB (docs/ensemble_lab_r9.json): the veto
+        shapes batches toward expensive ALS-style reveals, cutting the
+        round count ~4x per budget; kept as a reproducible config, not
+        used by bench."""
         st = self.state
         mo = st.min_observed()
         wide = self.ensemble_gate_width * self.k
