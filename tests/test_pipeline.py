@@ -147,6 +147,35 @@ def test_retain_keyed_release(spark):
     assert not df2.is_cached and not other.is_cached
 
 
+def test_jaccard_retain_keys_are_per_corpus(spark, sf_dir):
+    """Regression (ADVICE r8): building jaccard pairs over a SECOND corpus
+    must not evict the first corpus's still-referenced shingle cache —
+    the retain key now carries the corpus plan identity (semanticHash),
+    so interleaved builds keep both caches live."""
+    from limeqo_spark.pipeline.corpus import planted_corpus
+    from limeqo_spark.pipeline.dedup import ngram_jaccard_pairs
+    from limeqo_spark.relational.registry import _RETAINED, release_retained
+
+    release_retained()
+    c1 = planted_corpus(spark, sf_dir)
+    c2 = planted_corpus(spark, sf_dir).filter("doc_id % 2 = 0")
+    ngram_jaccard_pairs(c1, n=3, tau=0.6)
+    keys_after_first = {k for k in _RETAINED if k.startswith("jaccard_shingles")}
+    ngram_jaccard_pairs(c2, n=3, tau=0.6)
+    keys_after_second = {k for k in _RETAINED if k.startswith("jaccard_shingles")}
+    assert keys_after_first and keys_after_first < keys_after_second, (
+        "second corpus must add its own cache key, not replace the first"
+    )
+    for k in keys_after_second:
+        assert _RETAINED[k].is_cached, f"{k} was evicted"
+    # same corpus plan -> same key (re-running an entry still self-evicts)
+    ngram_jaccard_pairs(planted_corpus(spark, sf_dir), n=3, tau=0.6)
+    assert {
+        k for k in _RETAINED if k.startswith("jaccard_shingles")
+    } == keys_after_second
+    release_retained()
+
+
 def test_srp_lsh_projection_margins(sf_dir):
     """Guard for the SRP-LSH hash-parity contract: no embedding projects
     within float-reassociation distance of any hyperplane (a near-zero dot

@@ -181,3 +181,54 @@ def test_from_long_df_empty_log(spark):
     assert rb.matrix.shape == (0, 0)
     assert rb.mask.shape == (0, 0)
     assert rb.query_ids == []
+
+
+def test_from_long_df_roundtrip_hypothesis(spark):
+    """Property (r9, hardens the A1/A2/A30 state surface after the
+    empty-log fix): for random shapes/densities — including rows with no
+    observations and fully-empty logs — from_long_df(to_long_df(wl))
+    recovers exactly the observed cells of wl, with the mask matching and
+    unobserved cells zeroed. Spark-in-the-loop, so examples are few and
+    shapes small; the pure-numpy pivot corners live in the solver
+    property suite."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from limeqo_spark.workload import Workload
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.integers(2, 12),
+        cols=st.integers(1, 8),
+        density=st.floats(0.0, 1.0),
+        seed=st.integers(0, 2**16),
+    )
+    def check(rows: int, cols: int, density: float, seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        m = rng.random((rows, cols)) + 0.1
+        mask = (rng.random((rows, cols)) < density).astype(np.float64)
+        wl = Workload(m, mask)
+        rb = Workload.from_long_df(wl.to_long_df(spark).filter("observed"))
+        if mask.sum() == 0:
+            assert rb.matrix.shape == (0, 0)
+            return
+        # queries with no observed cell drop out of the log entirely;
+        # the rebuilt index is LEXICOGRAPHIC on query_id (so "q10" < "q2"
+        # for the default ids); hint columns reindex densely to
+        # 0..max(observed hint)
+        kept_rows = sorted(
+            np.where(mask.sum(axis=1) > 0)[0], key=lambda i: f"q{i}"
+        )
+        max_h = int(np.where(mask.any(axis=0))[0].max())
+        assert rb.matrix.shape == (len(kept_rows), max_h + 1)
+        sub_mask = mask[kept_rows][:, : max_h + 1]
+        sub_m = m[kept_rows][:, : max_h + 1]
+        assert np.array_equal(rb.mask, sub_mask)
+        assert np.array_equal(rb.matrix, np.where(sub_mask > 0, sub_m, 0.0))
+
+    check()
