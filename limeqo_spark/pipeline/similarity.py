@@ -1028,6 +1028,129 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk, ACL 2019): mine parallel
+# (source-language, target-language) pairs from two embedding shards by
+# RATIO-MARGIN scoring — cos(x, y) normalized by the mean cosine of each
+# side's k nearest neighbors — with forward-backward mutual-best
+# intersection. The canonical parallel-corpus mining op behind large
+# translation datasets (CCMatrix/LASER pipelines).
+_BITEXT_K, _BITEXT_TAU = 4, 1.05
+_BITEXT_PLANT_CUT, _BITEXT_PLANT_OFFSET = 100, 1_000_000
+
+_BITEXT_ORACLE = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+    src AS (SELECT vec_id, e FROM e WHERE label = 0),
+    tgt AS (
+      SELECT vec_id, e FROM e WHERE label = 1
+      UNION ALL
+      SELECT vec_id + {_BITEXT_PLANT_OFFSET}, e FROM e
+      WHERE label = 0 AND vec_id < {_BITEXT_PLANT_CUT}
+    ),
+    pairs AS (
+      SELECT s.vec_id AS sid, t.vec_id AS tid,
+             CAST(list_cosine_similarity(s.e, t.e) AS DOUBLE) AS c
+      FROM src s CROSS JOIN tgt t
+    ),
+    fwd AS (
+      SELECT sid, AVG(c) AS a_s FROM (
+        SELECT sid, c, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rn
+        FROM pairs) z
+      WHERE rn <= {_BITEXT_K} GROUP BY sid
+    ),
+    bwd AS (
+      SELECT tid, AVG(c) AS a_t FROM (
+        SELECT tid, c, ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rn
+        FROM pairs) z
+      WHERE rn <= {_BITEXT_K} GROUP BY tid
+    ),
+    scored AS (
+      SELECT p.sid, p.tid, p.c / (0.5 * (f.a_s + b.a_t)) AS m
+      FROM pairs p JOIN fwd f ON f.sid = p.sid JOIN bwd b ON b.tid = p.tid
+    ),
+    flagged AS (
+      SELECT sid, tid, m,
+             ROW_NUMBER() OVER (PARTITION BY sid ORDER BY m DESC, tid) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY tid ORDER BY m DESC, sid) AS rb
+      FROM scored
+    )
+    SELECT sid, tid, ROUND(m, 4) AS margin FROM flagged
+    WHERE rf = 1 AND rb = 1 AND m > {_BITEXT_TAU} ORDER BY sid
+    """
+
+
+@query("embed_bitext_margin_mining", oracle=_BITEXT_ORACLE)
+def embed_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): treat label-0 embeddings as the source
+    language and label-1 (plus planted translations — exact clones of the
+    low-id label-0 vectors, so the fixture has known parallel pairs) as
+    the target language; score every pair by RATIO MARGIN —
+    cos(x,y) / (0.5 * (mean cos of x's k-NN in tgt + mean cos of y's k-NN
+    in src)) — and keep pairs that are mutually best in both directions
+    above the 1.05 margin threshold (the paper's forward-backward "max"
+    strategy; absolute cosine thresholds are known-miscalibrated across
+    languages, which is the margin's whole point).
+
+    Plan: the smaller shard broadcasts into the pair scoring (language
+    shards are a tiny fraction of a corpus), denominators are two
+    map-side-limited top-k windows, mutual-best is two more windows —
+    no shuffle carries raw vectors beyond the per-shard frames. The
+    all-pairs stage is the FIXTURE floor that keeps the DuckDB oracle
+    exact; at 100 TB candidate generation and k-NN retrieval run through
+    the ANN family above (IVF cells / SRP bands — exactly how the paper
+    mines with FAISS), with margins computed over retrieved neighbors.
+    HASH: pure deterministic math; `test_bitext_margins` guards the
+    cross-engine decision boundaries (k-NN cut, mutual-argmax, threshold,
+    4-dp rounding)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    src = e.filter("label = 0").select("vec_id", "e")
+    plants = src.filter(F.col("vec_id") < _BITEXT_PLANT_CUT).select(
+        (F.col("vec_id") + F.lit(_BITEXT_PLANT_OFFSET)).alias("vec_id"), "e"
+    )
+    tgt = e.filter("label = 1").select("vec_id", "e").unionByName(plants)
+    pairs = (
+        src.select(F.col("vec_id").alias("sid"), F.col("e").alias("pe"))
+        .crossJoin(
+            F.broadcast(
+                tgt.select(F.col("vec_id").alias("tid"), F.col("e").alias("embedding"))
+            )
+        )
+        .withColumn("c", F.expr(_cosine_expr()))
+        .select("sid", "tid", "c")
+    )
+    wf = W.partitionBy("sid").orderBy(F.col("c").desc(), "tid")
+    wb = W.partitionBy("tid").orderBy(F.col("c").desc(), "sid")
+    fwd = (
+        pairs.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _BITEXT_K)
+        .groupBy("sid")
+        .agg(F.avg("c").alias("a_s"))
+    )
+    bwd = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _BITEXT_K)
+        .groupBy("tid")
+        .agg(F.avg("c").alias("a_t"))
+    )
+    scored = (
+        pairs.join(fwd, "sid")
+        .join(bwd, "tid")
+        .withColumn("m", F.col("c") / (0.5 * (F.col("a_s") + F.col("a_t"))))
+    )
+    bf = W.partitionBy("sid").orderBy(F.col("m").desc(), "tid")
+    bb = W.partitionBy("tid").orderBy(F.col("m").desc(), "sid")
+    return (
+        scored.withColumn("rf", F.row_number().over(bf))
+        .withColumn("rb", F.row_number().over(bb))
+        .filter((F.col("rf") == 1) & (F.col("rb") == 1) & (F.col("m") > _BITEXT_TAU))
+        .select("sid", "tid", F.round("m", 4).alias("margin"))
+        .orderBy("sid")
+    )
+
+
 #: recall@5 bars for the driver-visible gate. The IVF/PQ paths carry the
 #: same 0.8 bar the local suite enforces (measured 0.88-0.98 across the
 #: fixtures). The 16-plane/4-bit-band SRP-LSH path is a candidate-

@@ -309,6 +309,78 @@ def test_pq_margins(sf_dir):
             assert cut > 1e-7, f"ivfpq shortlist cut gap {cut:.2e} (probe {p})"
 
 
+def test_bitext_mining_recovers_planted_pairs(spark, sf_dir):
+    """Every planted translation (an exact clone of a low-id label-0
+    vector on the target side) must be mined as a mutual-best pair with a
+    high margin; mined pairs are unique per side (mutual-best is a
+    partial matching)."""
+    import pyarrow.parquet as pq
+
+    from limeqo_spark.pipeline.similarity import (
+        _BITEXT_PLANT_CUT,
+        _BITEXT_PLANT_OFFSET,
+    )
+
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    planted = set(
+        pdf[(pdf.label == 0) & (pdf.vec_id < _BITEXT_PLANT_CUT)].vec_id.tolist()
+    )
+    rows = REGISTRY["embed_bitext_margin_mining"].builder(spark, sf_dir).collect()
+    mined = {(r["sid"], r["tid"]): r["margin"] for r in rows}
+    for s in planted:
+        key = (s, s + _BITEXT_PLANT_OFFSET)
+        assert key in mined, f"planted pair {key} not mined"
+        assert mined[key] > 1.2, f"planted pair margin {mined[key]} suspiciously low"
+    sids = [r["sid"] for r in rows]
+    tids = [r["tid"] for r in rows]
+    assert len(sids) == len(set(sids)) and len(tids) == len(set(tids))
+
+
+def test_bitext_margins(sf_dir):
+    """Guard for the bitext hash-parity contract: the cross-engine
+    decision boundaries are (a) the k-NN denominator cut (k-th vs k+1-th
+    cosine per side), (b) the mutual-argmax pick (best vs second-best
+    margin per side), (c) the 1.05 threshold, and (d) ROUND(m, 4). All
+    must clear ~1e-13 reassociation noise by orders of magnitude."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from limeqo_spark.pipeline.similarity import (
+        _BITEXT_K,
+        _BITEXT_PLANT_CUT,
+        _BITEXT_PLANT_OFFSET,
+        _BITEXT_TAU,
+    )
+
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    src = np.asarray(pdf[pdf.label == 0].embedding.to_list(), dtype=np.float64)
+    t1 = pdf[pdf.label == 1]
+    plants = pdf[(pdf.label == 0) & (pdf.vec_id < _BITEXT_PLANT_CUT)]
+    tgt = np.vstack(
+        [
+            np.asarray(t1.embedding.to_list(), dtype=np.float64),
+            np.asarray(plants.embedding.to_list(), dtype=np.float64),
+        ]
+    )
+    sn = np.linalg.norm(src, axis=1)
+    tn = np.linalg.norm(tgt, axis=1)
+    c = (src @ tgt.T) / np.outer(sn, tn)
+    k = _BITEXT_K
+    cs = np.sort(c, axis=1)[:, ::-1]
+    ct = np.sort(c.T, axis=1)[:, ::-1]
+    assert (cs[:, k - 1] - cs[:, k]).min() > 1e-9, "fwd k-NN cut too tight"
+    assert (ct[:, k - 1] - ct[:, k]).min() > 1e-9, "bwd k-NN cut too tight"
+    a_s = cs[:, :k].mean(1)
+    a_t = ct[:, :k].mean(1)
+    m = c / (0.5 * (a_s[:, None] + a_t[None, :]))
+    for mm in (m, m.T):
+        s = np.sort(mm, axis=1)[:, ::-1]
+        assert (s[:, 0] - s[:, 1]).min() > 1e-9, "mutual-argmax pick too tight"
+    assert np.abs(m - _BITEXT_TAU).min() > 1e-9, "a margin sits on the threshold"
+    frac = np.abs(m * 1e4 - np.floor(m * 1e4) - 0.5)
+    assert frac.min() > 1e-7, "a margin sits on a 4-dp rounding boundary"
+
+
 def test_distributed_ivf_refit_path(spark, sf_dir):
     """The 100 TB refit path stays executable: the MLlib KMeans trainer
     returns k finite 64-dim centroids without collecting vectors (only

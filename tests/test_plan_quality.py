@@ -172,6 +172,27 @@ def test_ivfpq_code_scan_prunes_and_stays_narrow(spark):
     ), hash_exchanges
 
 
+def test_bitext_broadcasts_target_shard(spark):
+    """Bitext mining's pair stage must broadcast the target language shard
+    (BroadcastNestedLoopJoin — the documented fixture floor; never an
+    unbroadcast CartesianProduct), and every shuffle is keyed by the
+    sid/tid window/aggregation keys, not raw pair rows."""
+    import re
+
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.plans import explain_formatted
+
+    text = explain_formatted(
+        REGISTRY["embed_bitext_margin_mining"].builder(spark, SF)
+    )
+    assert "BroadcastNestedLoopJoin" in text
+    assert "CartesianProduct" not in text
+    hash_exchanges = re.findall(r"hashpartitioning\((\w+)", text)
+    assert hash_exchanges and all(
+        c.startswith(("sid", "tid")) for c in hash_exchanges
+    ), hash_exchanges
+
+
 def test_partition_pruning_reaches_directories(spark):
     """q46: the event_date equality filter must prune at the directory
     level (PartitionFilters in the scan), not post-filter all partitions."""
