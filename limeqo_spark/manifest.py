@@ -26,10 +26,13 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: pair, cdc_upsert_latest, limeqo_mllib_complete_agree); and the ANN
 #: family whose geometry was re-pinned this round (ann_pq_adc /
 #: ann_ivfpq_partitioned / ann_lsh_bucketed / ann_recall_gate from the
-#: planner, plus a documented judgment swap: ann_ivf_topk and
+#: planner, plus two documented judgment swaps: ann_ivf_topk and
 #: ann_ivf_partitioned — the round's PROP→HASH headline upgrade, highest
 #: regression risk — replace the low-risk r5 pair q21_sort_limit /
-#: q22_topk_by_spend, which return next round). Every a8_ alias is
+#: q22_topk_by_spend, and the NEVER-CHECKED new HASH entry
+#: embed_bitext_margin_mining replaces q20_partial_agg_plan, whose PROP
+#: slot could only ever yield a no_oracle row — the exact slot-economics
+#: the r8 verdict flagged; q20/q21/q22 return next round). Every a8_ alias is
 #: RETIRED (all 50 targets carry green r8 driver rows). Displaced to
 #: r10 (changed-after-check, sweep-green + unit-tested locally): the
 #: remaining dedup/corpus/events/text families re-flagged by this
@@ -76,7 +79,7 @@ _ROTATION_R9 = [
     "q17_count_distinct",
     "q18_approx_count_distinct",
     "q19_rollup",
-    "q20_partial_agg_plan",
+    "embed_bitext_margin_mining",
     "q84_orc_sink_roundtrip",
     "q85_schema_evolution_merge",
     "q86_stream_incremental_dedup",
