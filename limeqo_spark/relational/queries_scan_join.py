@@ -1139,6 +1139,90 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q109_jsonl_corrupt_records",
+    oracle="""
+    WITH valid AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_nc
+      FROM documents WHERE doc_id % 7 <> 3 GROUP BY lang
+    ),
+    corrupt AS (
+      SELECT '__corrupt__' AS lang,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(0 AS BIGINT) AS sum_nc
+      FROM documents WHERE doc_id % 7 = 3
+    )
+    SELECT * FROM valid UNION ALL SELECT * FROM corrupt ORDER BY lang
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record JSONL ingestion — the robustness surface every
+    100 TB web-scale ingest needs: a staged JSONL file with PLANTED
+    malformed lines (every doc_id % 7 = 3 row is written as truncated,
+    unclosed JSON carrying its id) is read back in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord``; malformed lines must land whole in the
+    corrupt column (never silently dropped, never partially parsed into
+    the data columns) and valid lines must parse exactly. The audit
+    output proves IDENTITY, not just counts: valid rows aggregate their
+    recovered (doc_id, n_chars) per language, and the corrupt bucket
+    re-extracts each quarantined line's doc_id from the raw corrupt text
+    — the oracle recomputes both directly from the fixture table. At
+    scale this is one pass: the permissive read IS the quarantine
+    (corrupt rows route to a dead-letter sink; no second scan)."""
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "broken"')),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+        .alias("value")
+    )
+    out = scratch_dir(prefix="limeqo_q109_")
+    lines.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+        # Spark disallows queries whose referenced columns are ONLY the
+        # internal corrupt-record column on a raw JSON scan
+        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+        # documented remedy is to materialize the parse once; eager
+        # localCheckpoint also means the quarantine split below reads one
+        # parse, not two scans (blocks auto-clean when unreferenced)
+        .localCheckpoint(eager=True)
+    )
+    valid = (
+        parsed.filter(F.col("_corrupt").isNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_nc"),
+        )
+    )
+    corrupt = (
+        parsed.filter(F.col("_corrupt").isNotNull())
+        .select(
+            F.regexp_extract("_corrupt", r'\{"doc_id": (\d+),', 1)
+            .cast("bigint")
+            .alias("cid")
+        )
+        .agg(
+            F.lit("__corrupt__").alias("lang"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cid").alias("sum_doc_id"),
+            F.lit(0).cast("bigint").alias("sum_nc"),
+        )
+    )
+    return valid.unionByName(corrupt).orderBy("lang")
+
+
+@query(
     "q91_dynamic_partition_overwrite",
     oracle="""
     SELECT o_orderpriority,

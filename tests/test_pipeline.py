@@ -1469,3 +1469,48 @@ def test_string_battery_and_udtf_on_nulls_and_double_spaces(spark, tmp_path):
         od = con.execute(spec.oracle).fetchdf()
         ok, msg = compare_frames(sp, od)
         assert ok, f"{name}: {msg}"
+
+
+def test_q109_corrupt_rows_quarantine_not_leak(spark, sf_dir):
+    """The corrupt-record contract behind q109: a planted malformed line
+    lands WHOLE in the corrupt column with every data column NULL (no
+    partial parse leaks into the data), valid lines parse with the
+    corrupt column NULL, and the split is exhaustive."""
+    import pyarrow.parquet as pq
+
+    from limeqo_spark.io import scratch_dir
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "broken"')),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+        .alias("value")
+    )
+    out = scratch_dir(prefix="limeqo_q109_test_")
+    lines.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema("doc_id long, lang string, n_chars long, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+        .localCheckpoint(eager=True)
+    )
+    total = pq.read_table(f"{sf_dir}/documents.parquet").num_rows
+    rows = parsed.collect()
+    assert len(rows) == total
+    n_corrupt = 0
+    for r in rows:
+        if r["_corrupt"] is not None:
+            n_corrupt += 1
+            assert r["lang"] is None and r["n_chars"] is None, (
+                f"partial parse leaked into data columns: {r}"
+            )
+            assert r["_corrupt"].endswith('"broken"'), r["_corrupt"]
+        else:
+            assert r["doc_id"] is not None and r["doc_id"] % 7 != 3
+    pdf = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    assert n_corrupt == int((pdf.doc_id % 7 == 3).sum())
