@@ -30,9 +30,11 @@ from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 #: ann_ivf_partitioned — the round's PROP→HASH headline upgrade, highest
 #: regression risk — replace the low-risk r5 pair q21_sort_limit /
 #: q22_topk_by_spend, and the NEVER-CHECKED new HASH entry
-#: embed_bitext_margin_mining replaces q20_partial_agg_plan, whose PROP
-#: slot could only ever yield a no_oracle row — the exact slot-economics
-#: the r8 verdict flagged; q20/q21/q22 return next round). Every a8_ alias is
+#: embed_bitext_margin_mining replaces q20_partial_agg_plan and
+#: q109_jsonl_corrupt_records replaces q18_approx_count_distinct —
+#: PROP slots could only ever yield no_oracle rows, the exact
+#: slot-economics the r8 verdict flagged, and both PROPs' real bounds
+#: run inside prop_gates anyway; q18/q20/q21/q22 return next round). Every a8_ alias is
 #: RETIRED (all 50 targets carry green r8 driver rows). Displaced to
 #: r10 (changed-after-check, sweep-green + unit-tested locally): the
 #: remaining dedup/corpus/events/text families re-flagged by this
@@ -77,7 +79,7 @@ _ROTATION_R9 = [
     "q15_star_join",
     "q16_tpch_q1_agg",
     "q17_count_distinct",
-    "q18_approx_count_distinct",
+    "q109_jsonl_corrupt_records",
     "q19_rollup",
     "embed_bitext_margin_mining",
     "q84_orc_sink_roundtrip",
