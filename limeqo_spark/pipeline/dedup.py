@@ -995,6 +995,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer; above the floor a separately-memoized KMeans fit on a
     bounded sample trains the wider codebook.
 
+    ASSUMPTION (ADVICE r9): the k == 16 floor reuses the PINNED IVF
+    centroids (trained on sf0.1's deterministic embedding sample), which
+    is sound because every fixture SF draws from the same generator
+    distribution. For a corpus whose embedding distribution diverges from
+    the fixtures, cluster quality silently degrades — callers in that
+    regime should refit via ``_train_semantic_centers(spark, sf_dir, 16)``
+    (the same distributed path the k > 16 branch already takes).
+
     PROP (KMeans centroids are engine-local, no cross-engine oracle):
     unit gates assert every planted clone pair collapses to exactly the
     original, the kept set has no remaining within-cluster pair at the

@@ -535,7 +535,7 @@ def _pq_adc_oracle_sql() -> str:
     base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     dists AS (
       SELECT b.vec_id, cb.m, cb.k,
-             list_distance(list_slice(b.emb, cb.m * 4 + 1, cb.m * 4 + 4), cb.c) AS d
+             list_distance(list_slice(b.emb, cb.m * {_PQ_SUB} + 1, cb.m * {_PQ_SUB} + {_PQ_SUB}), cb.c) AS d
       FROM base b CROSS JOIN cb
     ),
     codes AS (
@@ -690,7 +690,9 @@ def _residual_encode_udf(cb: np.ndarray, centers: np.ndarray):
     @F.pandas_udf("array<struct<cell_id: int, codes: array<int>>>")
     def encode(emb: pd.Series) -> pd.Series:
         x = np.asarray(emb.to_list(), dtype=np.float64)
-        order = ((x[:, None, :] - centers[None]) ** 2).sum(-1).argsort(1)
+        # stable sort: ties in distance must break by lowest cell index to
+        # match the SQL (d, k)/(d, cell) ORDER BY tiebreak (ADVICE r9)
+        order = ((x[:, None, :] - centers[None]) ** 2).sum(-1).argsort(1, kind='stable')
         per_spill = []
         for s in range(_IVF_SPILL):
             cell = order[:, s]
@@ -774,7 +776,7 @@ def _ivfpq_oracle_sql(n_probes: int = 3) -> str:
     ),
     dists AS (
       SELECT a.vec_id, a.cell_id, rcb.m, rcb.k,
-             list_distance(list_slice(a.resid, rcb.m * 4 + 1, rcb.m * 4 + 4), rcb.c) AS d
+             list_distance(list_slice(a.resid, rcb.m * {_PQ_SUB} + 1, rcb.m * {_PQ_SUB} + {_PQ_SUB}), rcb.c) AS d
       FROM assigned a CROSS JOIN rcb
     ),
     codes AS (
@@ -880,7 +882,7 @@ def ann_ivfpq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in probes:
         pv = np.asarray(r["pe"])
         d2 = ((pv - centers) ** 2).sum(axis=1)
-        cells = [int(c) for c in np.argsort(d2)[:_IVF_NPROBE]]
+        cells = [int(c) for c in np.argsort(d2, kind='stable')[:_IVF_NPROBE]]
         union_cells.update(cells)
         lut = [
             [float(pv[m * _PQ_SUB : (m + 1) * _PQ_SUB] @ cb[m][k]) for k in range(_PQ_K)]
@@ -1008,7 +1010,7 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_cells: set[int] = set()
     for r in probes:
         d2 = ((np.asarray(r["embedding"]) - centers) ** 2).sum(axis=1)
-        cells = [int(c) for c in np.argsort(d2)[:_IVF_NPROBE]]
+        cells = [int(c) for c in np.argsort(d2, kind='stable')[:_IVF_NPROBE]]
         probe_cells.append((r["vec_id"], list(r["embedding"]), cells))
         union_cells.update(cells)
     # the literal IN list is what the scan prunes on

@@ -59,7 +59,7 @@ def main() -> None:
     x = np.asarray(pdf["embedding"].head(SAMPLE).to_list(), dtype=np.float64)
     raw = _lloyd_subspace_codebooks(x)
     centers = _ivf_centers()
-    order = ((x[:, None, :] - centers[None]) ** 2).sum(-1).argsort(1)
+    order = ((x[:, None, :] - centers[None]) ** 2).sum(-1).argsort(1, kind='stable')
     res = np.concatenate([x - centers[order[:, s]] for s in range(_IVF_SPILL)], axis=0)
     residual = _lloyd_subspace_codebooks(res)
     body = (
