@@ -1038,6 +1038,11 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # intersection. The canonical parallel-corpus mining op behind large
 # translation datasets (CCMatrix/LASER pipelines).
 _BITEXT_K, _BITEXT_TAU = 4, 1.05
+#: adaptive-quantizer sizing for the ANN miner: expected rows per cell.
+#: 64 (vs SemDeDup's 128) because EVERY shard vector is a query here, so
+#: per-query candidate volume — spill x nprobe x cell — is the x16 wall
+#: driver; the fixture SFs stay on the pinned 16-cell floor either way.
+_BITEXT_CELL_ROWS = 64
 _BITEXT_PLANT_CUT, _BITEXT_PLANT_OFFSET = 100, 1_000_000
 
 _BITEXT_ORACLE = f"""
@@ -1081,6 +1086,21 @@ _BITEXT_ORACLE = f"""
     """
 
 
+def _bitext_shards(spark: SparkSession, sf_dir: str):
+    """The two language shards of the bitext fixture: label-0 is the
+    source language, label-1 plus the planted translations (exact clones
+    of the low-id label-0 vectors, offset ids) is the target language."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    src = e.filter("label = 0").select("vec_id", "e")
+    plants = src.filter(F.col("vec_id") < _BITEXT_PLANT_CUT).select(
+        (F.col("vec_id") + F.lit(_BITEXT_PLANT_OFFSET)).alias("vec_id"), "e"
+    )
+    tgt = e.filter("label = 1").select("vec_id", "e").unionByName(plants)
+    return src, tgt
+
+
 @query("embed_bitext_margin_mining", oracle=_BITEXT_ORACLE)
 def embed_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019, the
@@ -1099,20 +1119,14 @@ def embed_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-limited top-k windows, mutual-best is two more windows —
     no shuffle carries raw vectors beyond the per-shard frames. The
     all-pairs stage is the FIXTURE floor that keeps the DuckDB oracle
-    exact; at 100 TB candidate generation and k-NN retrieval run through
-    the ANN family above (IVF cells / SRP bands — exactly how the paper
-    mines with FAISS), with margins computed over retrieved neighbors.
+    exact and serves as the recall reference; the RUNNABLE 100 TB path is
+    :func:`embed_bitext_margin_mining_ann` (IVF-cell candidate generation
+    — exactly how the paper mines with FAISS — margins over retrieved
+    neighbors, recall vs this entry gated by ``bitext_recall_gate``).
     HASH: pure deterministic math; `test_bitext_margins` guards the
     cross-engine decision boundaries (k-NN cut, mutual-argmax, threshold,
     4-dp rounding)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
-    )
-    src = e.filter("label = 0").select("vec_id", "e")
-    plants = src.filter(F.col("vec_id") < _BITEXT_PLANT_CUT).select(
-        (F.col("vec_id") + F.lit(_BITEXT_PLANT_OFFSET)).alias("vec_id"), "e"
-    )
-    tgt = e.filter("label = 1").select("vec_id", "e").unionByName(plants)
+    src, tgt = _bitext_shards(spark, sf_dir)
     pairs = (
         src.select(F.col("vec_id").alias("sid"), F.col("e").alias("pe"))
         .crossJoin(
@@ -1151,6 +1165,342 @@ def embed_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sid", "tid", F.round("m", 4).alias("margin"))
         .orderBy("sid")
     )
+
+
+_BITEXT_CENTER_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _bitext_train_centers(spark: SparkSession, sf_dir: str, k: int) -> np.ndarray:
+    """Above-floor quantizer refit for the ANN bitext miner: the SAME
+    recipe that produced the pinned floor artifact — seeded k-means++
+    init + 25 Lloyd iterations in float64 on the vec_id-sorted first
+    4096 embeddings (``scripts/train_ivf_centers.py``) — run inline on
+    the corpus at hand. The sample is a BOUNDED one-time driver pull
+    (4096 x 64 doubles, ~2 MB — a model fit, not a data path); centroids
+    need the density shape, not every vector, so the sample size does
+    not grow with the corpus. For extreme k the distributed MLlib
+    trainer (:func:`train_ivf_centers_distributed`) is the refit path,
+    pinning its output the same way."""
+    centers = _BITEXT_CENTER_CACHE.get((sf_dir, k))
+    if centers is None:
+        pdf = (
+            table(spark, sf_dir, "embeddings")
+            .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+            .orderBy("vec_id")
+            .limit(4096)
+            .toPandas()
+        )
+        x = np.asarray(pdf["e"].to_list(), dtype=np.float64)
+        rng = np.random.default_rng(42)
+        # k-means++ with the incremental min-distance update (O(n) per
+        # added center) and Lloyd via the |x-c|^2 = |x|^2 - 2x.c + |c|^2
+        # expansion (one n x k matmul per iteration) — the naive
+        # broadcast form materializes an n x k x 64 temporary per pass,
+        # which is what made the first cut of this trainer slower than
+        # the MLlib fit it replaced
+        c = [x[int(rng.integers(len(x)))]]
+        d2min = ((x - c[0]) ** 2).sum(1)
+        for _ in range(1, k):
+            nxt = x[int(rng.choice(len(x), p=d2min / d2min.sum()))]
+            c.append(nxt)
+            d2min = np.minimum(d2min, ((x - nxt) ** 2).sum(1))
+        c = np.asarray(c)
+        x2 = (x**2).sum(1)
+        for _ in range(25):
+            d2 = x2[:, None] - 2.0 * (x @ c.T) + (c**2).sum(1)[None]
+            a = d2.argmin(1)
+            for j in range(k):
+                members = x[a == j]
+                c[j] = members.mean(0) if len(members) else x[d2.min(1).argmax()]
+        centers = _BITEXT_CENTER_CACHE[(sf_dir, k)] = c
+    return centers
+
+
+def _bitext_ann_oracle_sql() -> str:
+    """DuckDB oracle for the ANN-backed bitext miner: the pinned IVF
+    centroids are embedded as literals; each shard vector's cells are
+    ranked by (distance, cell-index) exactly as the Spark struct-sort
+    does; queries take cr <= nprobe, index entries cr <= spill; and the
+    margin computation runs over the retrieved candidate sets only. The
+    UNION in ``pairs`` dedups (a pair retrieved in both directions
+    carries the identical cosine in both engines, so set-union matches
+    Spark's ``unionByName().distinct()``)."""
+    rows = _ivf_centers_values_sql()
+    return f"""
+    WITH centers(i, c) AS (VALUES
+      {rows}
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+    src AS (SELECT vec_id, e FROM e WHERE label = 0),
+    tgt AS (
+      SELECT vec_id, e FROM e WHERE label = 1
+      UNION ALL
+      SELECT vec_id + {_BITEXT_PLANT_OFFSET}, e FROM e
+      WHERE label = 0 AND vec_id < {_BITEXT_PLANT_CUT}
+    ),
+    src_cells AS (
+      SELECT s.vec_id, s.e, ct.i AS cell_id,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                ORDER BY list_distance(ct.c, s.e), ct.i) AS cr
+      FROM src s CROSS JOIN centers ct
+    ),
+    tgt_cells AS (
+      SELECT t.vec_id, t.e, ct.i AS cell_id,
+             ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                                ORDER BY list_distance(ct.c, t.e), ct.i) AS cr
+      FROM tgt t CROSS JOIN centers ct
+    ),
+    fwd AS (
+      SELECT DISTINCT sq.vec_id AS sid, ta.vec_id AS tid,
+             CAST(list_cosine_similarity(sq.e, ta.e) AS DOUBLE) AS c
+      FROM src_cells sq JOIN tgt_cells ta ON ta.cell_id = sq.cell_id
+      WHERE sq.cr <= {_IVF_NPROBE} AND ta.cr <= {_IVF_SPILL}
+    ),
+    bwd AS (
+      SELECT DISTINCT sa.vec_id AS sid, tq.vec_id AS tid,
+             CAST(list_cosine_similarity(sa.e, tq.e) AS DOUBLE) AS c
+      FROM tgt_cells tq JOIN src_cells sa ON sa.cell_id = tq.cell_id
+      WHERE tq.cr <= {_IVF_NPROBE} AND sa.cr <= {_IVF_SPILL}
+    ),
+    a_s AS (
+      SELECT sid, AVG(c) AS a_s FROM (
+        SELECT sid, c, ROW_NUMBER() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rn
+        FROM fwd) z
+      WHERE rn <= {_BITEXT_K} GROUP BY sid
+    ),
+    a_t AS (
+      SELECT tid, AVG(c) AS a_t FROM (
+        SELECT tid, c, ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rn
+        FROM bwd) z
+      WHERE rn <= {_BITEXT_K} GROUP BY tid
+    ),
+    pairs AS (SELECT sid, tid, c FROM fwd UNION SELECT sid, tid, c FROM bwd),
+    scored AS (
+      SELECT p.sid, p.tid, p.c / (0.5 * (f.a_s + b.a_t)) AS m
+      FROM pairs p JOIN a_s f ON f.sid = p.sid JOIN a_t b ON b.tid = p.tid
+    ),
+    flagged AS (
+      SELECT sid, tid, m,
+             ROW_NUMBER() OVER (PARTITION BY sid ORDER BY m DESC, tid) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY tid ORDER BY m DESC, sid) AS rb
+      FROM scored
+    )
+    SELECT sid, tid, ROUND(m, 4) AS margin FROM flagged
+    WHERE rf = 1 AND rb = 1 AND m > {_BITEXT_TAU} ORDER BY sid
+    """
+
+
+@query("embed_bitext_margin_mining_ann", oracle=_bitext_ann_oracle_sql())
+def embed_bitext_margin_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB bitext miner (VERDICT r9 #2): same ratio-margin /
+    mutual-best semantics as :func:`embed_bitext_margin_mining`, but
+    candidate generation runs through the pinned IVF coarse quantizer
+    instead of an all-pairs crossJoin — the paper's actual FAISS recipe
+    (Artetxe & Schwenk 2019 mine CCMatrix through an IVF index, not by
+    materializing the S x T cosine matrix).
+
+    Plan: every shard vector gets its spill-2 cell assignment and its
+    nprobe-6 probe list as ONE embarrassingly-parallel JVM expression per
+    row (the `ann_ivf_topk` struct-sort idiom — no crossJoin, no window);
+    forward candidates are src-probes joined to tgt-assignments ON
+    cell_id, backward candidates the reverse — equi-joins whose volume is
+    bounded by cell size. Unlike the `ann_*` entries (a fixed 10-probe
+    query set), here EVERY shard vector is a query, so a fixed nlist
+    would make candidate volume quadratic in the corpus: nlist ADAPTS —
+    ``max(16, ceil(n_shard_rows / 64))``, expected cell <= ~64 rows at
+    any scale — so per-query candidates stay ~spill x nprobe x 64 =
+    constant and total candidate volume is LINEAR in N (the
+    `dedup_semantic_clusters` sizing rule; x16 key-offset probe wall
+    ratio measured under the <=2 bar, `docs/scale_probe_bitext_r10.json`).
+    At 100 TB the shards are written partitioned by cell_id and the
+    candidate joins are partition-local. k-NN denominators are windows
+    over the retrieved sets only; margins, mutual-best, and the
+    threshold are unchanged.
+
+    HASH: at the fixture SFs the adaptive rule floors at nlist=16, the
+    PINNED centroids (`_ivf_centers.py`), so the candidate sets — and
+    therefore every downstream value — are deterministic and reproduced
+    exactly by the DuckDB oracle (measured candidate fraction 0.81 of
+    the cross product at the fixture floor). Above the floor the
+    quantizer is refit with the SAME recipe that produced the pinned
+    floor artifact (`_bitext_train_centers` — seeded k-means++ on the
+    deterministic bounded sample, `scripts/train_ivf_centers.py`); that
+    regime is scale-probed, not oracle-pinned, and nprobe is the
+    recall/cost dial exactly as in FAISS. `test_bitext_ann_margins`
+    guards the cross-engine decision boundaries (cell-rank cuts for
+    EVERY shard vector, within-candidate k-NN cut, mutual-argmax,
+    threshold, 4-dp rounding); `bitext_recall_gate` pins recall >= 0.9
+    vs the exact entry, with planted-pair recall 1.0 (measured
+    0.92/0.95/0.92 and 1.0/1.0/1.0 at sf0.001/0.01/0.1)."""
+    import math
+
+    from limeqo_spark.relational.registry import retain
+
+    src, tgt = _bitext_shards(spark, sf_dir)
+    # ONE pushed-down scan decides the quantizer width (the simhash
+    # N-sizing idiom; counted BEFORE the repartition so the scan stays
+    # column-pruned); the fixture SFs all land on the pinned floor
+    counts = (
+        table(spark, sf_dir, "embeddings")
+        .agg(
+            F.count(F.when(F.col("label") == 0, 1)).alias("n_src"),
+            F.count(F.when(F.col("label") == 1, 1)).alias("n_tgt"),
+            F.count(
+                F.when(
+                    (F.col("label") == 0) & (F.col("vec_id") < _BITEXT_PLANT_CUT), 1
+                )
+            ).alias("n_plants"),
+        )
+        .first()
+    )
+    n_rows = counts["n_src"] + counts["n_tgt"] + counts["n_plants"]
+    nlist = max(_IVF_NLIST, math.ceil(n_rows / _BITEXT_CELL_ROWS))
+    centers = (
+        _ivf_centers()
+        if nlist == _IVF_NLIST
+        else _bitext_train_centers(spark, sf_dir, nlist)
+    )
+    # the fixture parquet reads as 1-2 splits and a broadcast cell-join
+    # INHERITS that parallelism into the cosine map stage (measured: the
+    # x16 candidate generation ran near-serial) — spread the shards to
+    # the core budget first, exactly the planted_corpus idiom
+    par = spark.sparkContext.defaultParallelism
+    src, tgt = src.repartition(par), tgt.repartition(par)
+    cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
+    ranked_cells = (
+        f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
+        "aggregate(zip_with(cents[p], e, (c, x) -> (x - c) * (x - c)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))"
+    )
+
+    def cells(shard: DataFrame, id_alias: str, e_alias: str, n: int) -> DataFrame:
+        # the nlist-way distance sort is ONE embarrassingly-parallel
+        # expression per row; the repartition exchanges feeding the four
+        # derived frames are identical subplans, so Spark's ReusedExchange
+        # shares them without pinning anything in the cache
+        return shard.withColumn("cents", cents_lit).select(
+            F.col("vec_id").alias(id_alias),
+            F.col("e").alias(e_alias),
+            F.explode(
+                F.expr(f"transform(slice({ranked_cells}, 1, {n}), s -> s.i)")
+            ).alias("cell_id"),
+        )
+
+    src_q = cells(src, "sid", "pe", _IVF_NPROBE)
+    src_a = cells(src, "sid", "pe", _IVF_SPILL)
+    tgt_q = cells(tgt, "tid", "embedding", _IVF_NPROBE)
+    tgt_a = cells(tgt, "tid", "embedding", _IVF_SPILL)
+    # retrieved candidate sets, one per direction — equi-joins on cell_id
+    # (at 100 TB: partition-local). Cosine is computed MAP-SIDE in the
+    # join projections (a spill duplicate recomputes the identical
+    # scalar — ~2x embarrassingly-parallel map work — so the shuffle
+    # carries (sid, tid, c): 24 bytes/row instead of two 64-dim arrays,
+    # the first measured x16 wall killer). Both directions then collapse
+    # through ONE grouped exchange with direction flags — a pair found
+    # both ways carries the bitwise-identical cosine (same expression
+    # over the same doubles), so grouping on (sid, tid, c) dedups spill
+    # AND cross-direction duplicates in a single shuffle where the first
+    # cut of this operator spent three (fwd distinct, bwd distinct,
+    # union distinct — the second measured x16 wall killer: at this
+    # volume the wall is exchange-count-bound, not row-bound)
+    cand = retain(
+        "bitext_ann_cand",
+        src_q.join(tgt_a, "cell_id")
+        .withColumn("c", F.expr(_cosine_expr()))
+        .select("sid", "tid", "c", F.lit(True).alias("f"), F.lit(False).alias("b"))
+        .unionByName(
+            tgt_q.join(src_a, "cell_id")
+            .withColumn("c", F.expr(_cosine_expr()))
+            .select(
+                "sid", "tid", "c", F.lit(False).alias("f"), F.lit(True).alias("b")
+            )
+        )
+        .groupBy("sid", "tid", "c")
+        .agg(F.max("f").alias("f"), F.max("b").alias("b")),
+    )
+    wf = W.partitionBy("sid").orderBy(F.col("c").desc(), "tid")
+    wb = W.partitionBy("tid").orderBy(F.col("c").desc(), "sid")
+    a_s = (
+        cand.filter("f")
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= _BITEXT_K)
+        .groupBy("sid")
+        .agg(F.avg("c").alias("a_s"))
+    )
+    a_t = (
+        cand.filter("b")
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= _BITEXT_K)
+        .groupBy("tid")
+        .agg(F.avg("c").alias("a_t"))
+    )
+    # the scored pair set is the union of both directions' retrievals —
+    # exactly the already-deduped candidate frame
+    pairs = cand.select("sid", "tid", "c")
+    # one denominator row per shard vector — broadcast both (a language
+    # shard's id->mean map is tiny even at 100 TB shard scale; if it ever
+    # weren't, these become shuffle joins keyed exactly like the windows)
+    scored = (
+        pairs.join(F.broadcast(a_s), "sid")
+        .join(F.broadcast(a_t), "tid")
+        .withColumn("m", F.col("c") / (0.5 * (F.col("a_s") + F.col("a_t"))))
+    )
+    bf = W.partitionBy("sid").orderBy(F.col("m").desc(), "tid")
+    bb = W.partitionBy("tid").orderBy(F.col("m").desc(), "sid")
+    return (
+        scored.withColumn("rf", F.row_number().over(bf))
+        .withColumn("rb", F.row_number().over(bb))
+        .filter((F.col("rf") == 1) & (F.col("rb") == 1) & (F.col("m") > _BITEXT_TAU))
+        .select("sid", "tid", F.round("m", 4).alias("margin"))
+        .orderBy("sid")
+    )
+
+
+#: planted-pair recall must be perfect (clones share cells with their
+#: source by construction); recall of the exact miner's full pair set is
+#: approximate by design — measured 0.92/0.95/0.92 at sf0.001/0.01/0.1.
+_BITEXT_RECALL_BARS = {"planted": 1.0, "exact_pairs": 0.9}
+
+
+@query("bitext_recall_gate", oracle=None, check="prop")
+def bitext_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible RAISING quality gate for the ANN bitext miner: recall
+    of `embed_bitext_margin_mining_ann` against (a) the planted parallel
+    pairs and (b) the exact miner's full mined pair set. One
+    (metric, recall, bar, ok) row per metric; a bar violation RAISES, so
+    the driver's rows-only PROP check records an err instead of a clean
+    row (the `ann_recall_gate` upgrade pattern, VERDICT r9 #2/#3).
+
+    Both pair frames are mutual-best partial matchings — at most
+    min(|src|, |tgt|) rows — so the hit counts are two broadcast-join
+    aggregates; nothing here scales with the corpus."""
+    exact = embed_bitext_margin_mining(spark, sf_dir).select("sid", "tid")
+    ann = embed_bitext_margin_mining_ann(spark, sf_dir).select(
+        "sid", "tid", F.lit(1).alias("hit")
+    )
+    joined = exact.join(F.broadcast(ann), ["sid", "tid"], "left").select(
+        "sid",
+        "tid",
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+        (F.col("tid") == F.col("sid") + F.lit(_BITEXT_PLANT_OFFSET)).alias("planted"),
+    )
+    agg = joined.agg(
+        (F.sum(F.when(F.col("planted"), F.col("hit")).otherwise(0))
+         / F.sum(F.when(F.col("planted"), 1).otherwise(0))).alias("planted"),
+        (F.sum("hit") / F.count("*")).alias("exact_pairs"),
+    ).collect()[0]
+    rows = []
+    for metric, bar in _BITEXT_RECALL_BARS.items():
+        rec = float(agg[metric])
+        ok = rec >= bar
+        if not ok:
+            raise AssertionError(
+                f"bitext ANN recall gate: {metric} recall {rec:.4f} < bar {bar}"
+            )
+        rows.append((metric, round(rec, 4), float(bar), ok))
+    return spark.createDataFrame(
+        rows, "metric string, recall double, bar double, ok boolean"
+    ).orderBy("metric")
 
 
 #: recall@5 bars for the driver-visible gate. The IVF/PQ paths carry the

@@ -41,6 +41,7 @@ PROP_MIN_ROWS = {
     "q63_stratified_sample": 5,
     "q64_sized_file_sink": 1,
     "ann_recall_gate": 5,
+    "bitext_recall_gate": 2,
     "limeqo_mllib_complete_agree": 1,
     "scale_pruning_gate": 2,
     "prop_gates": 8,

@@ -381,6 +381,114 @@ def test_bitext_margins(sf_dir):
     assert frac.min() > 1e-7, "a margin sits on a 4-dp rounding boundary"
 
 
+def test_bitext_ann_margins(sf_dir):
+    """Hash-parity guard for the ANN bitext miner: beyond the exact
+    entry's boundaries, the IVF candidate generation adds its own — the
+    cell-rank cuts now apply to EVERY shard vector (each src/tgt vector is
+    both an index entry at spill-2 and a query at nprobe-6, where
+    `test_ivf_assignment_margins` only covers the corpus + the 10 ANN
+    probes), and the k-NN / mutual-argmax / threshold / rounding
+    boundaries are re-measured on the candidate-restricted margin matrix,
+    whose values differ from the exact entry's."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from limeqo_spark.pipeline.similarity import (
+        _BITEXT_K,
+        _BITEXT_PLANT_CUT,
+        _BITEXT_TAU,
+        _IVF_NPROBE,
+        _IVF_SPILL,
+        _ivf_centers,
+    )
+
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    src = np.asarray(
+        pdf[pdf.label == 0].sort_values("vec_id").embedding.to_list(), dtype=np.float64
+    )
+    t1 = pdf[pdf.label == 1].sort_values("vec_id")
+    plants = pdf[(pdf.label == 0) & (pdf.vec_id < _BITEXT_PLANT_CUT)].sort_values(
+        "vec_id"
+    )
+    tgt = np.vstack(
+        [
+            np.asarray(t1.embedding.to_list(), dtype=np.float64),
+            np.asarray(plants.embedding.to_list(), dtype=np.float64),
+        ]
+    )
+    cents = _ivf_centers()
+    # (a) cell-rank boundary gaps for every shard vector at BOTH cuts
+    for shard in (src, tgt):
+        d2 = np.sort(((shard[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+        for cut in (_IVF_SPILL, _IVF_NPROBE):
+            gap = (d2[:, cut] - d2[:, cut - 1]).min()
+            assert gap > 1e-7, f"cell-rank cut {cut} gap {gap:.2e}"
+    # (b) rebuild the candidate-restricted margin matrix and re-check the
+    # downstream decision boundaries on it
+    def ranked(shard):
+        return np.argsort(
+            ((shard[:, None, :] - cents[None]) ** 2).sum(-1), axis=1, kind="stable"
+        )
+
+    rs, rt = ranked(src), ranked(tgt)
+    fwd = np.zeros((len(src), len(tgt)), bool)
+    bwd = np.zeros_like(fwd)
+    for i in range(len(src)):
+        probe, assign = set(rs[i, :_IVF_NPROBE]), set(rs[i, :_IVF_SPILL])
+        for j in range(len(tgt)):
+            if probe & set(rt[j, :_IVF_SPILL]):
+                fwd[i, j] = True
+            if set(rt[j, :_IVF_NPROBE]) & assign:
+                bwd[i, j] = True
+    c = (src @ tgt.T) / np.outer(
+        np.linalg.norm(src, axis=1), np.linalg.norm(tgt, axis=1)
+    )
+    k, neg = _BITEXT_K, -1e9
+    for cm, mask, axis in ((c, fwd, 1), (c.T, bwd.T, 1)):
+        masked = np.where(mask, cm, neg)
+        s = np.sort(masked, axis=axis)[:, ::-1]
+        gaps = (s[:, k - 1] - s[:, k])[s[:, k] > neg / 2]
+        assert gaps.min() > 1e-9, "candidate k-NN cut too tight"
+    a_s = np.array(
+        [np.sort(c[i][fwd[i]])[::-1][:k].mean() if fwd[i].any() else np.nan
+         for i in range(len(src))]
+    )
+    a_t = np.array(
+        [np.sort(c[:, j][bwd[:, j]])[::-1][:k].mean() if bwd[:, j].any() else np.nan
+         for j in range(len(tgt))]
+    )
+    cand = fwd | bwd
+    m = np.where(
+        cand & np.isfinite(a_s[:, None]) & np.isfinite(a_t[None, :]),
+        c / (0.5 * (a_s[:, None] + a_t[None, :])),
+        np.nan,
+    )
+    mf = np.where(np.isnan(m), neg, m)
+    for mm in (mf, mf.T):
+        s = np.sort(mm, axis=1)[:, ::-1]
+        gaps = (s[:, 0] - s[:, 1])[s[:, 1] > neg / 2]
+        assert gaps.min() > 1e-9, "candidate mutual-argmax pick too tight"
+    valid = mf[mf > neg / 2]
+    assert np.abs(valid - _BITEXT_TAU).min() > 1e-9, "a margin sits on the threshold"
+    frac = np.abs(valid * 1e4 - np.floor(valid * 1e4) - 0.5)
+    assert frac.min() > 1e-7, "a margin sits on a 4-dp rounding boundary"
+
+
+def test_bitext_recall_gate_raises_on_violation(spark, sf_dir, monkeypatch):
+    """The gate must be a RAISING gate: a bar the measured recall cannot
+    meet turns the driver's no_oracle row into a visible err instead of a
+    clean 'ran' row."""
+    import pytest
+
+    from limeqo_spark.pipeline import similarity
+
+    monkeypatch.setattr(
+        similarity, "_BITEXT_RECALL_BARS", {"planted": 1.0, "exact_pairs": 1.01}
+    )
+    with pytest.raises(AssertionError, match="recall gate"):
+        REGISTRY["bitext_recall_gate"].builder(spark, sf_dir).collect()
+
+
 def test_distributed_ivf_refit_path(spark, sf_dir):
     """The 100 TB refit path stays executable: the MLlib KMeans trainer
     returns k finite 64-dim centroids without collecting vectors (only

@@ -193,6 +193,28 @@ def test_bitext_broadcasts_target_shard(spark):
     ), hash_exchanges
 
 
+def test_bitext_ann_has_no_allpairs_stage(spark):
+    """The 100 TB bitext miner (VERDICT r9 #2) must have NO all-pairs
+    stage at all: no CartesianProduct, no BroadcastNestedLoopJoin — every
+    join is an equi-join on cell_id (candidate generation) or sid/tid
+    (denominators, mutual-best), so candidate volume is bounded by cell
+    size instead of |S| x |T|."""
+    import re
+
+    from limeqo_spark.manifest import REGISTRY
+    from limeqo_spark.plans import explain_formatted
+
+    text = explain_formatted(
+        REGISTRY["embed_bitext_margin_mining_ann"].builder(spark, SF)
+    )
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    hash_exchanges = re.findall(r"hashpartitioning\((\w+)", text)
+    assert hash_exchanges and all(
+        c.startswith(("sid", "tid", "cell_id")) for c in hash_exchanges
+    ), hash_exchanges
+
+
 def test_partition_pruning_reaches_directories(spark):
     """q46: the event_date equality filter must prune at the directory
     level (PartitionFilters in the scan), not post-filter all partitions."""
