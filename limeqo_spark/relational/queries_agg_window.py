@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
 from limeqo_spark.relational.queries_scan_join import dec_sum
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 
 @query(
@@ -337,17 +337,28 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (seed1, seed2) for the q36 self-consistency rehearsal — equal by
+#: contract; the negative test plants a mismatch to prove the gate raises
+_Q36_SEEDS = (42, 42)
+
+
 @query("q36_seeded_sample", oracle=None, check="prop")
 def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B36 seeded sampling self-consistency: same (fraction, seed) twice ->
-    identical sample. Returns (n1, n2, consistent)."""
+    identical sample. Returns (n1, n2, consistent); a violation RAISES
+    (GateFailure -> driver-visible err, VERDICT r9 #3 — previously the
+    bound was a silent ok column whose flip only prop_gates could see)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
-    s1 = li.sample(fraction=0.1, seed=42)
-    s2 = li.sample(fraction=0.1, seed=42)
+    s1 = li.sample(fraction=0.1, seed=_Q36_SEEDS[0])
+    s2 = li.sample(fraction=0.1, seed=_Q36_SEEDS[1])
     n1, n2 = s1.count(), s2.count()
     diff = s1.exceptAll(s2).count() + s2.exceptAll(s1).count()
-    return spark.createDataFrame(
-        [(n1, n2, diff == 0)], "n1 bigint, n2 bigint, consistent boolean"
+    return raise_on_failed_gates(
+        spark.createDataFrame(
+            [(n1, n2, diff == 0)], "n1 bigint, n2 bigint, consistent boolean"
+        ),
+        "q36_seeded_sample",
+        ok_col="consistent",
     )
 
 

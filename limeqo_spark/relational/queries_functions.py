@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import scratch_dir, table
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 
 @query(
@@ -225,26 +225,32 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (seed1, seed2) for the q63 reproducibility half of the gate — equal by
+#: contract; the negative test plants a mismatch to prove the gate raises
+_Q63_SEEDS = (41, 41)
+
+
 @query("q63_stratified_sample", oracle=None, check="prop")
 def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (sampleBy): per-stratum Bernoulli fractions over
     order priorities — the rebalancing primitive for skewed training-data
     classes. PROP: per-stratum counts within 4 sigma of fraction * N and
-    the seeded sample reproduces itself exactly (same seed => same rows).
+    the seeded sample reproduces itself exactly (same seed => same rows);
+    a violation RAISES (GateFailure -> driver-visible err, VERDICT r9 #3).
 
     Returns (stratum, n_total, n_sampled, frac, ok)."""
     o = table(spark, sf_dir, "orders")
     fractions = {"1-URGENT": 0.5, "2-HIGH": 0.2, "3-MEDIUM": 0.1,
                  "4-NOT SPECIFIED": 0.05, "5-LOW": 0.01}
-    s1 = o.sampleBy("o_orderpriority", fractions, seed=41)
-    s2 = o.sampleBy("o_orderpriority", fractions, seed=41)
+    s1 = o.sampleBy("o_orderpriority", fractions, seed=_Q63_SEEDS[0])
+    s2 = o.sampleBy("o_orderpriority", fractions, seed=_Q63_SEEDS[1])
     rerun_equal = s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
     totals = o.groupBy("o_orderpriority").agg(F.count("*").alias("n_total"))
     sampled = s1.groupBy("o_orderpriority").agg(F.count("*").alias("n_sampled"))
     frac_col = F.create_map(
         *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(v))]
     )[F.col("o_orderpriority")]
-    return (
+    return raise_on_failed_gates(
         totals.join(sampled, "o_orderpriority", "left")
         .na.fill({"n_sampled": 0})
         .withColumn("frac", frac_col)
@@ -262,8 +268,14 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("frac", 2).alias("frac"),
             "ok",
         )
-        .orderBy("stratum")
+        .orderBy("stratum"),
+        "q63_stratified_sample",
     )
+
+
+#: negative-test hook: when set, the q64 gate checks written file sizes
+#: against THIS cap instead of the one the writer was configured with
+_Q64_CHECK_CAP: int | None = None
 
 
 @query("q64_sized_file_sink", oracle=None, check="prop")
@@ -272,7 +284,9 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps 100 TB writes from producing either 10-GB unsplittable files or
     millions of tiny ones. PROP: every written file respects the record
     cap, the row count survives the roundtrip, and the writer produced at
-    least ceil(rows/cap) files. Returns one row of the checked facts."""
+    least ceil(rows/cap) files; a violation RAISES (GateFailure ->
+    driver-visible err, VERDICT r9 #3). Returns one row of the checked
+    facts."""
     import glob
     import math
 
@@ -288,15 +302,21 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_file = [pq.ParquetFile(f).metadata.num_rows for f in files]
     n_in = li.count()
     n_back = spark.read.parquet(out).count()
+    # _Q64_CHECK_CAP lets the negative test plant a violated bound
+    # without touching what the writer was asked to do
+    check_cap = _Q64_CHECK_CAP if _Q64_CHECK_CAP is not None else cap
     ok = (
         bool(per_file)
-        and max(per_file) <= cap
+        and max(per_file) <= check_cap
         and n_back == n_in
         and len(files) >= math.ceil(n_in / cap)
     )
-    return spark.createDataFrame(
-        [(n_in, n_back, len(files), max(per_file) if per_file else 0, ok)],
-        "rows_in bigint, rows_back bigint, n_files int, max_file_rows bigint, ok boolean",
+    return raise_on_failed_gates(
+        spark.createDataFrame(
+            [(n_in, n_back, len(files), max(per_file) if per_file else 0, ok)],
+            "rows_in bigint, rows_back bigint, n_files int, max_file_rows bigint, ok boolean",
+        ),
+        "q64_sized_file_sink",
     )
 
 

@@ -104,3 +104,39 @@ def test_quality_classifier_cached_failure_still_raises(spark, sf_dir):
             REGISTRY["text_quality_classifier"].builder(spark, key)
     finally:
         del tx._CLASSIFIER_CACHE[key]
+
+
+def test_q36_seeded_sample_raises_on_planted_inconsistency(spark, sf_dir, monkeypatch):
+    """VERDICT r9 #3: q36's self-consistency bound must raise inside the
+    builder (driver err), not only flip an ok column. Plant: mismatched
+    seeds make the two samples differ."""
+    from limeqo_spark.relational import queries_agg_window as qa
+
+    monkeypatch.setattr(qa, "_Q36_SEEDS", (42, 7))
+    with pytest.raises(GateFailure, match="q36_seeded_sample"):
+        REGISTRY["q36_seeded_sample"].builder(spark, sf_dir)
+
+
+def test_q63_stratified_sample_raises_on_planted_inconsistency(
+    spark, sf_dir, monkeypatch
+):
+    """Same upgrade for the stratified sampler: mismatched rerun seeds fail
+    the reproducibility half of every stratum's ok, and the builder raises."""
+    from limeqo_spark.relational import queries_functions as qf
+
+    monkeypatch.setattr(qf, "_Q63_SEEDS", (41, 7))
+    with pytest.raises(GateFailure, match="q63_stratified_sample"):
+        REGISTRY["q63_stratified_sample"].builder(spark, sf_dir)
+
+
+def test_q64_sized_file_sink_raises_on_planted_cap_violation(
+    spark, sf_dir, monkeypatch
+):
+    """Same upgrade for the sized sink: checking the written files against a
+    cap far below what the writer was asked for plants a violated bound —
+    the builder must raise, not return ok=false."""
+    from limeqo_spark.relational import queries_functions as qf
+
+    monkeypatch.setattr(qf, "_Q64_CHECK_CAP", 10)
+    with pytest.raises(GateFailure, match="q64_sized_file_sink"):
+        REGISTRY["q64_sized_file_sink"].builder(spark, sf_dir)
