@@ -404,10 +404,16 @@ def main() -> None:
     # host-normalized headline (VERDICT r9 #4): three rounds of driver
     # artifacts measured the calibration token at ~2x the reference
     # constant even idle — host-class throughput, not transient load. So
-    # the committed artifact always carries headline_s / cal_ratio as a
+    # the committed artifact carries headline_s / cal_ratio as a
     # cross-host-comparable series next to the raw number. Denominator is
-    # clamped at 1.0: a faster-than-reference token never inflates it.
-    norm = round(total / max(cal_ratio, 1.0), 3)
+    # clamped at 1.0 (a faster-than-reference token never inflates it),
+    # and the number is emitted only while cal_ratio <= 4: the linear
+    # correction models steady host-class slowness, not a contention
+    # spike — dividing a 35x-token run's wall by 35 produced a
+    # physically impossible 1.9 s "normalized headline" in testing, so
+    # past the regime bound the field is null and the raw number +
+    # contended flag stand alone.
+    norm = round(total / max(cal_ratio, 1.0), 3) if cal_ratio <= 4.0 else None
     full["headline_host_normalized_s"] = norm
     full.update(sim)
     if sim:

