@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
-from limeqo_spark.relational.registry import query
+from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 #: HLL relative-error acceptance (lgConfigK=12 default: ~1.6% typical)
 HLL_TOL = 0.05
@@ -66,7 +66,7 @@ def corpus_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tok_stats.join(len_stats, "lang")
     rel = lambda est, exact: F.abs(est - F.col(exact)) / F.col(exact)  # noqa: E731
-    return (
+    profiled = (
         out.withColumn("hll_ok", rel(F.col("hll_distinct"), "exact_distinct") <= HLL_TOL)
         .withColumn(
             "kll_ok",
@@ -75,3 +75,8 @@ def corpus_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # RAISING gate (VERDICT r9 #3 extended r10): a sketch drifting past its
+    # tolerance raises GateFailure -> driver-visible err, not a silent
+    # false cell only prop_gates could see
+    profiled = raise_on_failed_gates(profiled, "corpus_sketch_profile", ok_col="hll_ok")
+    return raise_on_failed_gates(profiled, "corpus_sketch_profile", ok_col="kll_ok")

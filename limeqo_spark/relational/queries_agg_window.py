@@ -65,9 +65,15 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q18 HLL acceptance (relative error; rsd=0.02 measures well inside it).
+#: Module-level so the negative test can plant an impossible bound.
+_Q18_TOL = 0.05
+
+
 @query("q18_approx_count_distinct", oracle=None, check="prop")
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B18 HLL approx distinct — PROP: within 5% of exact (asserted in tests).
+    """B18 HLL approx distinct — PROP: within 5% of exact; a violation
+    RAISES (GateFailure -> driver-visible err, VERDICT r9 #3 extended).
 
     Returns (approx, exact, ok) so the rows-only gate still exercises it.
     """
@@ -76,10 +82,13 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
         F.countDistinct("o_custkey").alias("exact"),
     )
-    return df.select(
-        "approx",
-        "exact",
-        (F.abs(F.col("approx") - F.col("exact")) <= 0.05 * F.col("exact")).alias("ok"),
+    return raise_on_failed_gates(
+        df.select(
+            "approx",
+            "exact",
+            (F.abs(F.col("approx") - F.col("exact")) <= _Q18_TOL * F.col("exact")).alias("ok"),
+        ),
+        "q18_approx_count_distinct",
     )
 
 
@@ -103,18 +112,28 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q20's two-phase bar: partial+final => >= this many HashAggregate nodes.
+#: Module-level so the negative test can plant an impossible bound.
+_Q20_MIN_AGGS = 2
+
+
 @query("q20_partial_agg_plan", oracle=None, check="prop")
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B20 plan-shape assertion: Q16's physical plan does partial+final
-    HashAggregate with an Exchange between (map-side combine at scale)."""
+    HashAggregate with an Exchange between (map-side combine at scale);
+    a shape regression RAISES (GateFailure -> driver-visible err)."""
     df = q16(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     has_agg = "HashAggregate" in plan
     has_exchange = "Exchange" in plan
     # partial + final => the aggregate operator appears (at least) twice
-    two_phase = plan.count("HashAggregate") >= 2
-    return spark.createDataFrame(
-        [(has_agg, has_exchange, two_phase)], "has_agg boolean, has_exchange boolean, two_phase boolean"
+    two_phase = plan.count("HashAggregate") >= _Q20_MIN_AGGS
+    return raise_on_failed_gates(
+        spark.createDataFrame(
+            [(has_agg, has_exchange, two_phase, has_agg and has_exchange and two_phase)],
+            "has_agg boolean, has_exchange boolean, two_phase boolean, ok boolean",
+        ),
+        "q20_partial_agg_plan",
     )
 
 

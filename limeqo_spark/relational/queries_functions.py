@@ -320,6 +320,11 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: negative-test hook: planted offset between the computed target file
+#: count and what the q87 gate expects (0 in production)
+_Q87_TARGET_OFFSET = 0
+
+
 @query("q87_compact_small_files", oracle=None, check="prop")
 def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — q64's inverse and the other half of lake
@@ -366,13 +371,16 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (row["c"], row["n"])
 
     ok = (
-        len(out_files) == n_out
+        len(out_files) == n_out + _Q87_TARGET_OFFSET
         and len(out_files) < len(frag_files)
         and checksum(spark.read.parquet(out)) == checksum(src)
     )
-    return spark.createDataFrame(
-        [(len(frag_files), len(out_files), n_out, in_bytes, ok)],
-        "files_before int, files_after int, target_files int, bytes_in bigint, ok boolean",
+    return raise_on_failed_gates(
+        spark.createDataFrame(
+            [(len(frag_files), len(out_files), n_out, in_bytes, ok)],
+            "files_before int, files_after int, target_files int, bytes_in bigint, ok boolean",
+        ),
+        "q87_compact_small_files",
     )
 
 

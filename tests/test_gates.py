@@ -140,3 +140,43 @@ def test_q64_sized_file_sink_raises_on_planted_cap_violation(
     monkeypatch.setattr(qf, "_Q64_CHECK_CAP", 10)
     with pytest.raises(GateFailure, match="q64_sized_file_sink"):
         REGISTRY["q64_sized_file_sink"].builder(spark, sf_dir)
+
+
+def test_q18_approx_distinct_raises_on_planted_tolerance(spark, sf_dir, monkeypatch):
+    """Extended r10: the HLL 5% bound raises inside the builder. Plant: a
+    negative tolerance no estimate can meet."""
+    from limeqo_spark.relational import queries_agg_window as qa
+
+    monkeypatch.setattr(qa, "_Q18_TOL", -1.0)
+    with pytest.raises(GateFailure, match="q18_approx_count_distinct"):
+        REGISTRY["q18_approx_count_distinct"].builder(spark, sf_dir)
+
+
+def test_q20_partial_agg_plan_raises_on_planted_bar(spark, sf_dir, monkeypatch):
+    """Plant: demand 99 HashAggregate nodes — the two-phase check fails and
+    the builder raises."""
+    from limeqo_spark.relational import queries_agg_window as qa
+
+    monkeypatch.setattr(qa, "_Q20_MIN_AGGS", 99)
+    with pytest.raises(GateFailure, match="q20_partial_agg_plan"):
+        REGISTRY["q20_partial_agg_plan"].builder(spark, sf_dir)
+
+
+def test_q87_compaction_raises_on_planted_target_offset(spark, sf_dir, monkeypatch):
+    """Plant: shift the expected output-file count by one — the compaction
+    gate must raise on the mismatch."""
+    from limeqo_spark.relational import queries_functions as qf
+
+    monkeypatch.setattr(qf, "_Q87_TARGET_OFFSET", 1)
+    with pytest.raises(GateFailure, match="q87_compact_small_files"):
+        REGISTRY["q87_compact_small_files"].builder(spark, sf_dir)
+
+
+def test_sketch_profile_raises_on_planted_tolerance(spark, sf_dir, monkeypatch):
+    """Plant: a negative HLL tolerance — every language's hll_ok flips and
+    the sketch profile raises."""
+    from limeqo_spark.pipeline import sketches as sk
+
+    monkeypatch.setattr(sk, "HLL_TOL", -1.0)
+    with pytest.raises(GateFailure, match="corpus_sketch_profile"):
+        REGISTRY["corpus_sketch_profile"].builder(spark, sf_dir)
