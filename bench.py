@@ -184,7 +184,11 @@ def main() -> None:
             # (the dedup suite caches shingle/signature relations) so later
             # queries aren't squeezed by leftover storage memory
             spark.catalog.clearCache()
-            if len(reps) >= 3 and sum(1 for h in rep_hot if not h) >= 3:
+            # 3 clean WARM reps (cold rep 0 is median-excluded below, so
+            # counting it here would leave a 2-element pool)
+            if len(reps) >= 3 and sum(
+                1 for i, h in enumerate(rep_hot) if not h and i > 0
+            ) >= 3:
                 break
             # sustained severe contention: if 4 attempts produced zero clean
             # reps, more retries just double the wall on a hopeless box —
@@ -192,8 +196,17 @@ def main() -> None:
             # queries_contended either way)
             if len(reps) >= 4 and not any(not h for h in rep_hot):
                 break
-        clean = [r for r, h in zip(reps, rep_hot) if not h]
-        used = clean if clean else reps
+        clean_idx = [i for i, h in enumerate(rep_hot) if not h]
+        # the FIRST rep pays one-time costs (codegen compile, ingest-time
+        # materialization) and is recorded separately in queries_first_run
+        # — keep it out of the median whenever warm reps exist (r10: with
+        # the retry loop often stopping at exactly 3 clean reps, the cold
+        # rep was landing in — and for 2-element evens, BECOMING — the
+        # median; q05 read 2.42 s when its steady state measured 1.36 s)
+        if len(clean_idx) >= 2 and clean_idx[0] == 0:
+            clean_idx = clean_idx[1:]
+        used = [reps[i] for i in clean_idx] if clean_idx else reps
+        clean = [reps[i] for i in clean_idx]
         raw_reps[name] = [round(r, 3) for r in reps]
         if any(rep_hot):
             query_contention[name] = {
@@ -202,7 +215,9 @@ def main() -> None:
                 "clean_reps": len(clean),
                 "median_over": "clean" if clean else "all_reps_hot",
             }
-        timings[name] = round(sorted(used)[len(used) // 2], 3)
+        # lower-middle median: for an even-count pool the upper middle
+        # systematically picks the slower of the two central reps
+        timings[name] = round(sorted(used)[(len(used) - 1) // 2], 3)
 
     # simulation-mode track (BASELINE.md track 1): LimeQO on the reference's
     # own matrices at its published exploration-budget checkpoints.
