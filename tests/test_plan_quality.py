@@ -589,10 +589,13 @@ def test_gapfill_no_cartesian_and_user_keyed_window(spark):
 
 
 def test_zscore_three_aggs_one_window_pass(spark):
-    """events_zscore_anomaly: count/sum/sum-of-squares share one Window
-    operator (single pass over the event_type frame), and the 3-sigma
-    test stays integer (no float round-off in a filter, FIXTURES.md §3)."""
-    df = REGISTRY["events_zscore_anomaly"].builder(spark, SF)
+    """events_zscore (flat test-only reference): count/sum/sum-of-squares
+    share one Window operator (single pass over the event_type frame), and
+    the 3-sigma test stays integer (no float round-off in a filter,
+    FIXTURES.md §3)."""
+    from limeqo_spark.relational.queries_events import events_zscore
+
+    df = events_zscore(spark, SF)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]

@@ -13,7 +13,7 @@ import pandas as pd
 import pytest
 
 from limeqo_spark.manifest import REGISTRY
-from limeqo_spark.relational.queries_events import ZSCORE_BUCKET_US
+from limeqo_spark.relational.queries_events import ZSCORE_BUCKET_US, events_zscore
 
 WEEK_S = ZSCORE_BUCKET_US // 1_000_000
 
@@ -58,9 +58,9 @@ def test_bucketed_equals_flat_on_adversarial_streams(spark, tmp_path, seed):
     spark.createDataFrame(pdf).coalesce(3).write.mode("overwrite").parquet(
         f"{sf_dir}/events.parquet"
     )
-    flat = (
-        REGISTRY["events_zscore_anomaly"].builder(spark, sf_dir).toPandas()
-    )
+    # the flat form is a TEST-ONLY reference since r11 (demoted from the
+    # manifest for its single-key window partition) — import it directly
+    flat = events_zscore(spark, sf_dir).toPandas()
     bucketed = (
         REGISTRY["events_zscore_anomaly_bucketed"].builder(spark, sf_dir).toPandas()
     )
