@@ -12,85 +12,79 @@ except ImportError:  # pragma: no cover
 
 from limeqo_spark.relational.registry import REGISTRY, QuerySpec  # noqa: F401
 
-#: Rotation aliases (round 10). The driver's CORRECTNESS gate verifies the
+#: Rotation aliases (round 11). The driver's CORRECTNESS gate verifies the
 #: first 50 manifest entries alphabetically; each name below gets an
-#: ``a10_`` alias (sorts ahead of ``a9_`` and ``ann_*``) pointing at the
-#: same builder/oracle. Window computed by ``scripts/rotation_plan.py
-#: --prefix a10_`` (never-checked first, then changed-after-check with
-#: OLDEST driver evidence first). Coverage: the two NEVER-CHECKED r10
-#: entries (``embed_bitext_margin_mining_ann`` — the round's headline, the
-#: ANN-backed bitext miner replacing the all-pairs crossJoin — and its
-#: raising ``bitext_recall_gate``); ``corpus_mix_quota_threshold`` (the
-#: only HASH entry with no driver hash row since its r9 PROP→HASH flip —
-#: VERDICT r9 #1, first priority); the newly RAISING-gated
-#: q36/q63/q64 (VERDICT r9 #3); the streaming tail (q44b–q54, q50,
-#: q45, q82-displaced rows next round); the r5/r6-checked changed tail
-#: (q18–q27, q35–q43, q46–q51, q56–q64 TPC-H/window/set-op rows);
-#: q97/q99; the corpus/cdc family rows re-flagged by this session's
-#: registry-adjacent edits; and the remaining gate entries
-#: (scale_pruning_gate, text_quality_classifier, text_lm_surprisal).
-#: Every a9_ alias is RETIRED (all 50 targets carry green r9 driver rows —
-#: 47 hash + 3 clean PROP runs). Displaced to r11: q28–q34 batteries,
-#: q65–q83 TPC-H tail, the mm_* r7-stale family, dedup/events rows.
-#: Canonical names stay registered; local tests skip the aliases
-#: (identical spec) to avoid double-running.
-ROTATION_ALIAS_PREFIX = "a10_"
+#: ``a11_`` alias pointing at the same builder/oracle. Window computed by
+#: ``scripts/rotation_plan.py --prefix a11_`` after the r11 planner fixes
+#: (credit a10_ rows to their canonical entries; GLOBAL oldest-evidence-
+#: first across changed+stale — VERDICT r10 #1). Coverage: ALL 45 canonical
+#: entries whose last driver check was r7 or earlier — the q28-q34 function
+#: batteries, the q65-q83 TPC-H tail + stream-static/time-range, the mm_*
+#: family (last checked r5), the text_* battery, the corpus_{shuffle,
+#: split,stats,temperature,sketch} rows, skew_salted_join and
+#: pipeline_e2e_curate — plus the four oldest r8-checked changed-file
+#: entries (dedup_chunk_reconstruct, dedup_embedding_cosine,
+#: corpus_pack_bins, corpus_weighted_sample_pps). After this window every
+#: canonical entry's last driver evidence is r8 or newer (the VERDICT #1
+#: done-criterion). Every a10_ alias is RETIRED (CORRECTNESS_r10: 42 hash
+#: + 8 clean raising-PROP rows). Canonical names stay registered; local
+#: tests skip the aliases (identical spec) to avoid double-running.
+ROTATION_ALIAS_PREFIX = "a11_"
 #: every alias prefix in use this round (local tests skip all of them)
-ROTATION_ALIAS_PREFIXES = ("a10_",)
-_ROTATION_R10 = [
-    "bitext_recall_gate",
-    "cdc_scd2_history",
-    "corpus_chunk_windows",
-    "corpus_mix_quota_sample",
-    "corpus_mix_quota_threshold",
-    "corpus_pack_bins_sharded",
-    "embed_bitext_margin_mining_ann",
-    "q18_approx_count_distinct",
-    "q20_partial_agg_plan",
-    "q21_sort_limit",
-    "q22_topk_by_spend",
-    "q23_ranking_windows",
-    "q24_lag_window",
-    "q25_running_sum",
-    "q26_union",
-    "q27_intersect_except",
-    "q35_percentiles",
-    "q36_seeded_sample",
-    "q37_dedup_exact",
-    "q40_tokenize_counts",
-    "q41_scalar_udf",
-    "q42_grouped_pandas",
-    "q43_udtf_flatten",
-    "q44b_stream_sliding",
-    "q44c_stream_session",
-    "q44d_stream_dedup_watermark",
-    "q45_stateful_user_totals",
-    "q46_partition_pruned_scan",
-    "q47_tpch_q3_shipping",
-    "q48_tpch_q5_local_volume",
-    "q49_tpch_q10_returns",
-    "q50_foreachbatch_sink",
-    "q51_bucketed_colocated_join",
-    "q52_python_udtf_lateral",
-    "q53_variant_json",
-    "q54_stream_stream_join",
-    "q56_pivot",
-    "q57_cube_grouping",
-    "q58_string_agg",
-    "q59_tpch_q4_exists",
-    "q60_tpch_q18_in_subquery",
-    "q61_tpch_q17_scalar_subquery",
-    "q62_binned_range_join",
-    "q63_stratified_sample",
-    "q64_sized_file_sink",
-    "q97_bloom_semijoin",
-    "q99_zorder_box_query",
-    "scale_pruning_gate",
-    "text_lm_surprisal",
-    "text_quality_classifier",
+ROTATION_ALIAS_PREFIXES = ("a11_",)
+_ROTATION_R11 = [
+    "corpus_pack_bins",
+    "corpus_shuffle_shards",
+    "corpus_sketch_profile",
+    "corpus_split_train_holdout",
+    "corpus_stats_card",
+    "corpus_temperature_resample",
+    "corpus_weighted_sample_pps",
+    "dedup_chunk_reconstruct",
+    "dedup_embedding_cosine",
+    "mm_binary_metadata",
+    "mm_binaryfile_ingest",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize",
+    "pipeline_e2e_curate",
+    "q28_string_battery",
+    "q29_date_battery",
+    "q30_math_battery",
+    "q31_array_explode",
+    "q32_struct_battery",
+    "q33_json_extract",
+    "q34_conditional_null",
+    "q65_iejoin_band",
+    "q67_tpch_q7_volume_shipping",
+    "q68_tpch_q12_priority_classes",
+    "q69_tpch_q19_bracketed_disjunction",
+    "q70_tpch_q2_min_cost_supplier",
+    "q71_tpch_q6_forecast_revenue",
+    "q72_tpch_q8_market_share",
+    "q73_tpch_q9_product_profit",
+    "q74_tpch_q11_important_stock",
+    "q75_tpch_q13_customer_distribution",
+    "q76_tpch_q14_promo_revenue",
+    "q77_tpch_q15_top_supplier",
+    "q78_tpch_q16_supplier_part_counts",
+    "q79_tpch_q20_part_promotion",
+    "q80_tpch_q21_waiting_suppliers",
+    "q81_tpch_q22_global_sales_opportunity",
+    "q82_stream_static_enrich",
+    "q83_time_range_window",
+    "skew_salted_join",
+    "text_contamination_overlap",
+    "text_fingerprint",
+    "text_langid",
+    "text_pii_redact",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_tfidf_top_terms",
+    "text_token_count_bpeish",
 ]
 
-for _name in _ROTATION_R10:
+for _name in _ROTATION_R11:
     _spec = REGISTRY[_name]
     _alias = ROTATION_ALIAS_PREFIX + _name
     REGISTRY[_alias] = QuerySpec(

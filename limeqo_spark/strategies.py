@@ -439,7 +439,8 @@ class LimeQOPlusStrategy(LimeQOStrategy):
 
     def __init__(
         self, *args, rank: int = 5, iters: int = 50, lam: float = 0.2,
-        model: str = "als", net_seed: int | None = None, **kw,
+        model: str = "als", net_seed: int | None = None, n_nets: int = 1,
+        net_combine: str = "mean", **kw,
     ):
         # k=16, not the reference's k=32: the TCNN's plan features justify
         # big batches; the headless fallback re-fits more often instead.
@@ -460,7 +461,18 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         super().__init__(*args, rank=rank, iters=iters, lam=lam, **kw)
         self.model = model
         self.net_seed = net_seed
+        #: restart-averaged TCNN (r11, VERDICT r10 #6): train ``n_nets``
+        #: independently-initialized nets on the same observations each
+        #: fit and combine their prediction matrices (``net_combine`` =
+        #: mean|median). The per-init final-latency spread is exploration
+        #: feeding on init noise; averaging independent inits is the
+        #: variance reducer that doesn't touch the architecture. Distinct
+        #: from the r3-r6 NEGATIVE (TCNN-with-ALS prediction averaging,
+        #: which mixes MODEL CLASSES and blunts the TCNN's edge).
+        self.n_nets = n_nets
+        self.net_combine = net_combine
         self._tcnn = None
+        self._tcnns: list | None = None
         # stall-triggered re-init (round 4): exploration outcome is chaotic
         # in the weight init (docs/tcnn_sim_study_r3.json — seeds split
         # ~60/40 between ~1.31 h and 1.58-2.5 h finals on CEB despite
@@ -520,8 +532,9 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         total = float(st.min_observed().sum())
         if total >= self._last_total * (1 - 1e-3):
             self._stall += 1
-            if self._stall >= self.reinit_patience and self._tcnn is not None:
-                self._tcnn = None  # bad init detected: cold-start a new draw
+            if self._stall >= self.reinit_patience and self._tcnns is not None:
+                # bad init detected: cold-start the whole ensemble
+                self._tcnn = self._tcnns = None
                 self._reinits += 1
                 self._stall = 0
         else:
@@ -532,27 +545,43 @@ class LimeQOPlusStrategy(LimeQOStrategy):
         observed = st.mask[qi, hj] > 0
         lat = np.where(observed, self.wl.matrix[qi, hj], 0.0)
         cut = np.where(observed, 0.0, st.cutoffs[qi, hj])
-        if self._tcnn is None:
+        if self._tcnns is None:
             base = (
                 self.net_seed
                 if self.net_seed is not None
                 else int(self.rng.integers(2**31))
             )
-            seed = base + 7919 * self._reinits
-            self._tcnn = NumpyTCNN(4, *self.wl.matrix.shape, seed=seed, **self.tcnn_kw)
+            # derived seeds: reinit shifts by 7919 (the r4 idiom), ensemble
+            # members shift by 104729 so no (reinit, member) pair collides
+            self._tcnns = [
+                NumpyTCNN(
+                    4, *self.wl.matrix.shape,
+                    seed=base + 7919 * self._reinits + 104729 * m,
+                    **self.tcnn_kw,
+                )
+                for m in range(self.n_nets)
+            ]
             epochs = 800
         else:
             epochs = 200
         self._dummy = dummy_tree(4)
-        self._tcnn.fit(
-            self._dummy, np.zeros(len(qi), dtype=np.int64), qi, hj, lat, cut,
-            epochs=epochs, lr=1e-2, weight_decay=self.tcnn_weight_decay,
-        )
         q, h = self.wl.matrix.shape
         allq, allh = np.meshgrid(np.arange(q), np.arange(h), indexing="ij")
-        self.pred = self._tcnn.predict(
-            self._dummy, np.zeros(q * h, dtype=np.int64), allq.ravel(), allh.ravel()
-        ).reshape(q, h)
+        preds = []
+        for net in self._tcnns:
+            net.fit(
+                self._dummy, np.zeros(len(qi), dtype=np.int64), qi, hj, lat, cut,
+                epochs=epochs, lr=1e-2, weight_decay=self.tcnn_weight_decay,
+            )
+            preds.append(
+                net.predict(
+                    self._dummy, np.zeros(q * h, dtype=np.int64),
+                    allq.ravel(), allh.ravel(),
+                ).reshape(q, h)
+            )
+        combine = np.median if self.net_combine == "median" else np.mean
+        self.pred = combine(np.stack(preds), axis=0)
+        self._tcnn = self._tcnns[0]  # back-compat handle (tests, live mode)
 
     def select(self) -> list[tuple[int, int]]:
         st = self.state

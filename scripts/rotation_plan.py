@@ -101,7 +101,11 @@ def main() -> None:
 
     import limeqo_spark.manifest as m
 
-    known_prefixes = tuple(sorted({f"a{i}_" for i in range(3, 10)}))
+    # every rotation prefix ever used (r10 bug: the hardcoded a3_-a9_ set
+    # missed a10_, so r10's alias rows were not credited to their
+    # canonical entries and the aliases themselves were counted as
+    # canonical — the planner re-emitted the ENTIRE r10 window)
+    known_prefixes = tuple(sorted({f"a{i}_" for i in range(3, 100)}))
     checked_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
@@ -144,11 +148,19 @@ def main() -> None:
         key=lambda n: (checked_round[n], n),
     )
 
+    # Global OLDEST-evidence-first (VERDICT r10 #1): merge changed+stale
+    # by last-checked round, changed before stale only WITHIN a round.
+    # The old changed-then-stale ordering let a recently-verified entry
+    # whose file was touched displace the r5-era never-revisited families
+    # (mm_* sat out three windows that way).
+    backlog = sorted(
+        set(changed) | set(stale),
+        key=lambda n: (checked_round[n], 0 if n in set(changed) else 1, n),
+    )
     want: list[str] = list(never)
-    for group in (changed, stale):
-        for n in group:
-            if n not in want:
-                want.append(n)
+    for n in backlog:
+        if n not in want:
+            want.append(n)
 
     # fit: aliases sort ahead of canon; the rest of the window is the canon
     # prefix. Drop lowest-priority (stale tail) names if the window is tight.
