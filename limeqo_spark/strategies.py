@@ -414,6 +414,12 @@ class LimeQOPlusStrategy(LimeQOStrategy):
       misses: the per-measurement budget-rationality cap (see
       :meth:`tolerance` and docs/tcnn_rescue_r5.json) — worst-of-5 fixed
       inits 2.02 -> 1.50 h at CEB@0.75h, median 1.377 h.
+      Round-11 mitigation (VERDICT r10 #6): restart-averaging — ``n_nets``
+      independently-initialized nets trained per fit, predictions averaged
+      (``net_combine``). On CEB@0.75h over the five fixed inits, n_nets=3
+      mean improves the median 1.3745 -> 1.3267 h and the worst 1.4555 ->
+      1.3708 h (docs/tcnn_ensemble_lab_r11.json; ens5/median configs each
+      had one diverged seed — ens3_mean dominates on median AND worst).
       Also the live-mode model, where the TCNN gets REAL plan trees
       (:meth:`limeqo_spark.live.LiveSteeringSession.explore`).
     """

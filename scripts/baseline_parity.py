@@ -74,7 +74,8 @@ def run_dataset(ds: str, out_root: str, reps: int) -> dict:
     # inits is the reference's own 5-run aggregation); JOB/DSB keep the
     # restart-averaged censored ALS (the TCNN regresses there —
     # docs/tcnn_sim_study_r3.json job_dsb_robustness)
-    plus_kw = dict(model="tcnn") if ds == "ceb" else dict()
+    # n_nets=3: restart-averaged TCNN (r11, docs/tcnn_ensemble_lab_r11.json)
+    plus_kw = dict(model="tcnn", n_nets=3) if ds == "ceb" else dict()
     plus_reps = 5 if ds == "ceb" else max(1, reps // 4)
     plans = [
         ("random", RandomStrategy, dict(k=8), reps),

@@ -265,7 +265,7 @@ def main() -> None:
     for rep in range(args.reps):
         res = run_datashift(
             wl, strategy="limeqo_fast", holdout_frac=holdout,
-            budget_before=0.75 * 3600, budget_after=budget - 0.75 * 3600,
+            budget_before=0.25 * 3600, budget_after=budget - 0.25 * 3600,
             seed=rep, k=8,
         )
         with open(os.path.join(args.exp_dir, f"datashift_{rep}.json"), "w") as f:
@@ -338,9 +338,11 @@ def main() -> None:
         },
         "datashift_protocol": {
             "holdout_frac": round(holdout, 4),
-            "inject_after_h": 0.75,
-            "note": "injection time is a protocol choice; not recoverable "
-                    "from shipped artifacts",
+            "inject_after_h": 0.25,
+            "note": "injection time is a protocol choice (not recoverable "
+                    "from shipped artifacts); 0.25 h puts every published "
+                    "checkpoint AFTER the injection, so all five cells are "
+                    "full-workload totals",
         },
         "checkpoints": table,
         "qualitative_checks": checks,
