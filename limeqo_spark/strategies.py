@@ -585,8 +585,16 @@ class LimeQOPlusStrategy(LimeQOStrategy):
                     allq.ravel(), allh.ravel(),
                 ).reshape(q, h)
             )
-        combine = np.median if self.net_combine == "median" else np.mean
-        self.pred = combine(np.stack(preds), axis=0)
+        stacked = np.stack(preds)
+        if self.net_combine == "median":
+            self.pred = np.median(stacked, axis=0)
+        elif self.net_combine == "gmean":
+            # geometric mean: latency prediction error is multiplicative,
+            # so averaging in log space keeps one net's overestimate from
+            # dominating the combined cell the way an arithmetic mean does
+            self.pred = np.expm1(np.mean(np.log1p(np.clip(stacked, 0, None)), axis=0))
+        else:
+            self.pred = np.mean(stacked, axis=0)
         self._tcnn = self._tcnns[0]  # back-compat handle (tests, live mode)
 
     def select(self) -> list[tuple[int, int]]:
