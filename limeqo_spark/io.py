@@ -49,15 +49,24 @@ TABLES = (
 )
 
 
+#: sessions (by id) whose confs have been pinned — ensure_session_confs is
+#: called from every table() read, and each conf get/set is a py4j round
+#: trip; once per session is enough (opt r11)
+_CONFS_PINNED: set[int] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Pin runtime confs the engine's semantics depend on, regardless of who
     built the session (the driver harness constructs its own): UTC so
     timestamp->date casts are deterministic; and if the session still has
     the stock 200 shuffle partitions, right-size to the local cores (AQE
     coalesces downward, but 200 tasks per tiny stage is pure overhead)."""
+    if id(spark) in _CONFS_PINNED:
+        return
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", str(min(os.cpu_count() or 8, 32)))
+    _CONFS_PINNED.add(id(spark))
 
 
 def epoch_us(col) -> F.Column:
@@ -69,6 +78,18 @@ def epoch_us(col) -> F.Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
+#: memoized base-relation READ PLANS keyed by (session, path, dir mtime):
+#: ``spark.read.parquet`` pays ~80 ms of JVM schema/footer/listing work per
+#: call, and a 7-relation TPC-H query re-paid it 7x on every invocation
+#: (measured: 0.58 s of q72's 0.80 s build wall — opt r11). The cache holds
+#: the unresolved logical plan only; every execution still scans the
+#: parquet files, so results are always computed from the inputs. The
+#: mtime in the key drops the entry if a fixture dir is regenerated, and
+#: the id(spark) key isolates sessions (a dead session's entries are inert
+#: and bounded by the table count).
+_TABLE_PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     if name == "events":
@@ -78,9 +99,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # sub-ms precision). Queries must not emit raw ts values — the
         # DuckDB oracle keeps nanosecond precision; emit dates/epochs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        stamp = os.path.getmtime(path)
+    except OSError:
+        stamp = None
+    key = (id(spark), path, stamp)
+    hit = _TABLE_PLAN_CACHE.get(key)
+    if hit is None:
+        df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        # the session rides along in the value so its id() is never reused
+        # by a later session while this entry exists (keyed-by-id safety)
+        _TABLE_PLAN_CACHE[key] = (spark, df)
+    else:
+        df = hit[1]
     # steering: inside hints.applied(...), tag every base relation with the
     # active join-strategy hint — the placement Spark requires for the hint
     # to reach its joins (a hint above the final plan node is discarded)

@@ -276,11 +276,15 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     components and mark the canonical (minimum-id) document of each cluster
     as the one to keep — the decision step a training-data dedup pipeline
     runs after pair generation. Oracle computes the same transitive closure
-    with a recursive CTE. Components come from the O(log n)-round
-    large-star/small-star kernel (the min-label variant is kept for
-    small-diameter graphs)."""
+    with a recursive CTE. Components come from the size-dispatched kernel
+    (opt r11): near-dup edge frames are a tiny minority of the corpus by
+    construction, and the large-star/small-star loop was paying ~8 Spark
+    jobs per round of fixed latency to label a few dozen edges — the
+    bounded driver union-find solves those in milliseconds, while the
+    O(log n)-round two-phase kernel remains the automatic fallback past
+    200k edges (the 100 TB path; same dispatch the SemDeDup entry uses)."""
     pairs = ngram_jaccard_pairs(planted_corpus(spark, sf_dir), n=3, tau=0.6)
-    comp = connected_components_two_phase(pairs.select("a", "b"))
+    comp = connected_components_auto(pairs.select("a", "b"))
     return (
         comp.select(
             F.col("node").alias("doc_id"),
@@ -339,7 +343,8 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable; no window over data-sized partitions)."""
     corpus = planted_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, n=3, tau=0.6)
-    comp = connected_components_two_phase(pairs.select("a", "b")).select(
+    # size-dispatched CC (opt r11) — see dedup_cluster_canonical
+    comp = connected_components_auto(pairs.select("a", "b")).select(
         F.col("node").alias("doc_id"), F.col("component")
     )
     scores = corpus.select(

@@ -135,8 +135,22 @@ def ngram_jaccard_pairs(
     # The key carries the corpus plan identity (ADVICE r8): a fixed key would
     # let a second jaccard entry over a DIFFERENT corpus evict the first
     # entry's still-referenced shingle cache mid-session.
-    sh = retain(f"jaccard_shingles_{n}_{corpus.semanticHash()}", token_shingles(corpus, n))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    #
+    # The cached relation carries each doc's distinct-shingle count ``sz``
+    # alongside every shingle row (opt r11): the count window runs over the
+    # doc_id partitioning the corpus already has (no new exchange), and the
+    # candidate pairs then COME OUT of the inverted-index join already
+    # carrying (sa, sb) — the former post-hoc joins against a separate
+    # ``sizes`` relation are gone. At 100 TB those were two data-sized
+    # shuffles of the pair frame (sizes has one row per document, far past
+    # broadcast range); now the sizes ride the existing shuffle as one
+    # extra long per row (guide §2.4: remove shuffles outright).
+    sh = retain(
+        f"jaccard_shingles_{n}_{corpus.semanticHash()}",
+        token_shingles(corpus, n).withColumn(
+            "sz", F.count("*").over(W.partitionBy("doc_id"))
+        ),
+    )
     idx, hot_sets = sh, None
     if max_doc_freq is not None:
         hot = (
@@ -152,15 +166,24 @@ def ngram_jaccard_pairs(
             .agg(F.collect_set("shingle").alias("hs"))
         )
     common = (
-        idx.select(F.col("doc_id").alias("a"), "shingle")
-        .join(idx.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        idx.select(F.col("doc_id").alias("a"), "shingle", F.col("sz").alias("sa"))
+        .join(
+            idx.select(
+                F.col("doc_id").alias("b"), "shingle", F.col("sz").alias("sb")
+            ),
+            "shingle",
+        )
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count("*").alias("c_rare"))
+        .agg(
+            F.count("*").alias("c_rare"),
+            # every row of a (a, b) group carries the same sa/sb — min is
+            # just the hash-aggregable way to pick the constant
+            F.min("sa").alias("sa"),
+            F.min("sb").alias("sb"),
+        )
     )
-    pairs = common.join(
-        sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a"
-    ).join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+    pairs = common
     if hot_sets is not None:
         pairs = (
             pairs.join(
@@ -282,33 +305,29 @@ def minhash_band_rows(docs: DataFrame) -> DataFrame:
     keys — the ONE implementation behind both the batch LSH operator and
     the streaming band-store (q96); the streaming/batch parity contract
     depends on these being byte-identical."""
-    hx = token_shingles(docs, 3).select(
+    # rendered SQL expressions (opt r11): the Column-API formulation built
+    # ~150 JVM Column objects per invocation (~0.5 s of driver time); the
+    # strings are operator-identical, so signatures stay byte-identical
+    hx = token_shingles(docs, 3).selectExpr(
         "doc_id",
-        (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % _MH_P).alias("x"),
+        f"CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT) % {_MH_P} AS x",
     )
     sigs = hx.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MH_P).alias(f"s{i}")
+            F.expr(f"min(({a} * x + {b}) % {_MH_P}) AS s{i}")
             for i, (a, b) in enumerate(_MH_AB)
         ]
     )
-    return sigs.select(
+    bands_sql = ",".join(
+        f"struct({j} AS band,"
+        + ",".join(f"s{_MH_ROWS * j + r} AS k{r}" for r in range(_MH_ROWS))
+        + ")"
+        for j in range(_MH_BANDS)
+    )
+    return sigs.selectExpr(
         "doc_id",
         *[f"s{i}" for i in range(_MH_K)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band"),
-                        *[
-                            F.col(f"s{_MH_ROWS * j + r}").alias(f"k{r}")
-                            for r in range(_MH_ROWS)
-                        ],
-                    )
-                    for j in range(_MH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        f"explode(array({bands_sql})) AS bk",
     ).select("doc_id", *[f"s{i}" for i in range(_MH_K)], "bk.*")
 
 
@@ -344,11 +363,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    matches = None
-    for i in range(_MH_K):
-        term = (F.col(f"sa.s{i}") == F.col(f"sb.s{i}")).cast("int")
-        matches = term if matches is None else matches + term
-    est = cand.withColumn("m", matches)
+    matches = " + ".join(
+        f"CAST(sa.s{i} = sb.s{i} AS INT)" for i in range(_MH_K)
+    )
+    est = cand.withColumn("m", F.expr(matches))
     return (
         est.filter(F.col("m") >= _MH_K // 2)
         .select("a", "b", F.round(F.col("m") / float(_MH_K), 4).alias("est_jaccard"))
@@ -509,86 +527,90 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N must equal the oracle's COUNT(*) over the SAME corpus: a corpus with
     # fewer than PLANT_N docs below the id cutoff plants fewer clones, and a
     # hardcoded +PLANT_N would diverge at a ceil(log2(4N)) boundary (ADVICE
-    # r6). Two pushed-down parquet counts, no text movement.
+    # r6). ONE pushed-down parquet aggregate (opt r11 — was two separate
+    # count jobs), no text movement.
     d = table(spark, sf_dir, "documents")
-    n_docs = d.count() + d.filter(F.col("doc_id") < PLANT_N).count()
+    nrow = d.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("doc_id") < PLANT_N, True)).alias("n_plant"),
+    ).head()
+    n_docs = nrow["n"] + nrow["n_plant"]
     extra = _sh_band_bits(n_docs) - _SH_BAND_BITS
-    toks = c.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).select(
-        "doc_id", F.md5("tok").alias("m")
+    # All expressions below are rendered SQL strings handed to selectExpr in
+    # a handful of py4j calls (opt r11): the Column-API formulation built
+    # ~500 JVM Column objects per invocation and measured 2.4 s of pure
+    # driver time (guide §7.3 — driver work serializes the whole session).
+    # The rendered expressions are operator-for-operator identical, so the
+    # oracle hash is unchanged.
+    toks = c.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h",
+        # extra-bit source per band: 4 hex chars (16 bits) from md5 16..31
+        *[
+            f"CAST(conv(substring(md5(tok), {16 + 4 * i}, 4), 16, 10) AS BIGINT)"
+            f" AS he{i}"
+            for i in range(_SH_BANDS)
+        ],
     )
-    h = F.conv(F.substring("m", 1, 15), 16, 10).cast("long")
-    # extra-bit source per band: 4 hex chars (16 bits) from md5 chars 16..31
-    he = [
-        F.conv(F.substring("m", 16 + 4 * i, 4), 16, 10).cast("long")
-        for i in range(_SH_BANDS)
-    ]
     # per-bit vote: +1 if bit set else -1; simhash bit b = (sum > 0)
-    bits = toks.select(
+    bits = toks.selectExpr(
         "doc_id",
         *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{b}")
+            f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END AS b{b}"
             for b in range(_SH_BITS)
         ],
         *[
-            F.when(F.shiftright(he[i], j).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"e{i}_{j}")
+            f"CASE WHEN (shiftright(he{i}, {j}) & 1) = 1 THEN 1 ELSE -1 END"
+            f" AS e{i}_{j}"
             for i in range(_SH_BANDS)
             for j in range(extra)
         ],
     )
     votes = bits.groupBy("doc_id").agg(
-        *[F.sum(f"b{b}").alias(f"b{b}") for b in range(_SH_BITS)],
+        *[F.expr(f"sum(b{b}) AS b{b}") for b in range(_SH_BITS)],
         *[
-            F.sum(f"e{i}_{j}").alias(f"e{i}_{j}")
+            F.expr(f"sum(e{i}_{j}) AS e{i}_{j}")
             for i in range(_SH_BANDS)
             for j in range(extra)
         ],
     )
 
-    def vote_bit(col: str, shift: int):
-        bit = (
-            F.when(F.col(col) > 0, F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+    def vote_bit(col: str, shift: int) -> str:
+        return (
+            f"shiftleft(CASE WHEN {col} > 0 THEN CAST(1 AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END, {shift})"
         )
-        return F.shiftleft(bit, shift)
 
-    sig_expr = None
-    for b in range(_SH_BITS):
-        term = vote_bit(f"b{b}", b)
-        sig_expr = term if sig_expr is None else sig_expr.bitwiseOR(term)
+    sig_sql = " | ".join(vote_bit(f"b{b}", b) for b in range(_SH_BITS))
 
-    def ext_sig(i: int):
-        expr = F.lit(0).cast("long")
+    def ext_sig_sql(i: int) -> str:
+        expr = "CAST(0 AS BIGINT)"
         for j in range(extra):
-            expr = expr.bitwiseOR(vote_bit(f"e{i}_{j}", j))
-        return expr.alias(f"es{i}")
+            expr = f"{expr} | {vote_bit(f'e{i}_{j}', j)}"
+        return f"({expr}) AS es{i}"
 
     sigs = retain(
         "simhash_sigs",
-        votes.select(
-            "doc_id", sig_expr.alias("sig"), *[ext_sig(i) for i in range(_SH_BANDS)]
+        votes.selectExpr(
+            "doc_id",
+            f"({sig_sql}) AS sig",
+            *[ext_sig_sql(i) for i in range(_SH_BANDS)],
         ),
     )
-    bands = sigs.select(
+    _mask = (1 << _SH_BAND_BITS) - 1
+    bands = sigs.selectExpr(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("sig", i * _SH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << _SH_BAND_BITS) - 1))
-                        .bitwiseOR(F.shiftleft(F.col(f"es{i}"), _SH_BAND_BITS))
-                        .alias("key"),
-                    )
-                    for i in range(_SH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        "explode(array("
+        + ",".join(
+            f"struct({i} AS band,"
+            f" (shiftright(sig, {i * _SH_BAND_BITS}) & {_mask})"
+            f" | shiftleft(es{i}, {_SH_BAND_BITS}) AS key)"
+            for i in range(_SH_BANDS)
+        )
+        + ")) AS bk",
     ).select("doc_id", "sig", "bk.band", "bk.key")
     cand = (
         bands.alias("x")
@@ -663,15 +685,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold. N must equal the oracle's COUNT(*) over the same planted
     # set — a corpus with fewer than 20 vec_ids below the cutoff plants
     # fewer clones, and a hardcoded +20 would diverge at a ceil(log2(4N))
-    # boundary (ADVICE r6, same fix as dedup_simhash). Two pushed-down
-    # parquet counts, no vector movement.
+    # boundary (ADVICE r6, same fix as dedup_simhash). ONE pushed-down
+    # parquet aggregate (opt r11 — was two separate count jobs), no vector
+    # movement.
     base = table(spark, sf_dir, "embeddings").select("vec_id")
-    n_rows = base.count() + base.filter(F.col("vec_id") < EMB_PLANT_N).count()
+    nrow = base.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("vec_id") < EMB_PLANT_N, True)).alias("n_plant"),
+    ).head()
+    n_rows = nrow["n"] + nrow["n_plant"]
     n_bands = 4
     bits = max(8, math.ceil(math.log2(4 * n_rows)))
     n_planes = n_bands * bits
     planes = _hyperplanes(n_planes=n_planes, seed=11)
-    plane_lits = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in planes])
+    # rendered SQL literal, ONE py4j call (opt r11): the nested-F.lit tree
+    # built 64x64 Column objects and measured ~2.4 s of driver time per
+    # invocation; sqlexpr.matrix_lit is bit-exact (tests/test_sqlexpr.py)
+    from limeqo_spark.sqlexpr import matrix_lit
+
+    plane_lits = F.expr(matrix_lit(planes))
     # one 16-bit key per band, each from its own 16 planes (bigint-safe)
     def band_key(b: int) -> str:
         return (
@@ -1018,8 +1050,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     corpus = planted_embeddings(spark, sf_dir, cast="array<double>")
-    # two pushed-down counts, no vector movement (the simhash N-sizing idiom)
-    n_rows = base.count() + base.filter(F.col("vec_id") < EMB_PLANT_N).count()
+    # ONE pushed-down count aggregate, no vector movement (the simhash
+    # N-sizing idiom; opt r11 merged the two count jobs)
+    nrow = base.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("vec_id") < EMB_PLANT_N, True)).alias("n_plant"),
+    ).head()
+    n_rows = nrow["n"] + nrow["n_plant"]
     k = max(16, math.ceil(n_rows / 128))
     centers = (
         _ivf_centers() if k == 16 else _train_semantic_centers(spark, sf_dir, k)
@@ -1029,9 +1066,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixture floor: nearest-centroid assignment + distance as one
         # JVM-side expression per row (no crossJoin, no window) — the
         # keeper score is the squared L2 distance to the OWN centroid
-        cents_lit = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
-        )
+        from limeqo_spark.sqlexpr import matrix_lit
+
+        cents_lit = F.expr(matrix_lit(centers))
         ranked = (
             f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
             "aggregate(zip_with(cents[p], embedding, (c, x) -> (x - c) * (x - c)),"

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import scratch_dir, table
+from limeqo_spark.sqlexpr import matrix_lit
 from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 N_PROBES = 10  # probe vectors: vec_id < N_PROBES
@@ -150,9 +151,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hash-verified against a DuckDB oracle embedding the same floats."""
     e = table(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
-    plane_lits = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in planes]
-    )
+    plane_lits = F.expr(matrix_lit(planes))
     # NB: Spark [] array access is 0-based (DuckDB's is 1-based)
     sig = (
         "aggregate(sequence(0, 15), CAST(0 AS INT), (acc, p) -> acc + "
@@ -327,8 +326,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JVM-side expression per row (sort an array of (distance, cell) structs
     # — struct ordering is field-order, so distance first) — NO crossJoin,
     # NO window shuffle. The full-corpus assignment is embarrassingly
-    # parallel, exactly what you want at 100 TB.
-    cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
+    # parallel, exactly what you want at 100 TB. The literal is a rendered
+    # SQL string (opt r11, sqlexpr.matrix_lit — bit-exact): the nested
+    # F.lit tree cost ~1k py4j calls per use, twice per invocation.
+    cents_lit = F.expr(matrix_lit(centers))
     ranked_cells = (
         f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
         "aggregate(zip_with(cents[p], {col}, (c, x) -> (x - c) * (x - c)),"
@@ -603,12 +604,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     # squared norms of each codeword: reconstructed-vector norm is
     # sqrt(sum_m ||cb[m][code_m]||^2) since subspaces are orthogonal
-    cn2_lit = F.array(
-        *[
-            F.array(*[F.lit(float((cent**2).sum())) for cent in sub])
-            for sub in cb
-        ]
-    )
+    cn2_lit = F.expr(matrix_lit([[float((cent**2).sum()) for cent in sub] for sub in cb]))
     encoded = e.withColumn("codes", _pq_encode_udf(cb)(F.col("embedding")))
     # Per-probe ADC lookup tables, computed on the driver from the probe
     # vectors alone: lut[m][k] = <probe_sub_m, cb[m][k]>.
@@ -905,7 +901,7 @@ def ann_ivfpq_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id long, cell_id int, lut array<array<double>>, pnorm double,"
         " pdotc double, cnorm2 double, ccl array<array<double>>",
     )
-    rn2_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in rn2])
+    rn2_lit = F.expr(matrix_lit(rn2))
     adc = (
         f"pdotc + aggregate(sequence(0, {_PQ_M - 1}), CAST(0.0 AS DOUBLE),"
         " (a, m) -> a + lut[m][codes[m]])"
@@ -962,7 +958,7 @@ def ivf_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
         e = table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
+        cents_lit = F.expr(matrix_lit(centers))
         ranked = (
             f"sort_array(transform(sequence(0, {_IVF_NLIST - 1}), p -> struct("
             "aggregate(zip_with(cents[p], embedding, (c, x) -> (x - c) * (x - c)),"
@@ -1427,7 +1423,7 @@ def embed_bitext_margin_mining_ann(spark: SparkSession, sf_dir: str) -> DataFram
     # the core budget first, exactly the planted_corpus idiom
     par = spark.sparkContext.defaultParallelism
     src, tgt = src.repartition(par), tgt.repartition(par)
-    cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in centers])
+    cents_lit = F.expr(matrix_lit(centers))
     ranked_cells = (
         f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
         "aggregate(zip_with(cents[p], e, (c, x) -> (x - c) * (x - c)),"
