@@ -66,6 +66,22 @@ def planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-split source to the session parallelism BEFORE
+    per-row-heavy work (tokenize/explode/md5) — the planted_corpus idiom
+    (opt r11, applied to the text battery): the fixture parquet reads as
+    1-2 splits, so an explode straight off the scan runs its token work
+    near-serial while 30 cores idle. Keying the exchange on doc_id also
+    lets every downstream per-document aggregate/distinct reuse the
+    partitioning instead of shuffling the much larger exploded frame. A
+    real 100 TB corpus arrives in thousands of splits, where the same
+    hash exchange is what the per-doc aggregate would have paid anyway —
+    here it carries 5k doc rows instead of 1M+ shingle rows."""
+    return df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def shingle_transform_sql(arr: str, n: int, item: str | None = None) -> str:
     """Guarded n-gram transform over a token-array column: yields an empty
     array when the document has fewer than ``n`` tokens.

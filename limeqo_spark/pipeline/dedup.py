@@ -153,11 +153,18 @@ def ngram_jaccard_pairs(
     )
     idx, hot_sets = sh, None
     if max_doc_freq is not None:
+        # eager localCheckpoint (opt r11): ``hot`` feeds TWO broadcasts (the
+        # anti-join and the hot-set correction), and an unmaterialized plan
+        # re-ran the full df aggregate over the shingle index for each —
+        # the checkpoint runs it once. The frame is tiny by construction
+        # (only shingles clearing the df cap), so materializing it is safe
+        # at any corpus size.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_doc_freq)
             .select("shingle")
+            .localCheckpoint(eager=True)
         )
         idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
         hot_sets = (
@@ -299,12 +306,17 @@ def _minhash_oracle_sql() -> str:
     """
 
 
-def minhash_band_rows(docs: DataFrame) -> DataFrame:
+def minhash_band_rows(docs: DataFrame, retain_key: str | None = None) -> DataFrame:
     """(doc_id, s0..s15, band, k0..k3): portable MinHash signatures (md5
     shingle ids, fixed linear permutations mod 2^31-1) exploded to banded
     keys — the ONE implementation behind both the batch LSH operator and
     the streaming band-store (q96); the streaming/batch parity contract
-    depends on these being byte-identical."""
+    depends on these being byte-identical.
+
+    ``retain_key`` persists the signature frame under that key (opt r11):
+    the LSH entry references the band rows on BOTH sides of its self-join,
+    and an unpersisted plan re-ran the whole shingle->signature pipeline
+    per side. Single-consumer callers (q96's band store) leave it None."""
     # rendered SQL expressions (opt r11): the Column-API formulation built
     # ~150 JVM Column objects per invocation (~0.5 s of driver time); the
     # strings are operator-identical, so signatures stay byte-identical
@@ -318,6 +330,8 @@ def minhash_band_rows(docs: DataFrame) -> DataFrame:
             for i, (a, b) in enumerate(_MH_AB)
         ]
     )
+    if retain_key is not None:
+        sigs = retain(retain_key, sigs)
     bands_sql = ",".join(
         f"struct({j} AS band,"
         + ",".join(f"s{_MH_ROWS * j + r} AS k{r}" for r in range(_MH_ROWS))
@@ -348,7 +362,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = planted_corpus(spark, sf_dir)
     sig_struct = F.struct(*[F.col(f"s{i}") for i in range(_MH_K)]).alias("sig")
-    bands = minhash_band_rows(c).select(
+    bands = minhash_band_rows(c, retain_key="minhash_sigs").select(
         "doc_id", sig_struct, "band", *[f"k{r}" for r in range(_MH_ROWS)]
     )
     x, y = bands.alias("x"), bands.alias("y")
@@ -829,6 +843,10 @@ def dedup_chunk_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a single pass over the original partitioned corpus. Output carries
     md5 of the reconstructed text so the oracle verifies the actual
     rebuilt bytes."""
+    # NO spread() here (opt r11, measured): this entry's explode is one
+    # digest per 16-token chunk (~60k md5s at sf0.1, not the 1M+ of the
+    # shingle entries), so repartitioning the full token arrays cost more
+    # than the parallelism bought (bench read +0.35 s with it)
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("t")
     )
@@ -947,8 +965,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
-    dup = grams.groupBy("gh").count().filter(F.col("count") >= 2).select("gh")
-    flagged = grams.join(dup, "gh", "left_semi")
+    # ONE pass over the grams (opt r11): the groupBy+semi-join formulation
+    # ran the explode+md5 Generate TWICE (once under the dup aggregate,
+    # once on the probe side) and shuffled the gram frame by gh twice at
+    # scale (the "broadcast dup" only exists at fixture size — a 100 TB dup
+    # set is data-sized, so the semi join was a second full gh shuffle).
+    # The occurrence-count window flags duplicated grams in the single gh
+    # exchange; hot grams (boilerplate) skew its reduce side exactly as
+    # they skewed the count aggregate before — same df-cap/AQE answer.
+    flagged = (
+        grams.withColumn("n_occ", F.count("*").over(W.partitionBy("gh")))
+        .filter(F.col("n_occ") >= 2)
+        .drop("n_occ")
+    )
     grp = (
         F.col("pos")
         - F.row_number().over(W.partitionBy("doc_id").orderBy("pos"))

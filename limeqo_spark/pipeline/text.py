@@ -10,7 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from limeqo_spark.io import table
-from limeqo_spark.pipeline.corpus import PLANT_N, PLANT_OFFSET, PLANT_SUFFIX, shingle_transform_sql
+from limeqo_spark.pipeline.corpus import PLANT_N, PLANT_OFFSET, PLANT_SUFFIX, shingle_transform_sql, spread
 from limeqo_spark.relational.registry import query, raise_on_failed_gates
 
 #: deterministic marker lexicons for the n-gram language-ID heuristic. The
@@ -167,7 +167,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: min-hash (md5, engine-portable) over 3-token
     shingles — a 1-permutation MinHash signature usable as a dedup key."""
-    d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
     sh = d.select(
         "doc_id",
         F.explode(
@@ -220,7 +222,9 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs: 1 - distinct/total 3-token shingles per document (0 = no repeated
     n-gram, ->1 = the same phrase looping). One partial-combinable aggregate
     per doc; never materializes pairs."""
-    d = table(spark, sf_dir, "documents").select("doc_id", F.split("text", " ").alias("t"))
+    d = spread(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
     sh = d.select(
         "doc_id",
         F.explode(F.expr(shingle_transform_sql("t", 3))).alias("shingle"),
@@ -288,7 +292,7 @@ def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(PLANT_SUFFIX)).alias("text"),
         )
     )
-    t = corpus.select("doc_id", F.split("text", " ").alias("t"))
+    t = spread(corpus).select("doc_id", F.split("text", " ").alias("t"))
     sh = t.select(
         "doc_id",
         F.explode(F.expr(shingle_transform_sql("t", 5))).alias("gram"),
@@ -405,7 +409,8 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tfc = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        spread(d)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )

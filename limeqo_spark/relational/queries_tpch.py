@@ -200,8 +200,13 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,4)"))).cast("double")
     den = F.sum(vol).cast("double")
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # the selective broadcast part filter runs BEFORE the one shuffle
+        # join (opt r11, guide §3.2): only ECONOMY lineitem rows reach the
+        # lineitem<->orders exchange, cutting its shuffle bytes by the part
+        # selectivity at any scale; inner joins commute so output is
+        # unchanged (oracle hash identical)
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey"))
