@@ -712,42 +712,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = max(8, math.ceil(math.log2(4 * n_rows)))
     n_planes = n_bands * bits
     planes = _hyperplanes(n_planes=n_planes, seed=11)
-    # rendered SQL literal, ONE py4j call (opt r11): the nested-F.lit tree
-    # built 64x64 Column objects and measured ~2.4 s of driver time per
-    # invocation; sqlexpr.matrix_lit is bit-exact (tests/test_sqlexpr.py)
-    from limeqo_spark.sqlexpr import matrix_lit
+    # Signature pass = ONE Arrow-batched GEMM per batch (opt r11, guide
+    # §4.2): the HOF-expression formulation evaluated n_planes x 64
+    # interpreted lambda ops per row (~4k terms — the same pathology the
+    # PQ encoder documented at ~0.5 ms/row; measured ~1 s of the query
+    # wall here), while sign(X @ planes^T) is BLAS. Sign-bit semantics:
+    # the LSH keys only steer candidate RECALL — the emitted pairs are
+    # exactly re-scored and the oracle is all-pairs ground truth, and
+    # exact planted copies produce identical sign patterns under any
+    # summation order, so a float-reassociation sign flip on a random
+    # near-orthogonal dot cannot change the output (the standard LSH
+    # recall/bucket knob, as before). Same GEMM-batch precedent as
+    # dedup_semantic_clusters' wide-codebook branch.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    plane_lits = F.expr(matrix_lit(planes))
-    # one 16-bit key per band, each from its own 16 planes (bigint-safe)
-    def band_key(b: int) -> str:
-        return (
-            f"aggregate(sequence({b * bits}, {b * bits + bits - 1}), CAST(0 AS BIGINT),"
-            " (acc, p) -> acc + CASE WHEN aggregate(zip_with(planes[p], embedding,"
-            " (a, x) -> a * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (s, v) -> s + v) > 0"
-            f" THEN CAST(pow(2, p - {b * bits}) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        )
+    p_mat = planes.astype(np.float64)  # (n_planes, 64)
+    weights = (1 << np.arange(bits, dtype=np.int64))
 
-    bands = (
-        e.withColumn("planes", plane_lits)
-        .select(
-            "vec_id",
-            "embedding",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.expr(band_key(b)).alias("key"),
-                        )
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select(
-            "vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-        )
-    )
+    def _band_keys_fn(emb):
+        x = np.asarray(emb.to_list(), dtype=np.float64)
+        sgn = ((x @ p_mat.T) > 0).astype(np.int64)  # (N, n_planes) sign bits
+        keys = np.empty((len(x), n_bands), dtype=np.int64)
+        for b in range(n_bands):
+            keys[:, b] = sgn[:, b * bits : (b + 1) * bits] @ weights
+        return pd.Series(list(keys))
+
+    _band_keys_fn.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    _band_keys = pandas_udf(_band_keys_fn, "array<bigint>")
+
+    bands = e.select(
+        "vec_id", _band_keys("embedding").alias("keys")
+    ).select("vec_id", F.posexplode("keys").alias("band", "key"))
     from limeqo_spark.relational.registry import retain
 
     # NARROW (vec_id, band, key): the 64 plane dots per vector run ONCE —
