@@ -144,18 +144,33 @@ CHARGE_SQL = (
     """,
 )
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B5 projection: arithmetic select; Catalyst prunes the scan to 5 columns."""
+    """B5 projection: arithmetic select; Catalyst prunes the scan to 5 columns.
+
+    The decimal charge is projected AFTER the global sort (opt r11, guide
+    §2.3 "project before the exchange" applied in reverse to compute): the
+    sort keys are raw columns, so ordering the 5 pruned source columns
+    first means the range-partitioning sampling pass and the map side of
+    the one exchange never evaluate the decimal arithmetic — it runs once,
+    post-shuffle, spread across the sort partitions. Same rows, same
+    (unique-key) order, same charge expression; the shuffle carries the 3
+    raw doubles instead of a computed decimal (same width)."""
     li = table(spark, sf_dir, "lineitem")
     charge = (
         F.col("l_extendedprice").cast("decimal(18,2)")
         * (1 - F.col("l_discount")).cast("decimal(6,2)")
         * (1 + F.col("l_tax")).cast("decimal(6,2)")
     )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(charge, 4).cast("double").alias("charge"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(charge, 4).cast("double").alias("charge"),
+        )
+    )
 
 
 @query(
