@@ -303,6 +303,23 @@ def _ivf_oracle_sql(n_probes: int) -> str:
     """
 
 
+def _cell_rank_udf(centers: np.ndarray, take: int):
+    """Arrow-batch coarse-quantizer ranking: per row, the ``take`` nearest
+    cell indices by squared L2 distance, ties broken by ascending cell
+    index (numpy stable argsort == the (d, i) struct-sort tiebreak of the
+    expression formulation and of the DuckDB oracle's ROW_NUMBER)."""
+    c = np.asarray(centers, dtype=np.float64)
+
+    @F.pandas_udf("array<int>")
+    def rank(emb: pd.Series) -> pd.Series:
+        x = np.asarray(emb.to_list(), dtype=np.float64)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)  # (N, nlist)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :take].astype(np.int32)
+        return pd.Series(list(order))
+
+    return rank
+
+
 @query("ann_ivf_topk", oracle=_ivf_oracle_sql(N_PROBES))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN, IVF flavor: the pinned coarse quantizer partitions
@@ -322,46 +339,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     centers = _ivf_centers()
-    # Centroids become a literal array; nearest-cell assignment is then one
-    # JVM-side expression per row (sort an array of (distance, cell) structs
-    # — struct ordering is field-order, so distance first) — NO crossJoin,
-    # NO window shuffle. The full-corpus assignment is embarrassingly
-    # parallel, exactly what you want at 100 TB. The literal is a rendered
-    # SQL string (opt r11, sqlexpr.matrix_lit — bit-exact): the nested
-    # F.lit tree cost ~1k py4j calls per use, twice per invocation.
-    cents_lit = F.expr(matrix_lit(centers))
-    ranked_cells = (
-        f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
-        "aggregate(zip_with(cents[p], {col}, (c, x) -> (x - c) * (x - c)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))"
-    )
-    # spill-2 assignment: explode each row into its 2 nearest cells — still
-    # one embarrassingly-parallel expression per row, NO crossJoin, NO
-    # window shuffle (struct ordering is field-order, distance first)
-    assigned = e.withColumn("cents", cents_lit).select(
+    # Nearest-cell ranking is ONE vectorized distance matrix per Arrow
+    # batch (opt r11, guide §4.2): the HOF formulation evaluated
+    # nlist x 64 interpreted lambda terms per row (~1k terms; measured
+    # ~0.5 s of the query wall at sf0.1), while ((x - C)^2).sum is BLAS.
+    # Tie semantics identical: stable argsort on d2 ranks equal distances
+    # by ascending cell index, the same (d, i) struct-sort tiebreak, and
+    # `ann_ivf_partitioned` already computes probe cells with this exact
+    # numpy form against the same oracle family. Cross-engine float
+    # margins are measured, not assumed (`test_ivf_assignment_margins`:
+    # the smallest rank-boundary gaps sit orders of magnitude above
+    # reassociation noise). Embarrassingly parallel — NO crossJoin, NO
+    # window shuffle; the 100 TB story is unchanged.
+    rank_cells = _cell_rank_udf(centers, take=max(_IVF_SPILL, nprobe))
+    ranked = e.withColumn("cells", rank_cells("embedding"))
+    # spill-2 assignment: explode each row into its 2 nearest cells
+    assigned = ranked.select(
         "vec_id",
         "embedding",
-        F.explode(
-            F.expr(
-                f"transform(slice({ranked_cells.format(col='embedding')}, 1, {_IVF_SPILL}),"
-                " s -> s.i)"
-            )
-        ).alias("cell_id"),
+        F.explode(F.slice("cells", 1, _IVF_SPILL)).alias("cell_id"),
     )
-    # probe -> its nprobe nearest cells, same expression, sliced
-    probe_cells = (
-        e.filter(F.col("vec_id") < N_PROBES)
-        .withColumn("cents", cents_lit)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("pe"),
-            F.explode(
-                F.expr(
-                    f"transform(slice({ranked_cells.format(col='embedding')}, 1, {nprobe}),"
-                    " s -> s.i)"
-                )
-            ).alias("cell_id"),
-        )
+    # probe -> its nprobe nearest cells, same ranking, wider slice
+    probe_cells = ranked.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.explode(F.slice("cells", 1, nprobe)).alias("cell_id"),
     )
     # scan only the selected cells (at scale: partition pruning on cell_id);
     # distinct because a spilled vector can match a probe through both of
@@ -493,6 +495,36 @@ def _pq_encode_udf(cb: np.ndarray):
     return encode
 
 
+def _pq_adc_scores_udf(cb: np.ndarray, luts: np.ndarray, pnorms: np.ndarray):
+    """Arrow-batch PQ encode + ADC scoring against ALL probes at once:
+    returns, per corpus vector, the array of ADC cosine estimates
+    ``[adc_cos(probe_0), ..., adc_cos(probe_P-1)]`` (probe order = the
+    order of ``luts``/``pnorms``). Code assignment is the exact
+    `_pq_encode_udf` formulation (argmin ties -> lowest k); the ADC value
+    per probe is sum_m lut[p][m][code_m] / (pnorm_p * sqrt(max(an2, 1e-12)))
+    with an2 = sum_m ||cb[m][code_m]||^2 — the same decomposition the
+    expression path evaluated per (vector, probe) row."""
+    cn2 = (cb**2).sum(-1)  # (M, K) codeword squared norms
+    luts_t = np.ascontiguousarray(luts.transpose(1, 2, 0))  # (M, K, P)
+    n_probes = luts.shape[0]
+
+    @F.pandas_udf("array<double>")
+    def adc_scores(emb: pd.Series) -> pd.Series:
+        x = np.asarray(emb.to_list(), dtype=np.float64)
+        codes = np.empty((len(x), _PQ_M), dtype=np.int64)
+        for m in range(_PQ_M):
+            sub = x[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            codes[:, m] = (cn2[m][None, :] - 2.0 * (sub @ cb[m].T)).argmin(1)
+        an2 = cn2[np.arange(_PQ_M)[None, :], codes].sum(1)  # (N,)
+        acc = np.zeros((len(x), n_probes))
+        for m in range(_PQ_M):
+            acc += luts_t[m][codes[:, m]]  # (N, P) gather per subspace
+        out = acc / (pnorms[None, :] * np.sqrt(np.maximum(an2, 1e-12))[:, None])
+        return pd.Series(list(out))
+
+    return adc_scores
+
+
 def _pq_codes_expr() -> str:
     """Per-row PQ encoding as ONE JVM expression (no UDF, no shuffle):
     for each subspace m, the index of the nearest codebook centroid.
@@ -602,10 +634,6 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests and ann_recall_gate."""
     cb = _pq_codebooks()
     e = table(spark, sf_dir, "embeddings")
-    # squared norms of each codeword: reconstructed-vector norm is
-    # sqrt(sum_m ||cb[m][code_m]||^2) since subspaces are orthogonal
-    cn2_lit = F.expr(matrix_lit([[float((cent**2).sum()) for cent in sub] for sub in cb]))
-    encoded = e.withColumn("codes", _pq_encode_udf(cb)(F.col("embedding")))
     # Per-probe ADC lookup tables, computed on the driver from the probe
     # vectors alone: lut[m][k] = <probe_sub_m, cb[m][k]>.
     probes = (
@@ -613,33 +641,43 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("pe"))
         .collect()
     )
-    probe_rows = []
+    probe_ids: list[int] = []
+    luts, pnorms = [], []
     for r in probes:
         pv = np.asarray(r["pe"])
-        lut = [
-            [float(pv[m * _PQ_SUB : (m + 1) * _PQ_SUB] @ cb[m][k]) for k in range(_PQ_K)]
-            for m in range(_PQ_M)
-        ]
-        probe_rows.append((r["vec_id"], lut, float(np.sqrt(pv @ pv))))
-    probe_df = spark.createDataFrame(
-        probe_rows, "probe_id long, lut array<array<double>>, pnorm double"
-    )
-    adc = (
-        f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0.0 AS DOUBLE),"
-        " (a, m) -> a + lut[m][codes[m]])"
-    )
-    an2 = (
-        f"aggregate(sequence(0, {_PQ_M - 1}), CAST(0.0 AS DOUBLE),"
-        " (a, m) -> a + cn2[m][codes[m]])"
-    )
-    scored = (
-        encoded.crossJoin(F.broadcast(probe_df))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("cn2", cn2_lit)
-        .withColumn(
-            "adc_cos",
-            F.expr(f"({adc}) / (pnorm * sqrt(greatest({an2}, CAST(1e-12 AS DOUBLE))))"),
+        probe_ids.append(int(r["vec_id"]))
+        luts.append(
+            [
+                [float(pv[m * _PQ_SUB : (m + 1) * _PQ_SUB] @ cb[m][k]) for k in range(_PQ_K)]
+                for m in range(_PQ_M)
+            ]
         )
+        pnorms.append(float(np.sqrt(pv @ pv)))
+    # Encode + LUT scoring in ONE Arrow batch kernel (opt r11, guide §4.2):
+    # the former plan crossJoined the encoded corpus against the broadcast
+    # probe LUTs and evaluated a 2*M-term interpreted lambda per
+    # (vector, probe) row; the same gathers are numpy indexing over the
+    # codes the encoder just produced, and the exploded rows are then
+    # NARROW (vec_id, pidx, adc_cos) instead of carrying codes + LUT
+    # arrays into the top-k window shuffle (guide §2.3). Code assignment
+    # is byte-identical to `_pq_encode_udf` (same argmin formulation);
+    # the ADC sum order changes only float association, which the
+    # measured margins dwarf (`test_pq_margins`: min shortlist-cut gap
+    # 4.7e-6 vs ~1e-13 reassociation noise).
+    scored = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                _pq_adc_scores_udf(cb, np.asarray(luts), np.asarray(pnorms))(
+                    F.col("embedding")
+                )
+            ).alias("pidx", "adc_cos"),
+        )
+        .withColumn(
+            "probe_id",
+            F.expr(f"array({', '.join(f'{p}L' for p in probe_ids)})[pidx]"),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
     )
     w = W.partitionBy("probe_id").orderBy(F.col("adc_cos").desc(), F.col("vec_id"))
     shortlist = (
