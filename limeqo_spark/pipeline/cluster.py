@@ -96,7 +96,10 @@ def connected_components_min_label(
 
 
 def connected_components_auto(
-    edges: DataFrame, local_threshold: int = 200_000, stats: dict | None = None
+    edges: DataFrame,
+    local_threshold: int = 200_000,
+    stats: dict | None = None,
+    pre_canonicalized: bool = False,
 ) -> DataFrame:
     """Connected components with size-dispatched execution: count the
     (deduplicated, canonicalized) edge frame once, solve it with a
@@ -114,15 +117,24 @@ def connected_components_auto(
     :func:`connected_components_min_label`: returns ``(node, component)``
     for every edge endpoint, component = minimum member id.
     ``stats["mode"]`` records which path ran."""
-    e = (
-        edges.select(
+    if pre_canonicalized:
+        # caller guarantees u < v, no self-loops, no duplicates (e.g. the
+        # jaccard pair generator's groupBy(a, b) with a < b) — the
+        # least/greatest projection and the distinct's exchange would be
+        # pure overhead on an already-canonical frame (opt r11)
+        e = edges.select(
             F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v")
+        ).localCheckpoint(eager=True)
+    else:
+        e = (
+            edges.select(
+                F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v")
+            )
+            .filter("u <> v")
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter("u <> v")
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     n_edges = e.count()
     if n_edges > local_threshold:
         if stats is not None:
@@ -283,8 +295,10 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded driver union-find solves those in milliseconds, while the
     O(log n)-round two-phase kernel remains the automatic fallback past
     200k edges (the 100 TB path; same dispatch the SemDeDup entry uses)."""
-    pairs = ngram_jaccard_pairs(planted_corpus(spark, sf_dir), n=3, tau=0.6)
-    comp = connected_components_auto(pairs.select("a", "b"))
+    pairs = ngram_jaccard_pairs(
+        planted_corpus(spark, sf_dir), n=3, tau=0.6, ordered=False
+    )
+    comp = connected_components_auto(pairs.select("a", "b"), pre_canonicalized=True)
     return (
         comp.select(
             F.col("node").alias("doc_id"),
@@ -342,7 +356,7 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-Jaccard pairs + a per-component max_by aggregate (map-side
     combinable; no window over data-sized partitions)."""
     corpus = planted_corpus(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(corpus, n=3, tau=0.6)
+    pairs = ngram_jaccard_pairs(corpus, n=3, tau=0.6, ordered=False)
     # size-dispatched CC (opt r11) — see dedup_cluster_canonical
     comp = connected_components_auto(pairs.select("a", "b")).select(
         F.col("node").alias("doc_id"), F.col("component")

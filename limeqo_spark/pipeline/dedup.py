@@ -118,7 +118,11 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    corpus: DataFrame, n: int = 3, tau: float = 0.6, max_doc_freq: int | None = None
+    corpus: DataFrame,
+    n: int = 3,
+    tau: float = 0.6,
+    max_doc_freq: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with Jaccard >= tau over n-token shingles.
 
@@ -217,11 +221,14 @@ def ngram_jaccard_pairs(
     jac = pairs.withColumn(
         "jaccard_raw", F.col("c").cast("double") / (F.col("sa") + F.col("sb") - F.col("c"))
     )
-    return (
-        jac.filter(F.col("jaccard_raw") >= tau)
-        .select("a", "b", F.round("jaccard_raw", 4).alias("jaccard"))
-        .orderBy("a", "b")
+    out = jac.filter(F.col("jaccard_raw") >= tau).select(
+        "a", "b", F.round("jaccard_raw", 4).alias("jaccard")
     )
+    # ``ordered`` is the PAIR queries' output contract; the clustering
+    # consumers feed the pairs straight into connected components, where a
+    # global sort is a wasted range exchange (opt r11, guide §2.4 — an
+    # orderBy used only to make output deterministic)
+    return out.orderBy("a", "b") if ordered else out
 
 
 #: Portable MinHash: x = first-8-hex-chars of md5(shingle) as int (identical
