@@ -996,19 +996,14 @@ def ivf_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
         e = table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        cents_lit = F.expr(matrix_lit(centers))
-        ranked = (
-            f"sort_array(transform(sequence(0, {_IVF_NLIST - 1}), p -> struct("
-            "aggregate(zip_with(cents[p], embedding, (c, x) -> (x - c) * (x - c)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))"
-        )
-        # spill-2: each vector lands in its 2 nearest cell directories
-        assigned = e.withColumn("cents", cents_lit).select(
+        # spill-2: each vector lands in its 2 nearest cell directories;
+        # ranking is the same Arrow batch kernel as ann_ivf_topk (opt r11)
+        assigned = e.withColumn(
+            "cells", _cell_rank_udf(centers, take=_IVF_SPILL)("embedding")
+        ).select(
             "vec_id",
             "embedding",
-            F.explode(
-                F.expr(f"transform(slice({ranked}, 1, {_IVF_SPILL}), s -> s.i)")
-            ).alias("cell_id"),
+            F.explode(F.slice("cells", 1, _IVF_SPILL)).alias("cell_id"),
         )
         out = scratch_dir(prefix="limeqo_ivf_corpus_")
         assigned.write.mode("overwrite").partitionBy("cell_id").parquet(out)
@@ -1461,24 +1456,18 @@ def embed_bitext_margin_mining_ann(spark: SparkSession, sf_dir: str) -> DataFram
     # the core budget first, exactly the planted_corpus idiom
     par = spark.sparkContext.defaultParallelism
     src, tgt = src.repartition(par), tgt.repartition(par)
-    cents_lit = F.expr(matrix_lit(centers))
-    ranked_cells = (
-        f"sort_array(transform(sequence(0, {nlist - 1}), p -> struct("
-        "aggregate(zip_with(cents[p], e, (c, x) -> (x - c) * (x - c)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d, p AS i)))"
-    )
+    rank_cells = _cell_rank_udf(centers, take=max(_IVF_NPROBE, _IVF_SPILL))
 
     def cells(shard: DataFrame, id_alias: str, e_alias: str, n: int) -> DataFrame:
-        # the nlist-way distance sort is ONE embarrassingly-parallel
-        # expression per row; the repartition exchanges feeding the four
-        # derived frames are identical subplans, so Spark's ReusedExchange
-        # shares them without pinning anything in the cache
-        return shard.withColumn("cents", cents_lit).select(
+        # the nlist-way distance ranking is the same Arrow batch kernel as
+        # ann_ivf_topk (opt r11) — embarrassingly parallel per row; the
+        # repartition exchanges feeding the four derived frames are
+        # identical subplans, so Spark's ReusedExchange shares them
+        # without pinning anything in the cache
+        return shard.withColumn("cells", rank_cells(F.col("e"))).select(
             F.col("vec_id").alias(id_alias),
             F.col("e").alias(e_alias),
-            F.explode(
-                F.expr(f"transform(slice({ranked_cells}, 1, {n}), s -> s.i)")
-            ).alias("cell_id"),
+            F.explode(F.slice("cells", 1, n)).alias("cell_id"),
         )
 
     src_q = cells(src, "sid", "pe", _IVF_NPROBE)
