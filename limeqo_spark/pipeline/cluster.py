@@ -117,6 +117,10 @@ def connected_components_auto(
     :func:`connected_components_min_label`: returns ``(node, component)``
     for every edge endpoint, component = minimum member id.
     ``stats["mode"]`` records which path ran."""
+    # lazy localCheckpoint: the count below is the first action, so it both
+    # materializes AND persists the edge pipeline in ONE job (an eager
+    # checkpoint would spend a separate job, then count again — opt r11);
+    # the collect / two-phase loop that follows reads the persisted RDD
     if pre_canonicalized:
         # caller guarantees u < v, no self-loops, no duplicates (e.g. the
         # jaccard pair generator's groupBy(a, b) with a < b) — the
@@ -124,7 +128,7 @@ def connected_components_auto(
         # pure overhead on an already-canonical frame (opt r11)
         e = edges.select(
             F.col("a").cast("long").alias("u"), F.col("b").cast("long").alias("v")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     else:
         e = (
             edges.select(
@@ -133,7 +137,7 @@ def connected_components_auto(
             .filter("u <> v")
             .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     n_edges = e.count()
     if n_edges > local_threshold:
@@ -167,8 +171,12 @@ def connected_components_auto(
             else:
                 parent[ru] = rv
     rows = [(node, find(node)) for node in sorted(parent)]
-    return edges.sparkSession.createDataFrame(
-        rows, "node bigint, component bigint"
+    # one slice, already node-sorted: consumers that only need the sorted
+    # order (dedup_cluster_canonical) can then skip the range-exchange +
+    # sampling pass a global orderBy would plan on this tiny frame (opt r11)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "node bigint, component bigint"
     )
 
 
@@ -298,15 +306,22 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         planted_corpus(spark, sf_dir), n=3, tau=0.6, ordered=False
     )
-    comp = connected_components_auto(pairs.select("a", "b"), pre_canonicalized=True)
-    return (
-        comp.select(
-            F.col("node").alias("doc_id"),
-            F.col("component").alias("canonical_id"),
-            (F.col("component") == F.col("node")).alias("keep"),
-        )
-        .orderBy("doc_id")
+    stats: dict = {}
+    comp = connected_components_auto(
+        pairs.select("a", "b"), pre_canonicalized=True, stats=stats
     )
+    out = comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("component") == F.col("node")).alias("keep"),
+    )
+    if stats["mode"] == "local_union_find":
+        # the union-find result is a SINGLE-slice frame already sorted by
+        # node, so a partition-local sort yields the identical global order
+        # without the range exchange + sampling job orderBy plans (opt r11);
+        # the distributed path below keeps the true global sort
+        return out.sortWithinPartitions("doc_id")
+    return out.orderBy("doc_id")
 
 
 @query(
@@ -357,8 +372,11 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable; no window over data-sized partitions)."""
     corpus = planted_corpus(spark, sf_dir)
     pairs = ngram_jaccard_pairs(corpus, n=3, tau=0.6, ordered=False)
-    # size-dispatched CC (opt r11) — see dedup_cluster_canonical
-    comp = connected_components_auto(pairs.select("a", "b")).select(
+    # size-dispatched CC (opt r11) — see dedup_cluster_canonical; pairs exit
+    # groupBy(a, b) with a < b, so the canonicalization exchange is skippable
+    comp = connected_components_auto(
+        pairs.select("a", "b"), pre_canonicalized=True
+    ).select(
         F.col("node").alias("doc_id"), F.col("component")
     )
     scores = corpus.select(
