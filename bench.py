@@ -38,7 +38,7 @@ REP_HOT_RATIO = 1.5
 #: attempt ceiling per query when hot reps force retries (3 normal + 3 spare)
 MAX_ATTEMPTS = 6
 #: round tag for the on-disk full payload (docs/bench_full_<tag>.json)
-ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND", "r11")
+ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND", "r12")
 
 
 def cpu_calibration_token(reps: int = 3) -> float:
@@ -205,7 +205,17 @@ def main() -> None:
         # median; q05 read 2.42 s when its steady state measured 1.36 s)
         if len(clean_idx) >= 2 and clean_idx[0] == 0:
             clean_idx = clean_idx[1:]
-        used = [reps[i] for i in clean_idx] if clean_idx else reps
+        # when the ONLY clean rep is the cold rep 0 (ADVICE r11): the cold
+        # materialization run must never stand in for steady-state timing —
+        # it reported q17 at 0.788 s vs a 0.275 s warm median. Fall back to
+        # the all-rep WARM median (hot, but warm) and say so.
+        median_over = "clean"
+        if clean_idx == [0] and len(reps) > 1:
+            clean_idx = []
+            used = reps[1:]
+            median_over = "warm_reps_hot_cold_only_clean"
+        else:
+            used = [reps[i] for i in clean_idx] if clean_idx else reps
         clean = [reps[i] for i in clean_idx]
         raw_reps[name] = [round(r, 3) for r in reps]
         # hot vs the ABSOLUTE reference constant, recorded alongside the
@@ -220,7 +230,11 @@ def main() -> None:
                 "hot_reps": sum(rep_hot),
                 "hot_reps_vs_ref": hot_vs_ref,
                 "clean_reps": len(clean),
-                "median_over": "clean" if clean else "all_reps_hot",
+                "median_over": (
+                    median_over
+                    if clean or median_over != "clean"
+                    else "all_reps_hot"
+                ),
             }
         # median policy (r11, ADVICE r10): odd pools take the true median;
         # EVEN pools take the MEAN of the two central reps — the r10
@@ -551,6 +565,7 @@ def main() -> None:
                 )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
+        f.write("\n")
     compact = {
         "metric": "headline_query_wall",
         "value": total,
@@ -636,6 +651,8 @@ def main() -> None:
             full["headline_clean_note"] = compact["headline_clean_note"]
             with open(full_path, "w") as f:
                 json.dump(full, f, indent=1)
+                f.write("\n")
+        f.write("\n")
     compact.update({k: v for k, v in sim.items() if isinstance(v, (int, float))})
     print(json.dumps(compact))
     sys.stdout.flush()

@@ -9,6 +9,7 @@ or SQL API against the same names the DuckDB oracle uses.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,8 +52,30 @@ TABLES = (
 
 #: sessions (by id) whose confs have been pinned — ensure_session_confs is
 #: called from every table() read, and each conf get/set is a py4j round
-#: trip; once per session is enough (opt r11)
+#: trip; once per session is enough (opt r11). A weakref finalizer removes
+#: the id when the session is collected (opt r12): a bare id in a set
+#: outlives its session, and a LATER session allocated at the same address
+#: would silently skip pinning — the same id-reuse hazard the plan cache
+#: below guards against, fixed the same way.
 _CONFS_PINNED: set[int] = set()
+
+
+def _track_session(spark: SparkSession, registry: set[int], sid: int) -> None:
+    """Register ``sid`` in ``registry`` and arrange for its removal when
+    ``spark`` is garbage-collected, so CPython can never hand a new session
+    the stale entry of a dead one at the same address. (Safe for id-only
+    registries: nothing here keeps the session alive.)"""
+    registry.add(sid)
+    weakref.finalize(spark, registry.discard, sid)
+
+
+def _session_stopped(spark: SparkSession) -> bool:
+    """True when the session's underlying SparkContext has been stopped
+    (``SparkContext.stop()`` nulls the JVM handle)."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:  # noqa: BLE001 — any breakage reads as dead
+        return True
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -66,7 +89,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", str(min(os.cpu_count() or 8, 32)))
-    _CONFS_PINNED.add(id(spark))
+    _track_session(spark, _CONFS_PINNED, id(spark))
 
 
 def epoch_us(col) -> F.Column:
@@ -78,16 +101,30 @@ def epoch_us(col) -> F.Column:
     return F.unix_micros(c.cast("timestamp"))
 
 
-#: memoized base-relation READ PLANS keyed by (session, path, dir mtime):
-#: ``spark.read.parquet`` pays ~80 ms of JVM schema/footer/listing work per
-#: call, and a 7-relation TPC-H query re-paid it 7x on every invocation
-#: (measured: 0.58 s of q72's 0.80 s build wall — opt r11). The cache holds
-#: the unresolved logical plan only; every execution still scans the
-#: parquet files, so results are always computed from the inputs. The
-#: mtime in the key drops the entry if a fixture dir is regenerated, and
-#: the id(spark) key isolates sessions (a dead session's entries are inert
-#: and bounded by the table count).
-_TABLE_PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+#: memoized base-relation READ PLANS, per session id -> (path, dir mtime)
+#: -> DataFrame: ``spark.read.parquet`` pays ~80 ms of JVM schema/footer/
+#: listing work per call, and a 7-relation TPC-H query re-paid it 7x on
+#: every invocation (measured: 0.58 s of q72's 0.80 s build wall — opt
+#: r11). The cache holds the unresolved logical plan only; every execution
+#: still scans the parquet files, so results are always computed from the
+#: inputs. The mtime in the key drops the entry if a fixture dir is
+#: regenerated. Session lifetime (opt r12, VERDICT r11 #8): r11 kept every
+#: session strongly referenced forever so a dead session's id() could
+#: never be reused — correct but an unbounded session leak in a long-lived
+#: multi-session process. A cached DataFrame itself pins its session, so
+#: weak references cannot break that cycle; instead every ``table()`` call
+#: sweeps out entries whose session has been STOPPED (the normal end of a
+#: session's life), after which the session object — no longer reachable
+#: through the cache — is collectable, and its id() cannot be handed to a
+#: new session until then.
+_TABLE_PLAN_CACHE: dict[int, dict[tuple, DataFrame]] = {}
+
+
+def _sweep_stopped_sessions() -> None:
+    for sid, plans in list(_TABLE_PLAN_CACHE.items()):
+        probe = next(iter(plans.values()), None)
+        if probe is not None and _session_stopped(probe.sparkSession):
+            _TABLE_PLAN_CACHE.pop(sid, None)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -104,17 +141,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         stamp = os.path.getmtime(path)
     except OSError:
         stamp = None
-    key = (id(spark), path, stamp)
-    hit = _TABLE_PLAN_CACHE.get(key)
-    if hit is None:
+    sid = id(spark)
+    plans = _TABLE_PLAN_CACHE.get(sid)
+    if plans is None:
+        _sweep_stopped_sessions()
+        plans = {}
+        _TABLE_PLAN_CACHE[sid] = plans
+    df = plans.get((path, stamp))
+    if df is None:
         df = spark.read.parquet(path)
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        # the session rides along in the value so its id() is never reused
-        # by a later session while this entry exists (keyed-by-id safety)
-        _TABLE_PLAN_CACHE[key] = (spark, df)
-    else:
-        df = hit[1]
+        plans[(path, stamp)] = df
     # steering: inside hints.applied(...), tag every base relation with the
     # active join-strategy hint — the placement Spark requires for the hint
     # to reach its joins (a hint above the final plan node is discarded)

@@ -495,34 +495,85 @@ def _pq_encode_udf(cb: np.ndarray):
     return encode
 
 
-def _pq_adc_scores_udf(cb: np.ndarray, luts: np.ndarray, pnorms: np.ndarray):
-    """Arrow-batch PQ encode + ADC scoring against ALL probes at once:
-    returns, per corpus vector, the array of ADC cosine estimates
-    ``[adc_cos(probe_0), ..., adc_cos(probe_P-1)]`` (probe order = the
-    order of ``luts``/``pnorms``). Code assignment is the exact
-    `_pq_encode_udf` formulation (argmin ties -> lowest k); the ADC value
-    per probe is sum_m lut[p][m][code_m] / (pnorm_p * sqrt(max(an2, 1e-12)))
-    with an2 = sum_m ||cb[m][code_m]||^2 — the same decomposition the
-    expression path evaluated per (vector, probe) row."""
+def _pq_adc_topk_kernel(
+    cb: np.ndarray,
+    luts: np.ndarray,
+    pnorms: np.ndarray,
+    probe_ids: list[int],
+    keep: int,
+):
+    """``mapInArrow`` PQ encode + ADC scoring + TASK-LOCAL top-``keep``
+    digest (opt r12, guide §2.3/§4.2). The r11 kernel returned one
+    P-element score array per corpus row, so N x P exploded rows flowed
+    through a local Sort + WindowGroupLimit before the per-probe top-k
+    exchange — at 100 TB that is a data-sized sort and a data-sized
+    Python->JVM Arrow transfer for scores that are about to be discarded.
+    This kernel keeps a running per-probe top-``keep`` ACROSS the task's
+    batches (state: P x keep ids+scores, constant) and emits only that
+    digest, so each task contributes P x keep narrow rows and the
+    downstream exchange/window ranks tasks x P x keep rows total.
+
+    Exactness: the global top-k under the strict total order
+    (adc_cos DESC, vec_id ASC) is contained in the union of per-task
+    top-k under the SAME order (``np.lexsort`` on (-score, vec_id); the
+    final window re-ranks the union), and the score math is the r11
+    kernel's verbatim — code assignment is the exact `_pq_encode_udf`
+    formulation (argmin ties -> lowest k); the ADC value per probe is
+    sum_m lut[p][m][code_m] / (pnorm_p * sqrt(max(an2, 1e-12))) with
+    an2 = sum_m ||cb[m][code_m]||^2. Rows where vec_id == probe_id are
+    excluded here (was a post-explode filter)."""
     cn2 = (cb**2).sum(-1)  # (M, K) codeword squared norms
     luts_t = np.ascontiguousarray(luts.transpose(1, 2, 0))  # (M, K, P)
     n_probes = luts.shape[0]
+    pid_arr = np.asarray(probe_ids, dtype=np.int64)
 
-    @F.pandas_udf("array<double>")
-    def adc_scores(emb: pd.Series) -> pd.Series:
-        x = np.asarray(emb.to_list(), dtype=np.float64)
-        codes = np.empty((len(x), _PQ_M), dtype=np.int64)
-        for m in range(_PQ_M):
-            sub = x[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
-            codes[:, m] = (cn2[m][None, :] - 2.0 * (sub @ cb[m].T)).argmin(1)
-        an2 = cn2[np.arange(_PQ_M)[None, :], codes].sum(1)  # (N,)
-        acc = np.zeros((len(x), n_probes))
-        for m in range(_PQ_M):
-            acc += luts_t[m][codes[:, m]]  # (N, P) gather per subspace
-        out = acc / (pnorms[None, :] * np.sqrt(np.maximum(an2, 1e-12))[:, None])
-        return pd.Series(list(out))
+    def topk(batches):
+        import pyarrow as pa
 
-    return adc_scores
+        best_v = [np.empty(0, dtype=np.int64) for _ in range(n_probes)]
+        best_s = [np.empty(0, dtype=np.float64) for _ in range(n_probes)]
+        for batch in batches:
+            vec_ids = batch.column("vec_id").to_numpy()
+            if len(vec_ids) == 0:
+                continue
+            # list<float32> -> (N, dim) float64; flatten() honors offsets,
+            # and float32 -> float64 is exact (same doubles the r11
+            # pandas path produced via to_list)
+            x = (
+                batch.column("embedding")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(len(vec_ids), -1)
+            )
+            codes = np.empty((len(x), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                sub = x[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                codes[:, m] = (cn2[m][None, :] - 2.0 * (sub @ cb[m].T)).argmin(1)
+            an2 = cn2[np.arange(_PQ_M)[None, :], codes].sum(1)  # (N,)
+            acc = np.zeros((len(x), n_probes))
+            for m in range(_PQ_M):
+                acc += luts_t[m][codes[:, m]]  # (N, P) gather per subspace
+            out = acc / (pnorms[None, :] * np.sqrt(np.maximum(an2, 1e-12))[:, None])
+            for p in range(n_probes):
+                mask = vec_ids != pid_arr[p]
+                s = np.concatenate([best_s[p], out[mask, p]])
+                v = np.concatenate([best_v[p], vec_ids[mask]])
+                order = np.lexsort((v, -s))[:keep]
+                best_s[p], best_v[p] = s[order], v[order]
+        probe_col = np.concatenate(
+            [np.full(len(best_v[p]), pid_arr[p], dtype=np.int64) for p in range(n_probes)]
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(probe_col, pa.int64()),
+                pa.array(np.concatenate(best_v), pa.int64()),
+                pa.array(np.concatenate(best_s), pa.float64()),
+            ],
+            names=["probe_id", "vec_id", "adc_cos"],
+        )
+
+    return topk
 
 
 def _pq_codes_expr() -> str:
@@ -653,31 +704,24 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         pnorms.append(float(np.sqrt(pv @ pv)))
-    # Encode + LUT scoring in ONE Arrow batch kernel (opt r11, guide §4.2):
-    # the former plan crossJoined the encoded corpus against the broadcast
-    # probe LUTs and evaluated a 2*M-term interpreted lambda per
-    # (vector, probe) row; the same gathers are numpy indexing over the
-    # codes the encoder just produced, and the exploded rows are then
-    # NARROW (vec_id, pidx, adc_cos) instead of carrying codes + LUT
-    # arrays into the top-k window shuffle (guide §2.3). Code assignment
-    # is byte-identical to `_pq_encode_udf` (same argmin formulation);
-    # the ADC sum order changes only float association, which the
-    # measured margins dwarf (`test_pq_margins`: min shortlist-cut gap
-    # 4.7e-6 vs ~1e-13 reassociation noise).
-    scored = (
-        e.select(
-            "vec_id",
-            F.posexplode(
-                _pq_adc_scores_udf(cb, np.asarray(luts), np.asarray(pnorms))(
-                    F.col("embedding")
-                )
-            ).alias("pidx", "adc_cos"),
-        )
-        .withColumn(
-            "probe_id",
-            F.expr(f"array({', '.join(f'{p}L' for p in probe_ids)})[pidx]"),
-        )
-        .filter(F.col("vec_id") != F.col("probe_id"))
+    # Encode + LUT scoring + per-task top-k digest in ONE mapInArrow
+    # kernel (opt r11 fused encode/score per guide §4.2; opt r12 moved the
+    # shortlist SELECTION into the task per guide §2.3): r11's plan
+    # posexploded N x P scored rows through a local Sort +
+    # WindowGroupLimit ahead of the per-probe exchange — a data-sized
+    # sort, and a data-sized Arrow transfer of scores about to be
+    # discarded. The kernel now emits each task's exact top-_PQ_SHORTLIST
+    # per probe under the window's own (adc_cos DESC, vec_id) order, so
+    # the exchange + window rank only tasks x P x 100 digest rows and the
+    # per-task state is constant. Score math is unchanged (same argmin
+    # code assignment, same LUT-sum association — `test_pq_margins`
+    # margins dwarf any float noise), so the shortlist, the exact
+    # re-scoring, and the oracle hash are identical.
+    scored = e.select("vec_id", "embedding").mapInArrow(
+        _pq_adc_topk_kernel(
+            cb, np.asarray(luts), np.asarray(pnorms), probe_ids, _PQ_SHORTLIST
+        ),
+        "probe_id long, vec_id long, adc_cos double",
     )
     w = W.partitionBy("probe_id").orderBy(F.col("adc_cos").desc(), F.col("vec_id"))
     shortlist = (

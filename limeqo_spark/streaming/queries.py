@@ -103,29 +103,57 @@ def _stage_events(spark: SparkSession, sf_dir: str, with_sentinel: bool = False)
 _STREAM_STATE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
 
 
+class _skip_nodata_batches:
+    """Scoped ``spark.sql.streaming.noDataMicroBatches.enabled=false``.
+    Complete-mode sinks re-emit the full state every batch and have no
+    watermark-finalization dependency, so the trailing no-data micro-batch
+    is pure latency (one extra batch plan + state commit + sink rewrite
+    per query — opt r11 measured it on q44a; opt r12 extends the skip to
+    EVERY complete-mode run per VERDICT r11 #4). Append/update-mode
+    queries keep the default: their emission depends on watermark-
+    advancing batches (q44c/d sentinel finalization, state timeouts)."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._key = "spark.sql.streaming.noDataMicroBatches.enabled"
+
+    def __enter__(self):
+        self._prev = self._spark.conf.get(self._key, "true")
+        self._spark.conf.set(self._key, "false")
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(self._key, self._prev)
+
+
 def _run_stream(agg: DataFrame, mode: str) -> DataFrame:
     """Drive a streaming aggregation to completion via a memory sink.
     Scopes ``spark.sql.shuffle.partitions`` to the state-store sizing
     documented at :data:`_STREAM_STATE_PARTITIONS` for the duration of
     the run (each invocation starts a FRESH checkpoint, so the sizing is
-    free to differ from the batch session's shuffle partitioning)."""
+    free to differ from the batch session's shuffle partitioning).
+    Complete-mode runs additionally skip the trailing no-data micro-batch
+    (see :class:`_skip_nodata_batches`)."""
     name = f"limeqo_stream_{uuid.uuid4().hex[:10]}"
     sess = agg.sparkSession
     part_key = "spark.sql.shuffle.partitions"
     prev_parts = sess.conf.get(part_key)
     sess.conf.set(part_key, str(_STREAM_STATE_PARTITIONS))
+    import contextlib
+
+    nodata = _skip_nodata_batches(sess) if mode == "complete" else contextlib.nullcontext()
     try:
-        q = (
-            agg.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with nodata:
+            q = (
+                agg.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     finally:
         sess.conf.set(part_key, prev_parts)
     spark = agg.sparkSession
@@ -165,19 +193,9 @@ def q44a(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
     )
-    # complete mode re-emits the full state every batch and has no
-    # watermark-finalization dependency, so the trailing no-data
-    # micro-batch is pure latency (opt r11) — skip it for THIS run only;
-    # the append-mode queries (q44c/d) keep the default because their
-    # sentinel finalization relies on watermark-advancing batches.
-    key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        out = _run_stream(agg, "complete")
-    finally:
-        spark.conf.set(key, prev)
-    return out.orderBy("ws", "event_type")
+    # the no-data micro-batch skip moved into _run_stream (opt r12): every
+    # complete-mode run gets it, not just this one.
+    return _run_stream(agg, "complete").orderBy("ws", "event_type")
 
 
 @query(
@@ -402,16 +420,20 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(sink)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # complete-mode foreachBatch: the trailing no-data batch would only
+    # re-run write_batch with identical state (idempotent overwrite) —
+    # skipping it drops a full sink rewrite (opt r12)
+    with _skip_nodata_batches(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.parquet(sink).orderBy("ws")
 
 

@@ -25,15 +25,16 @@ print(cpu_calibration_token(reps=1)/CAL_REF_S)" 2>/dev/null)
   if [ "$quiet" -lt 3 ]; then echo "[watcher] no quiet window found"; continue; fi
   echo "[watcher] launching bench (attempt $a)"
   python bench.py > "/tmp/bench_attempt_$a.log" 2>&1
+  TAG=$(python -c "import bench; print(bench.ROUND_TAG)")
   cal=$(python -c "
 import json
-d = json.load(open('docs/bench_full_r11.json'))
+d = json.load(open('docs/bench_full_$TAG.json'))
 c = d['calibration']
 print(c['cal_ratio'], len(c['queries_contended']), d['value'])")
   echo "[watcher] attempt $a primary now: cal/contended/value = $cal"
   good=$(python -c "
 import json
-d = json.load(open('docs/bench_full_r11.json'))
+d = json.load(open('docs/bench_full_$TAG.json'))
 c = d['calibration']
 print(1 if c['cal_ratio'] < 2.0 and not c['queries_contended'] and 'sim_job_limeqo_final_latency' in d else 0)")
   if [ "$good" = "1" ]; then echo "[watcher] clean full run landed"; break; fi

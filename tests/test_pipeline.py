@@ -1693,3 +1693,74 @@ def test_q109_corrupt_rows_quarantine_not_leak(spark, sf_dir):
             assert r["doc_id"] is not None and r["doc_id"] % 7 != 3
     pdf = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
     assert n_corrupt == int((pdf.doc_id % 7 == 3).sum())
+
+
+def test_pq_adc_topk_kernel_digest_is_exact(sf_dir):
+    """Focused guard for the r12 mapInArrow digest kernel: splitting the
+    corpus into multiple Arrow batches and keeping only the running
+    per-probe top-k must reproduce EXACTLY the brute-force ADC ranking
+    (same doubles, same (adc_cos DESC, vec_id ASC) order) that the r11
+    posexplode+window path fed the shortlist."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from limeqo_spark.pipeline.similarity import (
+        N_PROBES,
+        _PQ_M,
+        _PQ_SHORTLIST,
+        _PQ_SUB,
+        _pq_adc_topk_kernel,
+        _pq_codebooks,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").select(["vec_id", "embedding"])
+    x = np.array(tbl.to_pandas()["embedding"].tolist(), dtype=np.float64)
+    vec_ids = tbl.to_pandas()["vec_id"].to_numpy()
+    cb = _pq_codebooks()
+    probe_rows = np.argsort(vec_ids)[: N_PROBES]
+    probe_ids = [int(vec_ids[i]) for i in np.sort(probe_rows)]
+    pv = np.stack([x[np.where(vec_ids == p)[0][0]] for p in probe_ids])
+    luts = np.einsum(
+        "pms,mks->pmk", pv.reshape(len(probe_ids), _PQ_M, _PQ_SUB), cb
+    )
+    pnorms = np.sqrt((pv**2).sum(1))
+
+    # reference: full brute-force ADC ranking (r11 math, verbatim)
+    cn2 = (cb**2).sum(-1)
+    codes = np.empty((len(x), _PQ_M), dtype=np.int64)
+    for m in range(_PQ_M):
+        sub = x[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        codes[:, m] = (cn2[m][None, :] - 2.0 * (sub @ cb[m].T)).argmin(1)
+    an2 = cn2[np.arange(_PQ_M)[None, :], codes].sum(1)
+    luts_t = np.ascontiguousarray(luts.transpose(1, 2, 0))
+    acc = np.zeros((len(x), len(probe_ids)))
+    for m in range(_PQ_M):
+        acc += luts_t[m][codes[:, m]]
+    out = acc / (pnorms[None, :] * np.sqrt(np.maximum(an2, 1e-12))[:, None])
+
+    # kernel under test: 3 uneven batches through one task iterator
+    kern = _pq_adc_topk_kernel(cb, luts, pnorms, probe_ids, _PQ_SHORTLIST)
+    cuts = [0, len(x) // 3, len(x) // 2, len(x)]
+    batches = [
+        pa.RecordBatch.from_arrays(
+            [
+                pa.array(vec_ids[a:b], pa.int64()),
+                pa.array(
+                    [row.astype(np.float32) for row in x[a:b]],
+                    pa.list_(pa.float32()),
+                ),
+            ],
+            names=["vec_id", "embedding"],
+        )
+        for a, b in zip(cuts, cuts[1:])
+    ]
+    got = pa.Table.from_batches(list(kern(iter(batches)))).to_pandas()
+
+    for pi, p in enumerate(probe_ids):
+        mask = vec_ids != p
+        s, v = out[mask, pi], vec_ids[mask]
+        order = np.lexsort((v, -s))[:_PQ_SHORTLIST]
+        g = got[got["probe_id"] == p]
+        assert list(g["vec_id"]) == list(v[order])
+        assert list(g["adc_cos"]) == list(s[order])  # exact doubles

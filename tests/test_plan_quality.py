@@ -662,3 +662,22 @@ def test_inverted_index_sample_path_group_limits(spark):
     plan = plan_of(spark, "text_inverted_index")
     assert "WindowGroupLimit" in plan
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_spread_exchange_is_single_and_reused(spark):
+    """Gate for corpus.spread()'s contract (opt r12, VERDICT r11 #5): the
+    doc_id-keyed repartition must be the ONLY doc_id hash exchange in a
+    consumer's plan — downstream per-document aggregates reuse that
+    partitioning instead of shuffling the much larger exploded token
+    frame. If a second hashpartitioning(doc_id...) appears, spread() has
+    become a pure extra shuffle and the 'what the aggregate would have
+    paid anyway' argument no longer holds."""
+    import re
+
+    for name in ("text_fingerprint", "text_repetition_ratio"):
+        plan = plan_of(spark, name)
+        doc_exchanges = [
+            m for m in re.findall(r"hashpartitioning\((\w+)[^)]*\)", plan)
+            if m.startswith("doc_id")
+        ]
+        assert len(doc_exchanges) == 1, (name, doc_exchanges)
