@@ -365,15 +365,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("pe"),
         F.explode(F.slice("cells", 1, nprobe)).alias("cell_id"),
     )
-    # scan only the selected cells (at scale: partition pruning on cell_id);
-    # distinct because a spilled vector can match a probe through both of
-    # its cells (the LSH band-join dedup idiom)
+    # scan only the selected cells (at scale: partition pruning on cell_id).
+    # Spill dedup (a vector can match a probe through both of its cells)
+    # runs AFTER the map-side cosine as a narrow grouped aggregate (opt
+    # r12, guide §2.3 — the bitext miner's r11 idiom): the r11 plan's
+    # .distinct() shuffled (probe_id, pe, vec_id, embedding) — two 64-dim
+    # double arrays per row — purely to drop spill duplicates; computing
+    # cos in the join projection first makes the exchange carry three
+    # scalars per row instead, and a duplicate recomputes the bitwise-
+    # identical cosine (same expression over the same doubles), so
+    # min(cos) just picks the constant and the ranking is unchanged.
     cand = (
         assigned.join(F.broadcast(probe_cells), "cell_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "pe", "vec_id", "embedding")
-        .distinct()
         .withColumn("cos", F.expr(_cosine_expr()))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.min("cos").alias("cos"))
     )
     return _topk_with_ok(cand, with_ok=False)
 
@@ -1092,12 +1099,15 @@ def ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(pid, pe, c) for pid, pe, cells in probe_cells for c in cells],
         "probe_id long, pe array<double>, cell_id int",
     )
+    # narrow spill dedup after the map-side cosine — same rationale as
+    # ann_ivf_topk (opt r12): the exchange carries (probe_id, vec_id, cos)
+    # instead of two 64-dim arrays per candidate row
     cand = (
         pruned.join(F.broadcast(probe_df), "cell_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "pe", "vec_id", "embedding")
-        .distinct()
         .withColumn("cos", F.expr(_cosine_expr()))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.min("cos").alias("cos"))
     )
     return _topk_with_ok(cand, with_ok=False)
 

@@ -166,6 +166,19 @@ def _run_stream(agg: DataFrame, mode: str) -> DataFrame:
     return out
 
 
+def _sorted_single_slice(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic output order WITHOUT a global sort (opt r12, the
+    cluster.py r11 idiom): ``orderBy`` on these tiny frames pays a range-
+    partition SAMPLING job plus an exchange; a coalesce(1) +
+    sortWithinPartitions is one task and produces the identical order
+    because the sort keys are each entry's full grouping key (unique —
+    the oracle hash compare already requires a deterministic total
+    order). Only applied where the output is bounded by KEY CARDINALITY
+    at any input volume (time windows x event types, market segments) —
+    per-user/per-session outputs keep the distributed sort."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def _read_stream(spark: SparkSession, stage: str, one_file_per_batch: bool = False):
     r = spark.readStream.schema(EVENTS_SCHEMA)
     if one_file_per_batch:
@@ -195,7 +208,7 @@ def q44a(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the no-data micro-batch skip moved into _run_stream (opt r12): every
     # complete-mode run gets it, not just this one.
-    return _run_stream(agg, "complete").orderBy("ws", "event_type")
+    return _sorted_single_slice(_run_stream(agg, "complete"), "ws", "event_type")
 
 
 @query(
@@ -225,7 +238,7 @@ def q44b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").cast("long").alias("ws"), "event_type", "n")
     )
-    return _run_stream(agg, "complete").orderBy("ws", "event_type")
+    return _sorted_single_slice(_run_stream(agg, "complete"), "ws", "event_type")
 
 
 @query(
@@ -434,7 +447,7 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.read.parquet(sink).orderBy("ws")
+    return _sorted_single_slice(spark.read.parquet(sink), "ws")
 
 
 @query(
@@ -638,9 +651,8 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
     )
-    return (
-        _run_stream(agg, "complete")
-        .orderBy("c_mktsegment", "event_type")
+    return _sorted_single_slice(
+        _run_stream(agg, "complete"), "c_mktsegment", "event_type"
     )
 
 
