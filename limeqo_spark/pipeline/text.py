@@ -728,13 +728,23 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-row driver merge, plan-gated) — never a single-partition rank
     window over the vocabulary."""
     d = table(spark, sf_dir, "documents")
+    # tokenize ONCE into an array column (opt r12): the former expression
+    # re-evaluated split(text, ' ') INSIDE the per-gram lambda — Spark
+    # does not hoist loop-invariant subexpressions out of higher-order-
+    # function lambdas, so every document paid O(tokens) splits of its
+    # own text per gram, O(tokens^2) total. spread() additionally lifts
+    # the explode off the fixture's 1-2 input splits (the text-battery
+    # idiom), and the (doc_id, ngram) DISTINCT reuses the doc_id
+    # partitioning instead of exchanging the gram frame. Measured
+    # 3.611 -> 0.757 s warm at sf0.1, collect()-identical output.
+    t = spread(d).select("doc_id", F.split("text", " ").alias("t"))
     grams = (
-        d.select(
+        t.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-                    " i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i]))"
+                    "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                    " i -> concat_ws(' ', t[i - 1], t[i]))"
                 )
             ).alias("ngram"),
         )
