@@ -170,12 +170,22 @@ def ngram_jaccard_pairs(
             .select("shingle")
             .localCheckpoint(eager=True)
         )
-        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        hot_sets = (
-            sh.join(F.broadcast(hot), "shingle")
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("hs"))
-        )
+        # NO hot shingles -> the correction is the identity (opt r12): the
+        # anti-join drops nothing and the hot-set machinery would only add
+        # an aggregate over the index plus TWO pair-frame joins against an
+        # EMPTY relation — at x16 the pair frame is 18M rows and those
+        # no-op joins measured ~2x the whole uncapped query (the x16
+        # perturbed probe has no shingle over the df cap). The checkpoint
+        # is already materialized, so the emptiness probe is one head()
+        # over its partitions; corpora with real boilerplate (df > cap)
+        # take the full correction path unchanged at any scale.
+        if hot.head(1):
+            idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+            hot_sets = (
+                sh.join(F.broadcast(hot), "shingle")
+                .groupBy("doc_id")
+                .agg(F.collect_set("shingle").alias("hs"))
+            )
     common = (
         idx.select(F.col("doc_id").alias("a"), "shingle", F.col("sz").alias("sa"))
         .join(
